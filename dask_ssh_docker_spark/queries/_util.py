@@ -1,0 +1,50 @@
+"""Shared helpers for oracle-deterministic aggregation.
+
+Floating-point sums depend on accumulation order, which differs between
+Spark's partial/final hash aggregation and DuckDB's execution.  To make
+results bit-identical we do measure arithmetic in exact DECIMAL (both
+engines implement exact decimal +/*), and cast to DOUBLE only at the end.
+Intermediate precisions are kept small enough that neither engine hits
+its 38-digit cap (which would trigger engine-specific rounding):
+
+- prices  -> DECIMAL(12,2)   (max |v| ~ 1e8 in testdata)
+- rates   -> DECIMAL(3,2)    (discount/tax in [0, 0.99])
+- price*(1±rate)        -> DECIMAL(16,4) / DuckDB (15,4)   exact
+- price*(1±r1)*(1±r2)   -> DECIMAL(20,6) / DuckDB (18,6)   exact
+- SUM over those        -> widened by engine, still exact
+
+Averages: ``CAST(sum_decimal AS DOUBLE) / count`` — one IEEE division on
+identical inputs gives identical output in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PRICE_DEC = "decimal(12,2)"
+RATE_DEC = "decimal(3,2)"
+
+
+def dec(col: Column | str, typ: str = PRICE_DEC) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def dsum(col: Column | str, typ: str = PRICE_DEC) -> Column:
+    """Exact decimal SUM, surfaced as double."""
+    return F.sum(dec(col, typ)).cast("double")
+
+
+def davg(col: Column | str, typ: str = PRICE_DEC) -> Column:
+    """Deterministic mean: double(exact decimal sum) / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c, typ)).cast("double") / F.count(c)
+
+
+def sql_dsum(expr: str, typ: str = "DECIMAL(12,2)") -> str:
+    return f"CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE)"
+
+
+def sql_davg(expr: str, typ: str = "DECIMAL(12,2)") -> str:
+    return f"CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE) / COUNT({expr})"

@@ -1,0 +1,599 @@
+"""Relational core queries (SURVEY.md §2.C scans/filters, §2.D joins,
+§2.E aggregations, §2.F sorts/limits/set-ops).
+
+The reference exposes these through dask.dataframe ([Dask public API],
+anchor ``/root/reference/dask_ssh_docker/__init__.py:307``); here each is
+expressed declaratively on the DataFrame API so Catalyst plans them
+(broadcast-hash joins for dims, partial+final hash aggregation,
+TakeOrderedAndProject for top-k — SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ._util import PRICE_DEC, RATE_DEC, davg, dec, dsum, sql_davg, sql_dsum
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (scan → filter → project-expr →
+# partial/final hash agg → sort).  SURVEY.md §7 step 1.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {sql_dsum('l_quantity')} AS sum_qty,
+      {sql_dsum('l_extendedprice')} AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+           AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+           AS DOUBLE) AS sum_charge,
+      {sql_davg('l_quantity')} AS avg_qty,
+      {sql_davg('l_extendedprice')} AS avg_price,
+      {sql_davg('l_discount', 'DECIMAL(3,2)')} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(RATE_DEC)
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount", RATE_DEC))
+    charge = disc_price * (one + dec("l_tax", RATE_DEC))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", RATE_DEC).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (§2.D)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_top_unshipped_orders",
+    oracle="""
+    SELECT
+      l_orderkey,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+           AS DOUBLE) AS revenue,
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact shuffle join + broadcast dim filter + agg + top-k.
+
+    ``customer`` is tiny relative to the facts → broadcast; the
+    orders⋈lineitem equi-join shuffles on the order key (at 100 TB both
+    facts would be bucketed by orderkey to make this co-located).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    one = F.lit(1).cast(RATE_DEC)
+    revenue = dec("l_extendedprice") * (one - dec("l_discount", RATE_DEC))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT
+      n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+           AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table star join: every dimension is broadcast, so the only
+    shuffle is the lineitem⋈orders fact join + the final aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    one = F.lit(1).cast(RATE_DEC)
+    revenue = dec("l_extendedprice") * (one - dec("l_discount", RATE_DEC))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "join_semi_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_quantity > 45
+    )
+    """,
+)
+def join_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (Dask ``isin`` idiom → Spark-native ``left_semi``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "join_anti_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "join_left_order_counts",
+    oracle=f"""
+    SELECT
+      c_custkey,
+      c_name,
+      COUNT(o_orderkey) AS n_orders,
+      {sql_dsum('o_totalprice')} AS total_spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving unmatched customers (count=0, sum NULL)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_cross_nation_region",
+    oracle="""
+    SELECT n_name, r_name
+    FROM nation CROSS JOIN region
+    """,
+)
+def join_cross_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (Dask merge-on-constant idiom → ``crossJoin``)."""
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    return nation.crossJoin(F.broadcast(region))
+
+
+@query(
+    "join_range_theta",
+    oracle="""
+    SELECT o_orderkey, p_partkey
+    FROM orders JOIN part
+      ON o_totalprice BETWEEN p_retailprice * 100 AND p_retailprice * 100 + 500
+    WHERE o_orderkey <= 100
+    """,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join → broadcast nested-loop on the small
+    side.  At scale this family needs binning/interval-join rewrites; the
+    library form lives in ``operators.asof`` for the ordered case."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    part = load_table(spark, sf_dir, "part")
+    cond = (orders.o_totalprice >= part.p_retailprice * 100) & (
+        orders.o_totalprice <= part.p_retailprice * 100 + 500
+    )
+    return orders.join(F.broadcast(part), cond).select("o_orderkey", "p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections / row ops (§2.C)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_project_lineitem",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_quantity,
+      CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+           AS DOUBLE) AS net_price,
+      CASE WHEN l_quantity >= 30 THEN 'bulk' ELSE 'small' END AS order_size
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND l_discount > 0.02
+      AND l_quantity <> 25
+    """,
+)
+def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate surface: isin / between / comparison / inequality, plus
+    computed projection and conditional — all pushed to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(RATE_DEC)
+    net = dec("l_extendedprice") * (one - dec("l_discount", RATE_DEC))
+    return (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1997-12-31").cast("timestamp"),
+            )
+        )
+        .filter(F.col("l_discount") > 0.02)
+        .filter(F.col("l_quantity") != 25)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            net.cast("double").alias("net_price"),
+            F.when(F.col("l_quantity") >= 30, "bulk")
+            .otherwise("small")
+            .alias("order_size"),
+        )
+    )
+
+
+@query(
+    "sample_systematic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE (l_orderkey * 2654435761 + l_linenumber) % 20 = 3
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample (hash-mod on key).  The
+    probabilistic ``df.sample(fraction=)`` is exercised in tests; this is
+    the reproducible variant an ML pipeline should use for splits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (F.col("l_orderkey") * F.lit(2654435761) + F.col("l_linenumber")) % 20
+    return li.filter(h == 3).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(*) AS n_rows,
+      COUNT(CASE WHEN l_discount = 0 THEN 1 END) AS n_zero_disc,
+      CAST(SUM(COALESCE(CAST(NULLIF(l_discount, 0.0) AS DECIMAL(3,2)), CAST(-1 AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null surface: nullif / coalesce / fillna (Dask ``fillna``/``dropna``
+    → ``df.na.*`` / ``F.coalesce``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_n = F.nullif(F.col("l_discount"), F.lit(0.0)).cast(RATE_DEC)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_zero_disc"),
+        F.sum(F.coalesce(disc_n, F.lit(-1).cast(RATE_DEC)))
+        .cast("double")
+        .alias("sum_disc_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.E)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_global_stats",
+    oracle=f"""
+    SELECT
+      COUNT(*) AS n_rows,
+      COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      MIN(l_shipdate) AS first_ship,
+      MAX(l_shipdate) AS last_ship,
+      {sql_dsum('l_quantity')} AS total_qty,
+      {sql_davg('l_extendedprice')} AS avg_price,
+      MIN(l_extendedprice) AS min_price,
+      MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+)
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global reductions incl. exact distinct counts (Dask
+    ``sum/mean/min/max/nunique`` → one pass of Spark partial+final agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        dsum("l_quantity").alias("total_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*) AS n_rows,
+      {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping-sets rollup (absent in Dask — Spark-native
+    extension, SURVEY.md §2.E last row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "value_counts_events",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Series.value_counts`` equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_corr_stats",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+      ROUND(STDDEV_SAMP(l_discount), 6) AS disc_std,
+      ROUND(VAR_SAMP(l_tax), 6) AS tax_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise/statistical moments (Dask ``corr/cov/std/var``), rounded to
+    absorb accumulation-order noise in the float moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("disc_std"),
+        F.round(F.var_samp("l_tax"), 6).alias("tax_var"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / dedup / set ops (§2.F)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nlargest`` → Catalyst TakeOrderedAndProject (per-partition top-k
+    + merge; no full sort, no full shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).limit(15)
+
+
+@query(
+    "dedup_keep_first",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ``drop_duplicates(subset=, keep='first')``: unlike raw
+    ``dropDuplicates`` (arbitrary survivor), keep the earliest row per key
+    with a total tie-break — the semantics a reproducible pipeline needs."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "distinct_pairs",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    ordered = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return rich.intersect(ordered)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    ordered = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return rich.exceptAll(ordered).distinct()
+
+
+@query(
+    "concat_union",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey AS key, 'big' AS bucket, o_totalprice AS price
+      FROM orders WHERE o_totalprice > 300000
+      UNION ALL
+      SELECT o_orderkey AS key, 'tiny' AS bucket, o_totalprice AS price
+      FROM orders WHERE o_totalprice < 5000
+    )
+    """,
+)
+def concat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dd.concat(axis=0)`` → ``unionByName``."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("big").alias("bucket"),
+        F.col("o_totalprice").alias("price"),
+    )
+    tiny = orders.filter(F.col("o_totalprice") < 5000).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("tiny").alias("bucket"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return big.unionByName(tiny)
+
+
+# ---------------------------------------------------------------------------
+# Reference smoke parity (BASELINE.md invariant 1):
+# dask.delayed(sum)(range(1000)).compute() == 499500
+# (/root/reference/example/test.py:23) re-expressed declaratively.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "smoke_delayed_sum",
+    oracle="""
+    SELECT CAST(SUM(r) AS BIGINT) AS total FROM range(1000) t(r)
+    """,
+)
+def smoke_delayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(1000).agg(F.sum("id").cast("bigint").alias("total"))

@@ -1,0 +1,95 @@
+"""SparkSession factory — local/cluster transparency.
+
+The reference's core contract is that the same user script runs unmodified
+on local threads or on a cluster, with all cluster detail living outside
+user code (``/root/reference/example/test.py:5-13``,
+``/root/reference/README.md:25-29``).  Here that contract is: user code
+receives a :class:`~pyspark.sql.SparkSession`; this factory decides master
+and configuration.  ``master`` resolution order: explicit argument →
+``SPARK_GRAFT_MASTER`` env var → ``local[N]`` with N from
+``SPARK_GRAFT_CPUS`` (default ``local[*]``).
+
+Defaults are tuned for analytics at scale:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic
+  broadcast) — the Spark analog of Dask's dynamic work stealing
+  (SURVEY.md §4.2).
+- Arrow on for pandas interchange / Pandas UDFs.
+- UTC session timezone so timestamp semantics match the parquet sources
+  and the DuckDB oracle.
+- ``spark.sql.shuffle.partitions`` sized to core count locally; on a real
+  cluster AQE coalescing makes an over-provisioned value cheap, so we set
+  a large initial partition number and let AQE shrink it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 4
+
+
+def default_conf(parallelism: int | None = None) -> dict[str, str]:
+    """Engine default Spark conf (documented in BASELINE.md bench config)."""
+    p = parallelism or _default_parallelism()
+    return {
+        # --- optimizer / runtime re-planning ---
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # --- shuffle sizing: start near core count locally; AQE coalesces
+        "spark.sql.shuffle.partitions": str(max(p, 8)),
+        "spark.default.parallelism": str(max(p, 8)),
+        # --- python interchange ---
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # --- deterministic timestamp semantics (matches DuckDB oracle) ---
+        "spark.sql.session.timeZone": "UTC",
+        # --- scan sizing for 100TB-parquet workloads ---
+        "spark.sql.files.maxPartitionBytes": "128m",
+        "spark.sql.parquet.filterPushdown": "true",
+        # quieter local runs
+        "spark.ui.enabled": "false",
+    }
+
+
+def get_session(
+    app_name: str = "spark-graft",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Mirrors ``SSHDockerCluster`` + default-``Client`` registration
+    (``/root/reference/dask_ssh_docker/__init__.py:305-420``,
+    ``bin/dask-ssh-docker:77-78``): after this call, user code just uses
+    the session — it never constructs cluster details itself.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
+        f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+        if os.environ.get("SPARK_GRAFT_CPUS")
+        else "local[*]"
+    )
+    builder = SparkSession.builder.appName(app_name).master(master)
+    merged = default_conf()
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,166 @@
+"""Sources & sinks (SURVEY.md §2.B).
+
+The Dask collection API reachable through the reference
+(``dd.read_parquet/read_csv/read_json/read_orc/read_sql_table``,
+``to_parquet/...`` — [Dask public API], anchored at
+``/root/reference/dask_ssh_docker/__init__.py:307``) maps 1:1 onto Spark's
+built-in readers.  These wrappers keep that mapping explicit, set
+scale-friendly defaults, and add the test-table loader used by the whole
+query suite.
+
+Scale notes: ``spark.read.parquet`` gives column pruning + predicate
+pushdown for free — the query layer relies on it (assertions in
+:mod:`..plans`).  Readers accept glob paths and any Hadoop-FS scheme
+(s3a://, gs://, hdfs://) exactly like fsspec paths in Dask.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables of the driver-provided star schema (TESTDATA.md / FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    where: str | None = None,
+) -> DataFrame:
+    """``dd.read_parquet(path, columns=, filters=)`` equivalent.
+
+    ``columns`` → projection pruning, ``where`` (SQL boolean expr) →
+    predicate pushdown; both reach the parquet scan via Catalyst.
+    """
+    df = spark.read.parquet(path)
+    if where:
+        df = df.filter(where)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    sep: str = ",",
+    schema: str | None = None,
+    infer_schema: bool = True,
+) -> DataFrame:
+    """``dd.read_csv`` equivalent. Prefer an explicit ``schema`` at scale —
+    schema inference is an extra full pass over the data."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", infer_schema)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """``dd.read_json`` equivalent (JSON-lines)."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """``dd.read_orc`` equivalent."""
+    return spark.read.orc(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """``dd.read_sql_table`` equivalent. Pass partition bounds for a
+    parallel read — a single-partition JDBC scan does not scale."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def from_pandas(spark: SparkSession, pdf, schema=None) -> DataFrame:
+    """``dd.from_pandas`` equivalent (Arrow-accelerated)."""
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    """``dd.to_parquet`` equivalent."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True):
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite"):
+    df.write.mode(mode).json(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table (TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects by default; we read it as raw nanos
+    (``spark.sql.legacy.parquet.nanosAsLong`` — runtime SQL conf, set here
+    defensively because the driver supplies its own session) and convert
+    losslessly to microsecond TimestampType with integer division (the
+    testdata has zero sub-microsecond components).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the star schema; also registers each as a temp view so the
+    SQL surface (``spark.sql``) sees the same catalog as the oracle."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
