@@ -22,6 +22,8 @@ from .registry import REGISTRY, QuerySpec, query  # noqa: F401
 
 # Import for registration side effects — each module registers its queries.
 from . import relational  # noqa: E402,F401
+from . import scalar_funcs  # noqa: E402,F401
+from . import windows  # noqa: E402,F401
 
 
 def spark_queries():

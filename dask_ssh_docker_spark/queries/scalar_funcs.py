@@ -1,0 +1,311 @@
+"""Scalar function surface (SURVEY.md §2.G): string / datetime / math /
+conditional / array higher-order / JSON-map functions.
+
+Dask exposes these as pandas Series accessors per partition ([Dask public
+API], anchor ``/root/reference/dask_ssh_docker/__init__.py:307``); here each
+family runs JVM-side through built-in ``pyspark.sql.functions`` so the whole
+projection stays inside WholeStageCodegen — no Python in the hot path.
+
+Oracle notes: every expression is written against the function pair that has
+identical semantics in Spark SQL and DuckDB (e.g. Spark ``weekday`` =
+DuckDB ``isodow - 1``; float functions rounded to absorb the last ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Strings (§2.G string accessor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "str_functions",
+    oracle="""
+    SELECT
+      c_custkey,
+      lower(c_name)                                   AS name_lower,
+      upper(c_mktsegment)                             AS seg_upper,
+      length(c_name)                                  AS name_len,
+      substring(c_name, 10, 9)                        AS cust_num,
+      CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS cust_num_int,
+      replace(c_name, 'Customer#', 'C-')              AS name_replaced,
+      concat_ws('|', c_mktsegment, c_name)            AS seg_name,
+      contains(c_name, '00042')                       AS has_42,
+      starts_with(c_mktsegment, 'BUI')                AS is_building,
+      lpad(CAST(c_custkey AS VARCHAR), 8, '0')        AS key_padded,
+      trim('  ' || c_mktsegment || ' ')               AS seg_trimmed
+    FROM customer
+    """,
+)
+def str_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`.str.*` accessor surface → built-in string functions."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 10, 9).alias("cust_num"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("bigint").alias("cust_num_int"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias("name_replaced"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.contains(F.col("c_name"), F.lit("00042")).alias("has_42"),
+        F.startswith(F.col("c_mktsegment"), F.lit("BUI")).alias("is_building"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trimmed"),
+    )
+
+
+@query(
+    "str_split_explode",
+    oracle="""
+    SELECT p_partkey, word, word_pos
+    FROM (
+      SELECT p_partkey,
+             unnest(string_split(p_name, ' ')) AS word,
+             unnest(generate_series(1, len(string_split(p_name, ' ')))) AS word_pos
+      FROM part
+    )
+    """,
+)
+def str_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.str.split`` + explode-to-rows (one row per token, with position)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ")).alias("pos0", "word"),
+    ).select(
+        "p_partkey",
+        "word",
+        (F.col("pos0") + 1).cast("bigint").alias("word_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Datetime (§2.G dt accessor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT
+      o_orderkey,
+      year(o_orderdate)                              AS yr,
+      month(o_orderdate)                             AS mo,
+      day(o_orderdate)                               AS dom,
+      isodow(o_orderdate) - 1                        AS weekday_mon0,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      strftime(o_orderdate, '%Y-%m')                 AS ym,
+      CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+      datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
+      CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)   AS order_day
+    FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`.dt.*` accessor surface → built-in datetime functions.
+
+    Weekday uses Monday=0 (pandas convention) = Spark ``weekday`` =
+    DuckDB ``isodow - 1``.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.weekday("o_orderdate").alias("weekday_mon0"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+        F.to_date("o_orderdate").cast("timestamp").alias("order_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math + conditional (§2.G math / np.where idiom)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      abs(l_discount - 0.05)                    AS disc_dev,
+      round(l_extendedprice / 1000, 2)          AS price_k,
+      CAST(floor(l_quantity / 10) AS BIGINT)    AS qty_decile,
+      CAST(ceil(l_tax * 100) AS BIGINT)         AS tax_pct_ceil,
+      round(sqrt(l_extendedprice), 6)           AS price_sqrt,
+      round(ln(l_extendedprice + 1), 6)         AS price_ln,
+      round(pow(1.0 + l_discount, 2), 6)        AS disc_compound,
+      round(sin(l_quantity), 6)                 AS qty_sin,
+      CASE WHEN l_discount > 0.05 THEN 'high'
+           WHEN l_discount > 0.02 THEN 'mid'
+           ELSE 'low' END                       AS disc_band,
+      greatest(l_quantity, 25.0)                AS qty_floor25,
+      least(l_tax, 0.04)                        AS tax_cap4
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy-ufunc-on-column surface → JVM math functions (rounded where
+    the function is transcendental so the last ulp can't diverge)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.col("l_extendedprice") / 1000, 2).alias("price_k"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 6).alias("disc_compound"),
+        F.round(F.sin("l_quantity"), 6).alias("qty_sin"),
+        F.when(F.col("l_discount") > 0.05, "high")
+        .when(F.col("l_discount") > 0.02, "mid")
+        .otherwise("low")
+        .alias("disc_band"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_floor25"),
+        F.least(F.col("l_tax"), F.lit(0.04)).alias("tax_cap4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON / map (§2.G map/json; events.props)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string column (``events.props``) → typed extraction +
+    aggregation.  ``from_json``/``get_json_object`` are the Spark side of
+    the Dask dict-in-object-column idiom."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "json_map_schema",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 95
+    """,
+)
+def json_map_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_json`` with an explicit schema → struct field access with a
+    pushable predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return (
+        ev.withColumn("p", parsed)
+        .select("event_id", F.col("p.k").alias("k_typed"))
+        .filter(F.col("k_typed") >= 95)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array higher-order functions (§2.G array)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "array_higher_order",
+    oracle="""
+    SELECT
+      p_partkey,
+      words,
+      len(words)                                        AS n_words,
+      list_transform(words, w -> upper(w))              AS words_upper,
+      list_filter(words, w -> length(w) > 4)            AS long_words,
+      array_contains(words, 'red')                      AS has_red,
+      CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS BIGINT)
+                                                        AS total_chars,
+      list_sort(list_distinct(words))                   AS uniq_sorted
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    """,
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayType + higher-order functions (transform/filter/aggregate) —
+    richer than the Dask object-column equivalent, all JVM-side."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select("p_partkey", words.alias("words")).select(
+        "p_partkey",
+        "words",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.transform("words", lambda w: F.upper(w)).alias("words_upper"),
+        F.filter("words", lambda w: F.length(w) > 4).alias("long_words"),
+        F.array_contains("words", "red").alias("has_red"),
+        F.aggregate(
+            F.transform("words", lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_sort(F.array_distinct("words")).alias("uniq_sorted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Casting surface (§2.C astype)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cast_surface",
+    oracle="""
+    SELECT
+      l_orderkey,
+      CAST(l_quantity AS INTEGER)        AS qty_int,
+      CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+      CAST(l_linenumber AS VARCHAR)      AS line_str,
+      CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_day,
+      CAST(l_quantity > 25 AS BOOLEAN)   AS is_bulk
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    """,
+)
+def cast_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``astype`` → ``cast`` across the numeric/string/date/bool lattice."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
+        F.col("l_linenumber").cast("string").alias("line_str"),
+        F.col("l_shipdate").cast("date").cast("timestamp").alias("ship_day"),
+        (F.col("l_quantity") > 25).alias("is_bulk"),
+    )

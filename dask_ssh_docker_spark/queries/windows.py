@@ -1,0 +1,369 @@
+"""Window functions & time-series ops (SURVEY.md §2.I, §2.H batch windows).
+
+Dask's ``rolling`` / ``resample`` / ``shift`` / ``groupby.cumcount`` surface
+([Dask public API]) → Spark window frames and ``F.window`` /
+``session_window`` event-time buckets.  All ordering keys include a unique
+tiebreak (``event_id``/``o_orderkey``) so every frame is a deterministic row
+set; measure sums run in exact decimal (see ``_util``) so accumulation order
+can't flip bits.
+
+Scale notes: every window here partitions by a key (user_id / custkey), so
+state is distributed across the shuffle — no global-ordering window without a
+partition key appears in the hot path (a single-partition window is the
+classic 100 TB anti-pattern).  Event-time bucketing (``F.window``,
+``session_window``) is the same construct Structured Streaming uses, so the
+batch queries in this module promote to the streaming module unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+VAL_DEC = "decimal(18,6)"  # events.value ~ U[0,100); exact to 6dp
+
+
+# ---------------------------------------------------------------------------
+# Ranking (§2.I rank/row-number)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_totalprice,
+      ROW_NUMBER()  OVER w AS rn,
+      RANK()        OVER w AS rnk,
+      DENSE_RANK()  OVER w AS drnk,
+      NTILE(4)      OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank/ntile per customer (groupby.cumcount and
+    ranking idioms)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shift / diff (§2.I lag/lead)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      ts,
+      LAG(value)  OVER w AS prev_value,
+      LEAD(value) OVER w AS next_value,
+      CAST(CAST(value AS DECIMAL(18,6)) - CAST(LAG(value) OVER w AS DECIMAL(18,6))
+           AS DOUBLE) AS value_diff,
+      (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) // 1000 AS ms_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``shift``/``diff`` per user: lag/lead + elapsed time since previous
+    event (unique event_id tiebreak keeps the frame deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        prev_v.alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value").cast(VAL_DEC) - prev_v.cast(VAL_DEC))
+        .cast("double")
+        .alias("value_diff"),
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1000
+        ).cast("bigint").alias("ms_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative scan (§2.E cumsum family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_cumsum",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS running_total,
+      COUNT(*) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS event_seq
+    FROM events
+    """,
+)
+def window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cumsum`` / running count per key (exact decimal accumulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(VAL_DEC)).over(w).cast("double").alias("running_total"),
+        F.count("*").over(w).alias("event_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling windows — row-count frame and time-range frame (§2.I rolling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rolling_rows",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS DOUBLE) AS rolling_avg5,
+      MAX(value) OVER w AS rolling_max5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rolling(5).mean/max`` — row-count frame; mean = decimal-sum/count
+    so both engines do the identical single IEEE division."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum(F.col("value").cast(VAL_DEC)).over(w).cast("double") / F.count("*").over(w))
+        .alias("rolling_avg5"),
+        F.max("value").over(w).alias("rolling_max5"),
+    )
+
+
+@query(
+    "window_rolling_range_1h",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
+      COUNT(*) OVER w AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rolling('1h')`` — time-range frame over epoch **microseconds** (both
+    engines frame on the same integer axis; whole seconds would silently
+    truncate sub-second timestamps)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(VAL_DEC)).over(w).cast("double").alias("sum_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resample / event-time buckets (§2.I resample; §2.H batch windows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "resample_hourly",
+    oracle="""
+    SELECT
+      CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS DOUBLE)
+        AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``resample('1h').agg`` → tumbling event-time window.  Uses
+    ``F.window`` (not date_trunc) deliberately: the identical construct runs
+    under Structured Streaming with a watermark (streaming module)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(VAL_DEC)).cast("double").alias("sum_value"),
+            (F.sum(F.col("value").cast(VAL_DEC)).cast("double") / F.count("value"))
+            .alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_30m",
+    oracle="""
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT unnest([
+               time_bucket(INTERVAL 30 MINUTE, ts),
+               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+             ]) AS window_start,
+             value
+      FROM events
+    )
+    GROUP BY window_start
+    """,
+)
+def sliding_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h window every 30min (each event lands in 2 overlapping
+    windows) — streaming-grade construct, checked in batch."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(VAL_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "sessionize_10m",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 10 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def sessionize_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 10-minute inactivity gap via
+    ``session_window`` (Spark-native; the oracle is the classic
+    gaps-and-islands rewrite).  ``session_window.end`` = last event + gap.
+    Same construct powers streaming sessionization with watermarks."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(VAL_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward-fill (§2.C fillna(method='ffill') — needs a window in Spark)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_forward_fill",
+    oracle="""
+    SELECT user_id, event_id,
+           LAST_VALUE(big_val IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_val
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN value >= 50 THEN value END AS big_val
+      FROM events
+    )
+    """,
+)
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``ffill`` re-expressed: last non-null over an ordered frame
+    (values <50 masked to NULL, then forward-filled per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    big = F.when(F.col("value") >= 50, F.col("value"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last(big, ignorenulls=True).over(w).alias("filled_val"),
+    )

@@ -28,6 +28,8 @@ TABLES = (
 
 
 def norm_cell(v):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if v is None or v != v:  # NaN/None normalize
         return "∅"
     if isinstance(v, float):
@@ -36,6 +38,8 @@ def norm_cell(v):
         return f"{v:.6g}" if abs(v) > 1e14 else f"{v:.6f}"
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
+    if type(v).__name__ == "date":  # datetime.date ≡ midnight timestamp
+        return pd.Timestamp(v).isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
@@ -94,8 +98,6 @@ def main() -> int:
             hs, ho = frame_hash(sdf), frame_hash(odf)
             if hs != ho:
                 problems.append(f"hash {hs} != {ho}")
-                # show first diff for debugging
-                a = sdf[sorted(sdf.columns)].applymap(norm_cell) if hasattr(sdf, "applymap") else None
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}  [{dt:.1f}s]")
