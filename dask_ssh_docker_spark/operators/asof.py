@@ -1,0 +1,164 @@
+"""As-of (nearest) join — ``dd.merge_asof`` equivalent (SURVEY.md §2.D).
+
+The Dask surface reachable through the reference exposes
+``dd.merge_asof(left, right, on=, by=, direction=, tolerance=,
+allow_exact_matches=)`` [Dask public API, anchor
+``/root/reference/dask_ssh_docker/__init__.py:307``].  Spark has no
+built-in; a naive range-join + rank explodes (every left row pairs with all
+earlier right rows before ranking).  We use the **union + ordered-window
+fill** rewrite instead:
+
+1. tag rows ``side=0`` (right) / ``side=1`` (left) and union them on the
+   shared ``(by, on)`` axis, right's payload packed into ONE struct column
+   (so the fill is a single window expression, not one per column);
+2. one shuffle: window ``partitionBy(by).orderBy(on, side, tiebreak)``;
+   ``last(payload, ignorenulls=True)`` fills each left row with the most
+   recent right payload at-or-before it (backward);
+3. keep left rows; optionally null out fills outside ``tolerance``.
+
+Cost at scale: exactly one shuffle of |L|+|R| rows keyed by ``by`` — the
+same cost as a co-partitioned join, with per-key sorted state never
+materializing candidate pairs.  Skewed ``by`` keys are handled by AQE skew
+splitting only at shuffle; a pathological single-key dataset degrades to a
+single-partition sort (documented limitation, same as Dask's).
+
+Direction semantics (pandas-compatible):
+- ``backward``: greatest right ``on`` <= left ``on``   (ties: exact match
+  allowed unless ``allow_exact_matches=False``)
+- ``forward``:  smallest right ``on`` >= left ``on``
+- ``nearest``:  closer of the two; equidistant → backward wins.
+
+Among duplicate right keys at the same ``on`` value the row latest in
+``tiebreak`` order wins (pass a unique right column for determinism —
+pandas keeps the last occurrence in input order, which is not a
+distributed-friendly contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_list(x) -> list[str]:
+    if x is None:
+        return []
+    if isinstance(x, str):
+        return [x]
+    return list(x)
+
+
+def merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | int | float | None = None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_right",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join ``left`` with ``right`` on ordered column ``on`` within
+    optional ``by`` groups.  Returns all left rows + right payload columns
+    (suffixed on name clash) + ``<on><suffix>`` (the matched right ``on``,
+    null when unmatched).
+
+    ``tolerance``: max allowed |left.on - right.on| — an interval-literal
+    Column for timestamps (e.g. ``F.expr("INTERVAL 5 MINUTES")``) or a
+    number for numeric ``on``; matches farther than that are nulled.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
+    by_cols = _as_list(by)
+
+    left_cols = left.columns
+    payload_cols = [c for c in right.columns if c != on and c not in by_cols]
+    out_names = {
+        c: (c + suffix if c in left_cols else c) for c in payload_cols
+    }
+    matched_on = on + suffix
+
+    # --- unified frame: left rows carry their payload, right rows carry
+    # (by, on, packed struct).  side: right=0 sorts before left=1 at equal
+    # `on` => exact matches visible to `last(...)` fills.
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    r_struct = F.struct(
+        F.col(on).alias("__on"), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    r_side = right.select(
+        *[F.col(c) for c in by_cols],
+        F.col(on).alias("__ord"),
+        F.lit(0).alias("__side"),
+        tb.alias("__tb"),
+        r_struct.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols
+          if c not in by_cols and c != on],
+    )
+    l_side = left.select(
+        *[F.col(c) for c in by_cols],
+        F.col(on).alias("__ord"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_side.schema["__tb"].dataType).alias("__tb"),
+        F.lit(None).cast(r_side.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in left_cols if c not in by_cols and c != on],
+    )
+    unioned = r_side.unionByName(l_side)
+
+    part = Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
+
+    def fill(backward: bool, exact_ok: bool) -> Column:
+        # backward: right-before-left at equal ts iff exact matches allowed.
+        side_order = F.asc("__side") if exact_ok else F.desc("__side")
+        if backward:
+            w = part.orderBy(F.asc("__ord"), side_order, F.asc_nulls_first("__tb"))
+        else:
+            w = part.orderBy(F.desc("__ord"), side_order, F.desc_nulls_first("__tb"))
+        return F.last("__payload", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    if direction == "backward":
+        filled = fill(True, allow_exact_matches)
+    elif direction == "forward":
+        filled = fill(False, allow_exact_matches)
+    else:  # nearest: evaluate both fills, pick closer (tie -> backward)
+        b, f_ = fill(True, allow_exact_matches), fill(False, allow_exact_matches)
+        is_ts = str(left.schema[on].dataType).startswith("Timestamp")
+
+        def num(c: Column) -> Column:
+            # exact integer distance axis: micros for timestamps (a double
+            # of epoch seconds has only ~16 sig digits — too coarse)
+            return F.unix_micros(c) if is_ts else c.cast("double")
+
+        dist_b = F.abs(num(F.col("__ord")) - num(b["__on"]))
+        dist_f = F.abs(num(f_["__on"]) - num(F.col("__ord")))
+        filled = (
+            F.when(b.isNull(), f_)
+            .when(f_.isNull(), b)
+            .when(dist_f < dist_b, f_)
+            .otherwise(b)
+        )
+
+    out = (
+        unioned.withColumn("__fill", filled)
+        .filter(F.col("__side") == 1)
+    )
+
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        lo, ro = F.col("__ord"), F.col("__fill")["__on"]
+        dist = F.when(lo >= ro, lo - ro).otherwise(ro - lo)
+        out = out.withColumn(
+            "__fill", F.when(dist <= tol, F.col("__fill"))
+        )
+
+    return out.select(
+        *[F.col(c) for c in by_cols],
+        F.col("__ord").alias(on),
+        *[F.col(c) for c in left_cols if c not in by_cols and c != on],
+        F.col("__fill")["__on"].alias(matched_on),
+        *[F.col("__fill")[c].alias(out_names[c]) for c in payload_cols],
+    )

@@ -24,6 +24,7 @@ from .registry import REGISTRY, QuerySpec, query  # noqa: F401
 from . import relational  # noqa: E402,F401
 from . import scalar_funcs  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
+from . import asof  # noqa: E402,F401
 
 
 def spark_queries():
