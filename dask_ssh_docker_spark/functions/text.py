@@ -1,0 +1,158 @@
+"""Text analysis columns (SURVEY.md §2.H): tokenization, quality scoring,
+language-ID heuristic, fingerprinting.
+
+The Dask equivalent would be pandas ``.str`` / ``.apply`` per partition
+[Dask public API]; here every function is a JVM expression (split /
+regexp / higher-order array functions), so a 100 TB documents scan never
+crosses the Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword lang-ID heuristic.
+# Priority order breaks score ties deterministically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ist"),
+    "zh": ("的", "了", "是", "我", "在", "他", "有", "这", "不", "人"),
+}
+LANG_PRIORITY = ("en", "es", "fr", "de", "zh")
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ("was", "on", "as", "with", "be", "at", "by")
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Canonical form for hashing/dedup: lowercase, trim, collapse
+    whitespace runs."""
+    return F.regexp_replace(F.trim(F.lower(_col(c))), r"\s+", " ")
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (ArrayType(String))."""
+    return F.split(normalize_text(c), " ")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c)).cast("bigint")
+
+
+def word_token_count(c: Column | str) -> Column:
+    """BPE-ish token count: word pieces + digit runs + single punctuation
+    (regex approximation of a subword tokenizer's unit count)."""
+    return F.size(
+        F.regexp_extract_all(_col(c), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    ).cast("bigint")
+
+
+def avg_token_length(c: Column | str) -> Column:
+    t = tokens(c)
+    total = F.aggregate(
+        F.transform(t, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.nullif(F.size(t).cast("double"), F.lit(0.0))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Non-alphanumeric, non-space chars / total chars."""
+    s = _col(c)
+    n_punct = F.length(s) - F.length(F.regexp_replace(s, r"[^A-Za-z0-9\s]", ""))
+    return n_punct.cast("double") / F.nullif(F.length(s).cast("double"), F.lit(0.0))
+
+
+def stopword_ratio(c: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    t = tokens(c)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_sw = F.size(F.filter(t, lambda w: F.array_contains(sw, w)))
+    return n_sw.cast("double") / F.nullif(F.size(t).cast("double"), F.lit(0.0))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite [0,1] quality heuristic for training-data filtering:
+    rewards mid-length docs, some stopwords, low punctuation noise.
+    Deterministic closed form — identical in the SQL oracle."""
+    n = token_count(c).cast("double")
+    len_score = F.least(n / 100.0, F.lit(1.0))  # saturates at 100 tokens
+    sw = stopword_ratio(c)
+    sw_score = F.least(sw * 5.0, F.lit(1.0))  # saturates at 20% stopwords
+    p = punct_ratio(c)
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - p * 4.0)
+    return F.round((len_score + sw_score + punct_score) / 3.0, 6)
+
+
+def lang_scores(c: Column | str) -> dict[str, Column]:
+    """Marker-stopword hit count per language."""
+    t = tokens(c)
+    out = {}
+    for lang in LANG_PRIORITY:
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        out[lang] = F.size(F.filter(t, lambda w: F.array_contains(markers, w)))
+    return out
+
+
+def lang_id(c: Column | str) -> Column:
+    """argmax of marker scores: the first language in LANG_PRIORITY order
+    whose score is >= every other score (so ties resolve by priority);
+    'und' when no marker hits at all.  Mirrors 1:1 to a SQL CASE chain."""
+    scores = lang_scores(c)
+    all_zero = None
+    for lang in LANG_PRIORITY:
+        z = scores[lang] == 0
+        all_zero = z if all_zero is None else (all_zero & z)
+    result = None
+    for lang in LANG_PRIORITY:
+        cond = None
+        for o in LANG_PRIORITY:
+            if o == lang:
+                continue
+            ge = scores[lang] >= scores[o]
+            cond = ge if cond is None else (cond & ge)
+        result = F.when(cond, F.lit(lang)) if result is None else result.when(cond, F.lit(lang))
+    return F.when(all_zero, F.lit("und")).otherwise(result.otherwise(F.lit("und")))
+
+
+def md5_fingerprint(c: Column | str) -> Column:
+    """Content fingerprint of the normalized text (md5 — identical
+    function exists in DuckDB, so exact-dedup stays oracle-checkable)."""
+    return F.md5(normalize_text(c))
+
+
+def char_shingles(c: Column | str, k: int = 5) -> Column:
+    """Character k-shingles of the normalized text (1-based substring)."""
+    s = normalize_text(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1))),
+        lambda i: s.substr(i, F.lit(k)),
+    )
+
+
+def word_shingles(c: Column | str, k: int = 3) -> Column:
+    """Word k-shingles (k-grams of whitespace tokens), distinct.
+
+    Empty/short docs yield a single shingle of the whole doc so they still
+    participate in Jaccard comparisons.
+    """
+    t = tokens(c)
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), n - k)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    # short docs (< k tokens): one shingle of the whole normalized text —
+    # also keeps element_at in-bounds under ANSI mode
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array(normalize_text(c))
+    )

@@ -1,0 +1,330 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.H):
+exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
+
+Design for 100 TB:
+
+- **exact**: hash-groupBy on a 128-bit content fingerprint — one shuffle of
+  (hash, id); never shuffles document bodies.
+- **minhash_dedup**: per-doc signature (num_hashes × 64-bit mins over
+  shingle hashes, computed with higher-order functions — no Python),
+  banded LSH: only (band_idx, band_hash, doc_id) tuples shuffle, candidate
+  pairs verified with exact Jaccard *on the candidates only*.  This is the
+  standard shingle→minhash→band→bucket-join pipeline; cost is
+  O(|docs| · num_hashes) map-side + a shuffle of band keys, vs the O(n²)
+  all-pairs join of the exact variant.
+- **simhash_dedup**: 64-bit bit-vote signature; pigeonhole banding (k bands
+  of 64/k bits ⇒ hamming distance < k guarantees a shared band) then exact
+  hamming verification via xor+bit_count on candidates.
+- **jaccard_pairs**: exact shingle-join baseline (quadratic in bucket size;
+  the oracle for the approximate paths — run it at validation scale only).
+
+All candidate→cluster steps keep the *minimum id per cluster* as canonical
+(deterministic survivor).  Cluster closure uses iterated min-label
+propagation on the candidate edge set (bounded iterations; near-dup
+clusters are shallow in practice — chains longer than ``cc_iters`` hops
+collapse progressively per extra iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_fingerprint, word_shingles
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical (normalized) texts: one row per content group with
+    canonical (min) id, member count, and member ids.
+
+    Only ``(fingerprint, id)`` shuffles — bodies stay at the scan.
+    """
+    return (
+        df.select(F.col(id_col), md5_fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_members"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per identical normalized text."""
+    w = Window.partitionBy(md5_fingerprint(text_col)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    text_col: str, num_hashes: int = 32, shingle_k: int = 3
+) -> F.Column:
+    """num_hashes 64-bit min-hashes over word shingles, as an array column.
+
+    Hash family: xxhash64 with a per-function salt prefix — all JVM-side
+    (``xxhash64`` is Spark-native; a salt literal varies the function).
+    """
+    sh = word_shingles(text_col, shingle_k)
+    mins = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) — docs sharing ≥1 band bucket.
+
+    Shuffle volume: |docs| × bands rows of (band_hash, id).
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, shingle_k).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only → (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_k).alias("__sh")
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / F.nullif(union, F.lit(0.0)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def cluster_min_label(pairs: DataFrame, ids: DataFrame, cc_iters: int = 3) -> DataFrame:
+    """(id, cluster_id): connected components of the pair graph by iterated
+    min-label propagation; singletons keep their own id.  ``cc_iters``
+    rounds collapse chains up to 2^cc_iters hops — ample for near-dup
+    clusters, which are dense and shallow.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+        .union(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+    )
+    label = ids.select(F.col("id").alias("x"), F.col("id").alias("lbl"))
+    for _ in range(cc_iters):
+        neigh = (
+            edges.join(label.withColumnRenamed("x", "y2"), edges.y == F.col("y2"))
+            .groupBy("x")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        label = (
+            label.join(neigh, "x", "left")
+            .select(
+                "x",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+        )
+    return label.select(F.col("x").alias("id"), F.col("lbl").alias("cluster_id"))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bands → exact-Jaccard
+    verify → min-label clusters.  Returns (id, cluster_id, is_canonical)."""
+    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    verified = jaccard_verify(df, cands, text_col, id_col, threshold, shingle_k)
+    ids = df.select(F.col(id_col).alias("id"))
+    clusters = cluster_min_label(verified, ids)
+    return clusters.withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signature(text_col: str, bits: int = 64) -> F.Column:
+    """Bit-vote simhash over whitespace tokens (xxhash64 per token).
+
+    For each bit b: +1 if set in the token hash else -1; the sign of the
+    vote sum becomes bit b of the signature.  One SQL ``aggregate`` pass
+    over the token array with a 64-slot vote accumulator (the PySpark
+    ``shiftleft`` wrapper can't take a Column shift amount, so this lives
+    in a SQL expression where ``shiftleft(1, b)`` is fine).
+    """
+    toks = (
+        f"split(regexp_replace(trim(lower({text_col})), '\\\\s+', ' '), ' ')"
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform({toks}, t -> xxhash64(t)),
+              array_repeat(cast(0 as bigint), {bits}),
+              (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
+                (a, b) -> a + (case when (h & shiftleft(cast(1 as bigint), cast(b as int))) != 0
+                               then 1 else -1 end))
+            ),
+            sequence(0, {bits - 1}),
+            (v, b) -> case when v > 0
+                      then shiftleft(cast(1 as bigint), cast(b as int))
+                      else cast(0 as bigint) end
+          ),
+          cast(0 as bigint),
+          (acc, x) -> acc | x
+        )
+        """
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash: pigeonhole banding (hamming ≤ bands-1 ⇒
+    some 64/bands-bit band equal) then exact xor+bit_count verification."""
+    width = 64 // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash_signature(text_col).alias("sig")
+    )
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    dist = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (all-pairs baseline / oracle path)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs_exact(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """All-pairs exact Jaccard via shingle inverted index: explode distinct
+    shingles, self-join on shingle, count common, normalize by set sizes.
+    Quadratic in shingle-bucket size — the correctness baseline the
+    approximate paths are judged against (SQL-oracle-expressible)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        6,
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -25,6 +25,8 @@ from . import relational  # noqa: E402,F401
 from . import scalar_funcs  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import asof  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
 
 
 def spark_queries():

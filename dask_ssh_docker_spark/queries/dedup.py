@@ -1,0 +1,98 @@
+"""Deduplication queries on the documents table (SURVEY.md §2.H).
+
+- exact + n-gram-Jaccard paths carry full DuckDB oracles;
+- MinHash-LSH and SimHash paths hash with Spark-native ``xxhash64`` (no
+  DuckDB twin) → registered without oracle (driver rows-only check); their
+  correctness is pytest-pinned against the exact-Jaccard baseline in
+  ``tests/test_dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs_exact,
+    minhash_dedup,
+    simhash_dedup_pairs,
+)
+from ..sources import load_table
+from .registry import query
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+# word 3-shingles, distinct; short docs fall back to whole normalized text
+_SHINGLES = f"""
+  CASE WHEN len(toks) >= 3
+       THEN list_distinct(list_transform(generate_series(0, len(toks)-3),
+              i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))
+       ELSE [norm] END
+"""
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+    SELECT fp,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*)    AS n_members,
+           list_sort(list(doc_id)) AS member_ids
+    FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
+    GROUP BY fp
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash — only (hash, id) shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "text", "doc_id")
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM base
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.35
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.35) — the
+    correctness baseline for the approximate dedup paths."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.35)
+
+
+@query("dedup_minhash_clusters", oracle=None)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup clusters (shingle → 32 minhashes → 8 bands →
+    bucket join → exact-Jaccard verify ≥0.35 → min-label clusters).
+    xxhash64-based — no SQL oracle; pytest-pinned vs the exact baseline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "text", "doc_id", threshold=0.35).orderBy("id")
+
+
+@query("dedup_simhash_pairs", oracle=None)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit bit-vote signature, 4-band
+    pigeonhole, hamming ≤ 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(docs, "text", "doc_id").orderBy("id_a", "id_b")

@@ -1,0 +1,153 @@
+"""Text-analysis queries on the documents table (SURVEY.md §2.H):
+token stats, quality scoring, language-ID heuristic, fingerprinting.
+
+Every Spark expression mirrors 1:1 to the DuckDB oracle (same normalize →
+same tokens → same arithmetic); divisions happen on identical operands so
+doubles match bitwise.  NB DuckDB ``regexp_replace`` needs the explicit
+``'g'`` flag — without it only the first whitespace run collapses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    LANG_PRIORITY,
+    avg_token_length,
+    lang_id,
+    md5_fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_token_count,
+)
+from ..sources import load_table
+from .registry import query
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT
+      doc_id,
+      len(toks)                                    AS n_tokens,
+      len(list_distinct(toks))                     AS n_uniq_tokens,
+      CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+        / nullif(CAST(len(toks) AS DOUBLE), 0.0)   AS avg_token_len,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                                                   AS n_word_tokens,
+      CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+        / nullif(CAST(length(text) AS DOUBLE), 0.0) AS punct_ratio
+    FROM base
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and character stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")))
+        .cast("bigint")
+        .alias("n_uniq_tokens"),
+        avg_token_length("text").alias("avg_token_len"),
+        word_token_count("text").alias("n_word_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in
+                ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+                 "was", "on", "as", "with", "be", "at", "by"))
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    feats AS (
+      SELECT doc_id,
+        CAST(len(toks) AS DOUBLE) AS n,
+        CAST(len(list_filter(toks, t -> list_contains([{_SW}], t))) AS DOUBLE)
+          / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS sw_ratio,
+        CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+          / nullif(CAST(length(text) AS DOUBLE), 0.0) AS p_ratio
+      FROM base
+    )
+    SELECT doc_id,
+      round(sw_ratio, 6) AS stopword_ratio,
+      round((least(n / 100.0, 1.0)
+             + least(sw_ratio * 5.0, 1.0)
+             + greatest(0.0, 1.0 - p_ratio * 4.0)) / 3.0, 6) AS quality
+    FROM feats
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score for training-data filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(toks, t -> list_contains([{', '.join(repr(w) for w in LANG_MARKERS[lang])}], t)))"
+        for lang in LANG_PRIORITY
+    }
+    whens = []
+    for lang in LANG_PRIORITY:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in LANG_PRIORITY if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    scores_sql = ",\n        ".join(f"{v} AS s_{k}" for k, v in score.items())
+    zero = " AND ".join(f"s_{lang} = 0" for lang in LANG_PRIORITY)
+    return f"""
+    WITH base AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+        {scores_sql}
+      FROM base
+    )
+    SELECT doc_id, lang,
+      CASE WHEN {zero} THEN 'und'
+           {' '.join(whens)}
+           ELSE 'und' END AS lang_pred
+    FROM scored
+    """
+
+
+@query("text_langid", oracle=_lang_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (n-gram heuristic family): argmax of
+    per-language marker hits, priority order on ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM}) AS fp,
+           substring(md5({_NORM}), 1, 8) AS fp_prefix
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) — the exact-dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = md5_fingerprint("text")
+    return docs.select(
+        "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_prefix")
+    )

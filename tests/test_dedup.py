@@ -1,0 +1,111 @@
+"""Dedup operators: approximate paths (MinHash-LSH, SimHash) pinned
+against the exact-Jaccard baseline; exact dedup pinned on literal frames."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_exact_dedup_literal(spark):
+    from dask_ssh_docker_spark.operators.dedup import exact_dedup, exact_dedup_groups
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["Hello  World", "hello world", "other", "OTHER  "],
+            }
+        )
+    )
+    kept = exact_dedup(df, "text", "doc_id").toPandas().sort_values("doc_id")
+    # normalization folds case+whitespace: {1,2} and {3,4} collapse
+    assert kept["doc_id"].tolist() == [1, 3]
+    groups = exact_dedup_groups(df, "text", "doc_id").toPandas()
+    assert sorted(groups["n_members"].tolist()) == [2, 2]
+    assert sorted(groups["canonical_id"].tolist()) == [1, 3]
+
+
+def test_minhash_verified_pairs_match_exact(spark):
+    """LSH candidates are verified with exact Jaccard, so every surviving
+    pair must appear in the all-pairs baseline; recall should be high for
+    a 0.35 threshold with 32 hashes / 8 bands."""
+    from dask_ssh_docker_spark.operators.dedup import (
+        jaccard_pairs_exact,
+        jaccard_verify,
+        minhash_candidates,
+    )
+    from dask_ssh_docker_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs_exact(docs, "text", "doc_id", 0.35).collect()
+    }
+    cands = minhash_candidates(docs, "text", "doc_id")
+    approx = {
+        (r.id_a, r.id_b)
+        for r in jaccard_verify(docs, cands, "text", "doc_id", 0.35).collect()
+    }
+    assert approx <= exact  # precision 1.0 by construction (verified)
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.6, f"LSH recall too low: {recall} ({len(approx)}/{len(exact)})"
+
+
+def test_minhash_clusters_shape(spark):
+    from dask_ssh_docker_spark.operators.dedup import minhash_dedup
+    from dask_ssh_docker_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    cl = minhash_dedup(docs, "text", "doc_id", threshold=0.35).toPandas()
+    assert len(cl) == docs.count()  # every doc labeled
+    assert (cl["cluster_id"] <= cl["id"]).all()  # canonical = min id
+    canon = set(cl[cl["is_canonical"]]["id"])
+    assert set(cl["cluster_id"]) <= canon  # every cluster label is canonical
+
+
+def test_simhash_identical_and_disjoint(spark):
+    from dask_ssh_docker_spark.operators.dedup import simhash_dedup_pairs
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta",
+                    "alpha beta gamma delta epsilon zeta",  # identical -> hamming 0
+                    "completely different words entirely here now",
+                ],
+            }
+        )
+    )
+    pairs = simhash_dedup_pairs(df, "text", "doc_id").toPandas()
+    assert {(r.id_a, r.id_b) for r in pairs.itertuples()} == {(1, 2)}
+    assert pairs["hamming"].tolist() == [0]
+
+
+def test_simhash_pairs_are_textually_similar(spark):
+    """SimHash pairs on the corpus should overlap Jaccard-similar pairs
+    far above chance: every simhash pair gets its exact token-set overlap
+    checked to be non-trivial."""
+    from dask_ssh_docker_spark.operators.dedup import simhash_dedup_pairs
+    from dask_ssh_docker_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    pairs = simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=3)
+    texts = docs.select("doc_id", "text")
+    joined = (
+        pairs.join(texts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta"), "id_a")
+        .join(texts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb"), "id_b")
+        .withColumn(
+            "tok_overlap",
+            F.size(F.array_intersect(F.split("ta", " "), F.split("tb", " ")))
+            / F.size(F.array_union(F.split("ta", " "), F.split("tb", " "))),
+        )
+    )
+    rows = joined.collect()
+    assert rows, "expected some simhash pairs on the corpus"
+    assert all(r.tok_overlap > 0.3 for r in rows)
