@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (SURVEY.md §2.H).
+
+Two paths, same contract:
+
+- **brute_force_topk** — exact: broadcast the (small) query set, score every
+  corpus row map-side with JVM ``zip_with``/``aggregate`` vector math, keep
+  top-k per query with a ranking window.  Cost O(|corpus|·|Q|·dim) compute,
+  shuffle of |corpus|·|Q| scored rows.  The oracle baseline.
+- **lsh_topk** — approximate scale path: random-hyperplane (sign) LSH.
+  T tables × b hyperplane bits per vector (planes are seeded,
+  deterministic, shipped as literal arrays — no fitting step); candidates
+  share a bucket in ≥1 table, then exact re-rank on candidates only.
+  Shuffle is |rows|·T bucket tuples; tune (b, T) for the
+  recall/cost point.  At 100 TB the bucket join replaces the all-pairs
+  explosion; skewed buckets split by AQE.
+
+``embedding_neardup_pairs`` is the all-pairs exact variant (validation
+scale); ``lsh_neardup_pairs`` the bucketed variant (scale path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, l2_norm
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query row.
+
+    ``queries`` must be small (it is broadcast); rename its id/vector
+    columns to ``query_id``/``q_vec`` before the cross-score.
+    """
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.select(
+        F.col(corpus_id), F.col(vec_col).alias("__cvec")
+    ).crossJoin(F.broadcast(q))
+    sim = cosine_similarity("__qvec", "__cvec")
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, bits, dim))
+
+
+def _bucket_exprs(vec_col: str, planes: np.ndarray) -> list[F.Column]:
+    """One bucket-id Column per table: the b sign bits of plane dots."""
+    tables = []
+    for t in range(planes.shape[0]):
+        bit_terms = []
+        for b in range(planes.shape[1]):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            d = F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit_terms.append(F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        bucket = bit_terms[0]
+        for term in bit_terms[1:]:
+            bucket = bucket + term
+        tables.append(bucket.cast("int"))
+    return tables
+
+
+def lsh_bucketed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, vec, table_idx, bucket) — one row per table per input row."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits, tables, seed)
+    buckets = _bucket_exprs(vec_col, planes)
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(F.array(*buckets)).alias("table_idx", "bucket"),
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: join query and corpus rows sharing any LSH
+    bucket, exact-score only those candidates, rank per query."""
+    qb = lsh_bucketed(queries, query_id, vec_col, bits, tables, seed).select(
+        query_id, F.col(vec_col).alias("__qvec"), "table_idx", "bucket"
+    )
+    cb = lsh_bucketed(corpus, corpus_id, vec_col, bits, tables, seed).select(
+        corpus_id, F.col(vec_col).alias("__cvec"), "table_idx", "bucket"
+    )
+    cands = (
+        qb.join(cb, ["table_idx", "bucket"])
+        .select(query_id, corpus_id, "__qvec", "__cvec")
+        .distinct()
+    )
+    sim = cosine_similarity("__qvec", "__cvec")
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        cands.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup (id_a < id_b, sim ≥ threshold).
+    O(n²) — validation scale; use ``lsh_neardup_pairs`` beyond that."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = cosine_similarity("__va", "__vb")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs restricted to LSH-bucket cohabitants — the scale
+    path: |rows|·T bucket tuples shuffle instead of n² pairs."""
+    bkt = lsh_bucketed(df, id_col, vec_col, bits, tables, seed)
+    a = bkt.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        "table_idx", "bucket",
+    )
+    b = bkt.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        "table_idx", "bucket",
+    )
+    sim = cosine_similarity("__va", "__vb")
+    return (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .distinct()
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )

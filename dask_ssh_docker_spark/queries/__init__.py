@@ -27,6 +27,7 @@ from . import windows  # noqa: E402,F401
 from . import asof  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
 
 
 def spark_queries():

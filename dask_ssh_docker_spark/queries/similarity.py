@@ -1,0 +1,105 @@
+"""Similarity-search queries on the embeddings table (SURVEY.md §2.H).
+
+Exact paths (brute-force top-k, all-pairs near-dup) carry DuckDB oracles
+with the identical double-precision, in-order arithmetic; LSH paths are
+seeded-deterministic but Spark-only → rows-only driver check, pytest-pinned
+recall vs the exact baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_neardup_pairs,
+    lsh_topk,
+)
+from ..sources import load_table
+from .registry import query
+
+# manual double-precision dot/norm so DuckDB sums the same operands in the
+# same order as Spark's aggregate()
+_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+_NORM = (
+    "sqrt(list_aggregate(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_DOT.format(a='q.embedding', b='c.embedding')}
+               / ({_NORM.format(a='q.embedding')} * {_NORM.format(a='c.embedding')})
+               AS raw_sim
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, raw_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY raw_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(raw_sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for query vectors vec_id<5 over the
+    rest of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    return brute_force_topk(queries, corpus, k=10)
+
+
+@query(
+    "sim_neardup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})
+               AS raw_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(raw_sim, 6) AS sim
+    FROM p WHERE raw_sim >= 0.4
+    """,
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-duplicate pairs (cosine ≥ 0.4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.4)
+
+
+@query("sim_topk_lsh", oracle=None)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-10 (8 tables × 8 bits, seeded) — the
+    approximate scale path; recall pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    return lsh_topk(queries, corpus, k=10).orderBy("query_id", "rank")
+
+
+@query("sim_neardup_lsh", oracle=None)
+def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (scale path for sim_neardup_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")

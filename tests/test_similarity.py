@@ -1,0 +1,89 @@
+"""Similarity search: LSH approximate paths pinned against exact
+brute-force baselines; vector-math sanity on literal frames."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_cosine_literals(spark):
+    from dask_ssh_docker_spark.functions.vector import cosine_similarity, dot, l2_norm
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": [[1.0, 0.0], [1.0, 1.0], [0.0, 0.0]],
+                "b": [[0.0, 1.0], [1.0, 1.0], [1.0, 2.0]],
+            }
+        )
+    )
+    rows = df.select(
+        dot("a", "b").alias("d"),
+        l2_norm("a").alias("na"),
+        cosine_similarity("a", "b").alias("cs"),
+    ).collect()
+    assert rows[0].d == 0.0 and rows[0].cs == 0.0
+    assert math.isclose(rows[1].cs, 1.0)
+    assert rows[2].cs is None  # zero vector -> null, not div-by-zero
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    from dask_ssh_docker_spark.operators.similarity import brute_force_topk, lsh_topk
+    from dask_ssh_docker_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(queries, corpus, k=10).collect()
+    }
+    # generous probing (16 tables x 6 bits) since the corpus is isotropic
+    # random noise - the hardest case for hyperplane LSH
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in lsh_topk(queries, corpus, k=10, bits=6, tables=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall@10 = {recall}"
+
+
+def test_lsh_neardup_subset_of_exact(spark):
+    from dask_ssh_docker_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+    from dask_ssh_docker_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r.id_a, r.id_b) for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b) for r in lsh_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    assert approx <= exact  # candidates are exact-verified
+    assert len(approx) > 0
+
+
+def test_topk_rank_contract(spark):
+    from dask_ssh_docker_spark.operators.similarity import brute_force_topk
+    from dask_ssh_docker_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding")
+    out = brute_force_topk(queries, corpus, k=5).toPandas()
+    for qid, grp in out.groupby("query_id"):
+        assert grp["rank"].tolist() == [1, 2, 3, 4, 5]
+        sims = grp.sort_values("rank")["sim"].tolist()
+        assert sims == sorted(sims, reverse=True)
