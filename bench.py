@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full pipeline runs, nothing
+collected to the driver).  Headline set = one query per operator family
+(scan/agg, fact join, star join, window scan, event-time session, as-of
+join, exact dedup, minhash near-dup, text quality, vector top-k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_region_revenue",
+    "window_cumsum",
+    "resample_hourly",
+    "sessionize_10m",
+    "asof_backward",
+    "dedup_exact_groups",
+    "dedup_minhash_clusters",
+    "text_quality",
+    "sim_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from dask_ssh_docker_spark.queries import REGISTRY
+    from dask_ssh_docker_spark.session import get_session
+
+    spark = get_session("spark-graft-bench")
+
+    # JVM/codegen warm-up on a trivial job so q1 doesn't pay startup costs
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -69,20 +69,38 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(
-    text_col: str, num_hashes: int = 32, shingle_k: int = 3
-) -> F.Column:
-    """num_hashes 64-bit min-hashes over word shingles, as an array column.
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct word-shingle rows."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
+    )
 
-    Hash family: xxhash64 with a per-function salt prefix — all JVM-side
-    (``xxhash64`` is Spark-native; a salt literal varies the function).
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — num_hashes 64-bit min-hashes per doc.
+
+    Computed by exploding shingles and taking ``min`` aggregates (hash
+    family: xxhash64 with a per-function salt prefix — all JVM-side).
+    Partial aggregation happens map-side, so the shuffle carries only
+    num_hashes running minimums per doc — the idiomatic Spark shape,
+    vs recomputing nested array transforms per hash function.
     """
-    sh = word_shingles(text_col, shingle_k)
+    sh = shingle_rows(df, text_col, id_col, shingle_k)
     mins = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s))))
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return F.array(*mins)
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_candidates(
@@ -92,15 +110,17 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) — docs sharing ≥1 band bucket.
 
     Shuffle volume: |docs| × bands rows of (band_hash, id).
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, shingle_k).alias("sig"),
+    sig = (
+        sig_df
+        if sig_df is not None
+        else minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     )
     banded = sig.select(
         "id",
@@ -138,10 +158,16 @@ def jaccard_verify(
     id_col: str,
     threshold: float,
     shingle_k: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only → (id_a, id_b, jaccard)."""
-    sh = df.select(
-        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_k).alias("__sh")
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(text_col, shingle_k).alias("__sh"),
+        )
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
@@ -165,7 +191,7 @@ def cluster_min_label(pairs: DataFrame, ids: DataFrame, cc_iters: int = 3) -> Da
     edges = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .union(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
-    )
+    ).persist()
     label = ids.select(F.col("id").alias("x"), F.col("id").alias("lbl"))
     for _ in range(cc_iters):
         neigh = (
@@ -179,6 +205,9 @@ def cluster_min_label(pairs: DataFrame, ids: DataFrame, cc_iters: int = 3) -> Da
                 "x",
                 F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
             )
+            # cut lineage: without this each iteration re-executes every
+            # prior iteration's joins (exponential recompute)
+            .localCheckpoint(eager=False)
         )
     return label.select(F.col("x").alias("id"), F.col("lbl").alias("cluster_id"))
 
@@ -193,9 +222,22 @@ def minhash_dedup(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands → exact-Jaccard
-    verify → min-label clusters.  Returns (id, cluster_id, is_canonical)."""
-    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
-    verified = jaccard_verify(df, cands, text_col, id_col, threshold, shingle_k)
+    verify → min-label clusters.  Returns (id, cluster_id, is_canonical).
+
+    Shingle arrays and verified pairs are persisted: both feed multiple
+    downstream joins (a/b sides; CC iterations), and without persistence
+    the full upstream pipeline re-executes per consumer.
+    """
+    sh_arr = df.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_k).alias("__sh")
+    ).persist()
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = minhash_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k, sig_df=sig
+    )
+    verified = jaccard_verify(
+        df, cands, text_col, id_col, threshold, shingle_k, shingle_df=sh_arr
+    ).persist()
     ids = df.select(F.col(id_col).alias("id"))
     clusters = cluster_min_label(verified, ids)
     return clusters.withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
