@@ -28,6 +28,8 @@ from . import asof  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
+from . import streaming  # noqa: E402,F401
+from . import udf_multimodal  # noqa: E402,F401
 
 
 def spark_queries():

@@ -1,0 +1,94 @@
+"""CLI script runner — the reference's run-anywhere contract, Spark-first.
+
+Replicates the contract of ``/root/reference/bin/dask-ssh-docker:34-99``:
+
+- argv split at ``--``: engine flags before, user script + its args after
+  (reference ``:36-44``);
+- the runner builds the execution context (there: cluster + default
+  ``Client``, ``:66-78``; here: ``SparkSession`` via the session factory)
+  so the user script never constructs cluster details;
+- script loading: ``sys.argv[0]`` rewritten, script dir prepended to
+  ``sys.path``, importlib load, **require** ``main(argv)`` (reference
+  ``:81-99``);
+- local/cluster transparency (reference ``example/test.py:5-13``): with no
+  ``--master``/env the session is ``local[*]``; pointing
+  ``SPARK_GRAFT_MASTER`` at a real cluster runs the same script unchanged;
+- dependency distribution (reference ``example/custom_image/Dockerfile``):
+  ``--py-files`` → ``spark.submit.pyFiles``.
+
+Usage::
+
+    python -m dask_ssh_docker_spark.runner [--master M] [--conf k=v ...]
+        [--py-files a.zip,b.py] script.py [-- script args...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import sys
+
+from .session import get_session
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spark-graft",
+        description="Run a user script against a SparkSession (local or cluster).",
+    )
+    p.add_argument("--master", default=None, help="Spark master (default: env/local[*])")
+    p.add_argument(
+        "--conf", action="append", default=[], metavar="k=v", help="extra Spark conf"
+    )
+    p.add_argument(
+        "--py-files", default=None, help="comma-separated deps shipped to executors"
+    )
+    p.add_argument("script", help="user script defining main(argv)")
+    p.add_argument("script_args", nargs="*", help="args after -- go to the script")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    # split at `--`: everything after belongs to the user script verbatim
+    if "--" in argv:
+        i = argv.index("--")
+        ours, theirs = argv[:i], argv[i + 1 :]
+    else:
+        ours, theirs = argv, []
+    args = build_parser().parse_args(ours)
+    script_args = list(args.script_args) + theirs
+
+    conf = {}
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        if not v:
+            raise SystemExit(f"--conf expects k=v, got: {kv!r}")
+        conf[k] = v
+    if args.py_files:
+        conf["spark.submit.pyFiles"] = args.py_files
+
+    spark = get_session(app_name=os.path.basename(args.script), master=args.master, conf=conf)
+    try:
+        script_path = os.path.abspath(args.script)
+        if not os.path.exists(script_path):
+            raise SystemExit(f"script not found: {args.script}")
+        # reference contract: argv[0] = script, script dir importable
+        sys.argv = [script_path] + script_args
+        sys.path.insert(0, os.path.dirname(script_path))
+        spec = importlib.util.spec_from_file_location("__spark_graft_script__", script_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        if not hasattr(mod, "main"):
+            raise SystemExit(
+                f"{args.script} must define main(argv) (run-anywhere contract)"
+            )
+        ret = mod.main(script_args)
+        return int(ret) if isinstance(ret, int) else 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

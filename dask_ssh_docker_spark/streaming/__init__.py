@@ -1,0 +1,125 @@
+"""Structured Streaming surface (SURVEY.md §2.H streaming row).
+
+The batch window queries (``resample_hourly``, ``sliding_window_30m``,
+``sessionize_10m`` in ``queries/windows.py``) use ``F.window`` /
+``session_window`` — the exact constructs Structured Streaming executes, so
+promotion is: ``readStream`` source + ``withWatermark`` + the same
+transformation + ``writeStream``.  This module packages that promotion.
+
+Production notes (100 TB): use ``append`` output with a watermark so state
+is bounded and emitted windows are final; ``complete`` mode below exists
+only for the oracle-checked demo (it retains all windows in state — fine
+for a bounded demo, unbounded memory on a real stream).  State store scale
+is governed by keys × open windows; session windows additionally merge —
+keep gaps tight.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VAL_DEC = "decimal(18,6)"
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """The streaming file source requires a *directory*; the testdata is a
+    single file.  Stage a per-sf directory of symlinks under /tmp."""
+    import hashlib
+    import os
+
+    d = f"/tmp/spark_graft_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (same nanos handling as the
+    batch loader: ``spark.sql.legacy.parquet.nanosAsLong`` + exact
+    nanos→micros conversion)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..sources import load_table
+
+    schema = load_table(spark, sf_dir, "events").schema  # post-conversion schema
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    df = (
+        spark.readStream.schema(raw_schema)
+        .parquet(_staged_events_dir(sf_dir))
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    assert df.schema == schema
+    return df
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling event-time aggregation (streaming twin of the
+    batch ``resample_hourly`` query)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(VAL_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized(stream: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked session-window aggregation (streaming twin of batch
+    ``sessionize_10m``)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(VAL_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Streaming dedup with bounded state (late duplicates beyond the
+    watermark may pass — the documented tradeoff vs unbounded exact)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_completion(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    table_prefix: str = "stream_out",
+) -> DataFrame:
+    """Execute a finite stream with availableNow into a memory sink and
+    return the materialized result as a batch DataFrame (demo/oracle
+    path — see module docstring for why production uses append mode)."""
+    name = f"{table_prefix}_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return stream_df.sparkSession.table(name)
