@@ -1,0 +1,74 @@
+"""Physical-plan introspection & assertions (SURVEY.md §4).
+
+The scale story of every operator is checkable, not aspirational: these
+helpers read the executed plan and assert the properties that matter at
+100 TB — filters reaching the parquet scan, projections pruning columns,
+small dimensions broadcast, shuffle counts bounded, expressions inside
+WholeStageCodegen.  Used by tests/test_plans.py and available to users for
+their own pipelines.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # pragma: no cover
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle boundaries in the plan (AQE reuse excluded)."""
+    plan = physical_plan(df)
+    return len(re.findall(r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+
+
+def has_pushed_filters(df: DataFrame, *fragments: str) -> bool:
+    """True if the parquet scan's PushedFilters mention every fragment."""
+    plan = physical_plan(df)
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    pushed = " ".join(m)
+    return all(f in pushed for f in fragments)
+
+
+def scan_columns(df: DataFrame) -> list[list[str]]:
+    """Output column lists of each file scan (column-pruning check).
+    Parsed from the ``FileScan`` bracket list (``ReadSchema`` truncates
+    in plan strings)."""
+    plan = physical_plan(df)
+    out = []
+    for m in re.findall(r"FileScan \w+ \[([^\]]*)\]", plan):
+        cols = [re.sub(r"#\d+L?$", "", c.strip()) for c in m.split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    """Top-k executed as TakeOrderedAndProject (no full sort)."""
+    return "TakeOrderedAndProject" in physical_plan(df)
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans (wider spans = fewer is better
+    for the same plan size).  Executes the frame once: under AQE the
+    codegen annotations only appear in the finalized plan."""
+    df.write.format("noop").mode("overwrite").save()
+    return len(set(re.findall(r"\*\((\d+)\)|WholeStageCodegen \((\d+)\)", physical_plan(df))))
+
+
+def uses_python_eval(df: DataFrame) -> bool:
+    """True if the plan crosses into Python row evaluation (BatchEvalPython
+    = slow path; ArrowEvalPython/MapInPandas = the sanctioned batch path)."""
+    return "BatchEvalPython" in physical_plan(df)

@@ -30,6 +30,7 @@ from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import udf_multimodal  # noqa: E402,F401
+from . import approx_extra  # noqa: E402,F401
 
 
 def spark_queries():

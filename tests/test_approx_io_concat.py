@@ -1,0 +1,106 @@
+"""Approx-sketch error bounds, IO round-trips (§2.B), concat(axis=1)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_bound(spark):
+    from dask_ssh_docker_spark.queries import REGISTRY
+    from dask_ssh_docker_spark.sources import load_table
+
+    got = {
+        r.l_returnflag: r.approx_parts
+        for r in REGISTRY["approx_distinct_quantiles"].fn(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r.l_returnflag: r.exact
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(got[k] - e) / e < 0.10, (k, got[k], e)  # rsd=0.02, 5σ slack
+
+
+def test_percentile_approx_bracketed(spark):
+    from dask_ssh_docker_spark.queries import REGISTRY
+    from dask_ssh_docker_spark.sources import load_table
+
+    row = (
+        REGISTRY["approx_distinct_quantiles"].fn(spark, SF)
+        .filter("l_returnflag = 'N'").first()
+    )
+    q25, q50, q75 = row.price_quartiles
+    li = load_table(spark, SF, "lineitem").filter("l_returnflag = 'N'")
+    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    assert lo <= q25 <= q50 <= q75 <= hi
+
+
+def test_io_roundtrips(spark, tmp_path):
+    from dask_ssh_docker_spark.sources import (
+        load_table,
+        read_csv,
+        read_json,
+        read_orc,
+        read_parquet,
+        write_csv,
+        write_json,
+        write_parquet,
+    )
+
+    orders = load_table(spark, SF, "orders").limit(200)
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+    p = str(tmp_path / "p")
+    write_parquet(base, p)
+    assert read_parquet(spark, p).count() == 200
+    # projection + predicate args
+    sub = read_parquet(spark, p, columns=["o_orderkey"], where="o_totalprice > 100000")
+    assert sub.columns == ["o_orderkey"]
+
+    c = str(tmp_path / "c")
+    write_csv(base, c)
+    got_csv = read_csv(spark, c, schema="o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string")
+    assert got_csv.count() == 200
+    assert dict(got_csv.dtypes)["o_totalprice"] == "double"
+
+    j = str(tmp_path / "j")
+    write_json(base, j)
+    assert read_json(spark, j).count() == 200
+
+    o = str(tmp_path / "o")
+    base.write.mode("overwrite").orc(o)
+    assert read_orc(spark, o).count() == 200
+
+    # partitioned write → partition pruning via directory layout
+    pp = str(tmp_path / "pp")
+    write_parquet(base, pp, partition_by=["o_orderstatus"])
+    pruned = spark.read.parquet(pp).filter("o_orderstatus = 'O'")
+    assert 0 < pruned.count() < 200
+
+
+def test_concat_axis1_positional(spark):
+    from dask_ssh_docker_spark.operators.concat import concat_columns
+
+    left = spark.createDataFrame(pd.DataFrame({"a": [10, 20, 30], "b": ["x", "y", "z"]}))
+    right = spark.createDataFrame(pd.DataFrame({"c": [1.5, 2.5, 3.5]}))
+    out = concat_columns(left, right).toPandas()
+    assert out.columns.tolist() == ["a", "b", "c"]
+    assert out["a"].tolist() == [10, 20, 30]
+    assert out["c"].tolist() == [1.5, 2.5, 3.5]
+
+
+def test_sample_fraction_statistics(spark):
+    from dask_ssh_docker_spark.sources import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    n = li.count()
+    s = li.sample(fraction=0.1, seed=42).count()
+    assert 0.05 * n < s < 0.15 * n
+    # seeded -> reproducible
+    assert s == li.sample(fraction=0.1, seed=42).count()
