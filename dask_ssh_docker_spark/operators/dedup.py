@@ -30,7 +30,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_fingerprint, word_shingles
+from ..functions.text import (
+    md5_fingerprint,
+    normalize_text,
+    tokens,
+    word_shingles_from_tokens,
+)
+
+
+def _staged_shingles(df: DataFrame, text_col: str, id_col: str, shingle_k: int) -> DataFrame:
+    """(id, __sh: array<string>) with tokens materialized through a
+    projection boundary first — see word_shingles_from_tokens."""
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        tokens(text_col).alias("__t"),
+        normalize_text(text_col).alias("__norm"),
+    )
+    return staged.select(
+        "id",
+        word_shingles_from_tokens(F.col("__t"), F.col("__norm"), shingle_k).alias("__sh"),
+    )
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -71,9 +90,8 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) -> DataFrame:
     """(id, shingle) exploded distinct word-shingle rows."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
+    return _staged_shingles(df, text_col, id_col, shingle_k).select(
+        "id", F.explode("__sh").alias("shingle")
     )
 
 
@@ -87,14 +105,15 @@ def minhash_signatures(
     """(id, sig: array<bigint>) — num_hashes 64-bit min-hashes per doc.
 
     Computed by exploding shingles and taking ``min`` aggregates (hash
-    family: xxhash64 with a per-function salt prefix — all JVM-side).
+    family: multi-arg xxhash64 with an integer salt — all JVM-side, no
+    per-row string allocation).
     Partial aggregation happens map-side, so the shuffle carries only
     num_hashes running minimums per doc — the idiomatic Spark shape,
     vs recomputing nested array transforms per hash function.
     """
     sh = shingle_rows(df, text_col, id_col, shingle_k)
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy("id").agg(*mins)
@@ -164,9 +183,8 @@ def jaccard_verify(
     sh = (
         shingle_df
         if shingle_df is not None
-        else df.select(
-            F.col(id_col).alias("__id"),
-            word_shingles(text_col, shingle_k).alias("__sh"),
+        else _staged_shingles(df, text_col, id_col, shingle_k).withColumnRenamed(
+            "id", "__id"
         )
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
@@ -228,8 +246,8 @@ def minhash_dedup(
     downstream joins (a/b sides; CC iterations), and without persistence
     the full upstream pipeline re-executes per consumer.
     """
-    sh_arr = df.select(
-        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_k).alias("__sh")
+    sh_arr = _staged_shingles(df, text_col, id_col, shingle_k).withColumnRenamed(
+        "id", "__id"
     ).persist()
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     cands = minhash_candidates(
@@ -345,10 +363,7 @@ def jaccard_pairs_exact(
     shingles, self-join on shingle, count common, normalize by set sizes.
     Quadratic in shingle-bucket size — the correctness baseline the
     approximate paths are judged against (SQL-oracle-expressible)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
-    ).distinct()
+    sh = shingle_rows(df, text_col, id_col, shingle_k).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
