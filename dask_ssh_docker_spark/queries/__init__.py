@@ -31,6 +31,7 @@ from . import similarity  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import udf_multimodal  # noqa: E402,F401
 from . import approx_extra  # noqa: E402,F401
+from . import subqueries  # noqa: E402,F401
 
 
 def spark_queries():
