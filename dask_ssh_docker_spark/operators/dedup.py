@@ -202,9 +202,10 @@ def jaccard_verify(
 
 def cluster_min_label(pairs: DataFrame, ids: DataFrame, cc_iters: int = 3) -> DataFrame:
     """(id, cluster_id): connected components of the pair graph by iterated
-    min-label propagation; singletons keep their own id.  ``cc_iters``
-    rounds collapse chains up to 2^cc_iters hops — ample for near-dup
-    clusters, which are dense and shallow.
+    min-label propagation; singletons keep their own id.  Labels advance
+    one hop per round over the static edge set, so ``cc_iters`` rounds
+    collapse chains up to ``cc_iters`` hops — ample for near-dup clusters,
+    which are dense and shallow (raise it for long-chain graphs).
     """
     edges = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))

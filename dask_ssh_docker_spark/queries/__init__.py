@@ -33,6 +33,7 @@ from . import udf_multimodal  # noqa: E402,F401
 from . import approx_extra  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
 from . import map_funcs  # noqa: E402,F401
+from . import reshape  # noqa: E402,F401
 
 
 def spark_queries():

@@ -1,0 +1,74 @@
+"""Reshape operators: pivot (wide) and melt/unpivot (long)
+(Dask ``pivot_table`` / ``melt`` [Dask public API] — SURVEY.md §2.E
+adjacency).
+
+Pivot value columns are fixed, declared lists (both engines and any sane
+100 TB plan require knowing the output schema up front — dynamic pivots
+need a collect of the key domain first, which ``df.groupBy().pivot(col)``
+does implicitly; we pass the explicit domain to keep the plan collect-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ._util import dsum, sql_dsum
+from .registry import query
+
+_FLAGS = ["A", "N", "R"]
+
+
+@query(
+    "pivot_returnflag",
+    oracle=f"""
+    SELECT l_linestatus,
+      {sql_dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_A,
+      {sql_dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_N,
+      {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_R,
+      COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_A,
+      COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_N,
+      COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pivot_table(index=linestatus, columns=returnflag, values=qty)``
+    with an explicit column domain (collect-free plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", _FLAGS)
+        .agg(
+            dsum("l_quantity").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return wide.select(
+        "l_linestatus",
+        *[F.col(f"{f}_qty").alias(f"qty_{f}") for f in _FLAGS],
+        *[F.coalesce(F.col(f"{f}_n"), F.lit(0)).alias(f"n_{f}") for f in _FLAGS],
+    )
+
+
+@query(
+    "melt_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, value FROM (
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+    )
+    WHERE o_orderkey <= 300
+    """,
+)
+def melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``melt`` (wide→long unpivot) via ``DataFrame.unpivot``."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
