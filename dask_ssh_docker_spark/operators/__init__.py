@@ -15,6 +15,12 @@ from .dedup import (  # noqa: F401
     minhash_dedup,
     simhash_dedup_pairs,
 )
+from .partitioning import (  # noqa: F401
+    bucketed_join,
+    salted_join,
+    sorted_range_write,
+    write_bucketed,
+)
 from .multimodal import (  # noqa: F401
     decode_image_meta,
     sample_frame_offsets,
