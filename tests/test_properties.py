@@ -1,0 +1,131 @@
+"""Property-based checks (hypothesis): text functions total over arbitrary
+unicode, as-of join vs pandas on generated data, vector-math invariants.
+Examples are batched into single DataFrames so each hypothesis example
+costs one Spark job, and example counts are kept low (Spark round-trips
+are ~seconds, not µs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(text_strategy, min_size=1, max_size=40))
+def test_text_functions_total_and_bounded(spark, texts):
+    """quality ∈ [0,1], lang in domain, fingerprint respects normalization
+    equality — for ANY unicode input (no crashes, no out-of-range)."""
+    from dask_ssh_docker_spark.functions.text import (
+        lang_id,
+        md5_fingerprint,
+        normalize_text,
+        quality_score,
+    )
+
+    pdf = pd.DataFrame({"text": texts})
+    df = spark.createDataFrame(pdf)
+    rows = df.select(
+        quality_score("text").alias("q"),
+        lang_id("text").alias("lang"),
+        md5_fingerprint("text").alias("fp"),
+        normalize_text("text").alias("norm"),
+    ).collect()
+    langs = {"en", "es", "fr", "de", "zh", "und"}
+    by_norm: dict[str, str] = {}
+    for r in rows:
+        assert r.q is None or 0.0 <= r.q <= 1.0
+        assert r.lang in langs
+        if r.norm in by_norm:
+            assert by_norm[r.norm] == r.fp  # same normal form -> same fp
+        by_norm[r.norm] = r.fp
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(-50, 50)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(-50, 50)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_asof_backward_matches_pandas_generated(spark, lrows, rrows):
+    from dask_ssh_docker_spark.operators.asof import merge_asof
+
+    left = pd.DataFrame(lrows, columns=["k", "t", "lv"])
+    right = (
+        pd.DataFrame(rrows, columns=["k", "t", "rv"]).drop_duplicates(["k", "t"])
+    )
+    expected = pd.merge_asof(
+        left.sort_values(["t", "k", "lv"]).reset_index(drop=True),
+        right.sort_values(["t", "k"]).reset_index(drop=True),
+        on="t",
+        by="k",
+        direction="backward",
+    )
+    got = merge_asof(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="t",
+        by="k",
+        direction="backward",
+        tiebreak="rv",
+    ).toPandas()
+    key = ["k", "t", "lv"]
+    e = expected.sort_values(key).reset_index(drop=True)["rv"].reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)["rv"].reset_index(drop=True)
+    pd.testing.assert_series_equal(e, g, check_names=False, check_dtype=False)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.integers(2, 16), st.integers(0, 2**31 - 1))
+def test_cosine_invariants(spark, dim, seed):
+    from dask_ssh_docker_spark.functions.vector import cosine_similarity
+
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal(dim).tolist()
+    b = rng.standard_normal(dim).tolist()
+    df = spark.createDataFrame(pd.DataFrame({"a": [a, b], "b": [b, a]}))
+    s1, s2 = [r[0] for r in df.select(cosine_similarity("a", "b")).collect()]
+    assert s1 == pytest.approx(s2, abs=1e-12)  # symmetry
+    assert -1.0 - 1e-9 <= s1 <= 1.0 + 1e-9
+
+
+def test_minhash_identical_texts_identical_sigs(spark):
+    from dask_ssh_docker_spark.operators.dedup import minhash_signatures
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta gamma delta", "alpha  beta GAMMA delta", "other words here now"],
+        }
+    )
+    sigs = {
+        r.id: tuple(r.sig)
+        for r in minhash_signatures(spark.createDataFrame(pdf), "text", "doc_id").collect()
+    }
+    assert sigs[1] == sigs[2]  # normalization folds case/whitespace
+    assert sigs[1] != sigs[3]
