@@ -103,6 +103,34 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str = 
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic unbounded source (``rate`` format): (timestamp, value) —
+    the standard demo/load-test source; swap for kafka/file in production."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def foreach_batch_parquet(stream_df: DataFrame, path: str, checkpoint: str):
+    """``foreachBatch`` sink: micro-batch → idempotent parquet append.
+    The escape hatch for sinks Structured Streaming lacks natively (JDBC,
+    upserts): the function receives a BATCH DataFrame + epoch id, so any
+    batch writer works; exactly-once comes from checkpoint + idempotent
+    writes keyed on epoch."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("__epoch", F.lit(epoch_id)).write.mode("append").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame,
     output_mode: str = "complete",

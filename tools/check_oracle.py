@@ -54,13 +54,28 @@ def frame_hash(pdf: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    from dask_ssh_docker_spark.session import get_session
     from dask_ssh_docker_spark.queries import REGISTRY
 
-    spark = get_session("check-oracle")
+    if plain:
+        # driver simulation: a bare session with none of the engine's conf —
+        # queries must self-provision any runtime conf they need
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-oracle-plain")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from dask_ssh_docker_spark.session import get_session
+
+        spark = get_session("check-oracle")
 
     con = duckdb.connect()
     for t in TABLES:
