@@ -34,6 +34,7 @@ from . import approx_extra  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
 from . import map_funcs  # noqa: E402,F401
 from . import reshape  # noqa: E402,F401
+from . import agg_by  # noqa: E402,F401
 
 
 def spark_queries():
