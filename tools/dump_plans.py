@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans of the headline queries
+with the scale-relevant properties annotated.  Run after changing any
+operator: `python tools/dump_plans.py`."""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    ("q1_pricing_summary", "scan→filter→partial/final hash agg; pushdown + pruning"),
+    ("q5_region_revenue", "star join: all dims broadcast, single fact shuffle"),
+    ("topk_orders", "top-k as TakeOrderedAndProject (no full sort)"),
+    ("asof_backward", "as-of join: ONE exchange (the by-key shuffle)"),
+    ("dedup_exact_groups", "dedup: only (hash,id) shuffles, bodies pruned"),
+    ("sim_topk_bruteforce", "broadcast query set, map-side scoring, ranking window"),
+]
+
+
+def main() -> None:
+    from dask_ssh_docker_spark.queries import REGISTRY
+    from dask_ssh_docker_spark.session import get_session
+
+    sf_dir = "/root/testdata/sf0.001"
+    spark = get_session("dump-plans")
+    out = [
+        "# PLANS — formatted physical plans of headline queries",
+        "",
+        "Regenerate with `python tools/dump_plans.py` (sf0.001 inputs; plan",
+        "shape is scale-invariant).  The properties asserted in",
+        "`tests/test_plans.py` are visible here: `PushedFilters` at the scan,",
+        "pruned `ReadSchema`, `BroadcastHashJoin` on dims, bounded",
+        "`Exchange` count, `TakeOrderedAndProject` for top-k.",
+        "",
+    ]
+    for name, note in QUERIES:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        # trim exchange ids / locations noise for readability
+        plan = re.sub(r"file:[^,\]]+", "<path>", plan)
+        out.append(f"## {name}\n\n*{note}*\n\n```\n{plan.strip()}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written")
+
+
+if __name__ == "__main__":
+    main()
