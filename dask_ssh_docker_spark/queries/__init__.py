@@ -35,6 +35,8 @@ from . import subqueries  # noqa: E402,F401
 from . import map_funcs  # noqa: E402,F401
 from . import reshape  # noqa: E402,F401
 from . import agg_by  # noqa: E402,F401
+from . import tpch_more  # noqa: E402,F401
+from . import text_rank_binning  # noqa: E402,F401
 
 
 def spark_queries():

@@ -1,0 +1,151 @@
+"""TF-IDF term ranking, histogram binning, and time interpolation
+(SURVEY.md §2.H text analysis depth, §2.E binning, §2.I interpolation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.interpolate import interpolate_linear
+from ..sources import load_table
+from .registry import query
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS cnt,
+             MAX(len) OVER (PARTITION BY doc_id) AS doc_len
+      FROM (SELECT doc_id, unnest(toks) AS term, len(toks) AS len FROM base)
+      GROUP BY doc_id, term, len
+    ),
+    df_ AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM base),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round((CAST(cnt AS DOUBLE) / CAST(doc_len AS DOUBLE))
+                   * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN df_ USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf from exploded tokens (one
+    shuffle), document frequency from a grouped count (broadcast back),
+    ranking window per doc.  The classic inverted-index scoring shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ").alias("t"),
+    )
+    exploded = toks.select(
+        "doc_id", F.size("t").alias("doc_len"), F.explode("t").alias("term")
+    )
+    tf = exploded.groupBy("doc_id", "doc_len", "term").agg(F.count("*").alias("cnt"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            (F.col("cnt").cast("double") / F.col("doc_len").cast("double"))
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "histogram_order_prices",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (50k-wide buckets) via explicit floor binning
+    (DuckDB has no ``width_bucket``; Spark's is pinned against this
+    formula in tests/test_approx_io_concat.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@query(
+    "interpolate_time_linear",
+    oracle="""
+    WITH masked AS (
+      SELECT user_id, event_id, epoch_us(ts) * 1.0 AS t,
+             CASE WHEN value >= 25 THEN value END AS v
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, t, v,
+        LAST_VALUE(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        FIRST_VALUE(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM masked
+    )
+    SELECT user_id, event_id,
+      CASE WHEN v IS NOT NULL THEN v
+           WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           WHEN nt = pt THEN pv
+           ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END AS value_interp
+    FROM w
+    """,
+)
+def interpolate_time_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time interpolation of masked values (value<25 → null) per
+    user — identical window arithmetic in the oracle, so doubles match
+    bitwise."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("value") >= 25, F.col("value")).alias("value"),
+    )
+    out = interpolate_linear(ev, "ts", "value", by="user_id", out_col="value_interp")
+    return out.select("user_id", "event_id", "value_interp")

@@ -1,0 +1,174 @@
+"""Additional TPC-H-shaped relational queries (SURVEY.md §2.C–§2.F
+breadth): disjunctive predicates, conditional aggregation, revenue shares.
+
+All money math uses the exact-decimal helpers (``_util``) so hashes match
+the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ._util import RATE_DEC, dec, dsum, sql_dsum
+from .registry import query
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+sum — the pushdown showcase (every predicate
+    reaches the scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount", RATE_DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: lost revenue from returned items, top-20 customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast(RATE_DEC)
+    rev = dec("l_extendedprice") * (one - dec("l_discount", RATE_DEC))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_totalprice >= 100000 THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_totalprice <  100000 THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_quantity >= 30
+    GROUP BY o_orderpriority
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counting (CASE inside aggregates)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_totalprice") >= 100000, 1)).alias("high_line_count"),
+            F.count(F.when(F.col("o_totalprice") < 100000, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                 ELSE CAST(0 AS DECIMAL(16,4)) END)
+           / SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+           AS DOUBLE) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share (decimal ratio surfaced
+    as one double division)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast(RATE_DEC)
+    rev = dec("l_extendedprice") * (one - dec("l_discount", RATE_DEC))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(rev))
+            .cast("double")
+            .alias("promo_share_pct")
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice')} AS gross_revenue, COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+       OR (p_type = 'ECONOMY' AND l_discount > 0.07)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides (the optimizer
+    must keep the join predicate separable from the residual filter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_type") == "ECONOMY") & (F.col("l_discount") > 0.07))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(dsum("l_extendedprice").alias("gross_revenue"), F.count("*").alias("n"))
+    )

@@ -104,3 +104,16 @@ def test_sample_fraction_statistics(spark):
     assert 0.05 * n < s < 0.15 * n
     # seeded -> reproducible
     assert s == li.sample(fraction=0.1, seed=42).count()
+
+
+def test_width_bucket_matches_floor_formula(spark):
+    from dask_ssh_docker_spark.sources import load_table
+
+    o = load_table(spark, SF, "orders").filter(
+        "o_totalprice >= 0 AND o_totalprice < 600000"
+    )
+    mismatch = o.select(
+        F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias("wb"),
+        (F.floor(F.col("o_totalprice") / 50000.0).cast("bigint") + 1).alias("ff"),
+    ).filter("wb <> ff")
+    assert mismatch.count() == 0
