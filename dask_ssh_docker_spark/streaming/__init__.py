@@ -103,6 +103,32 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str = 
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: match right events to left events of the
+    same key that occur within ``[left_ts, left_ts + within]``.
+
+    Both sides carry watermarks + the time-range predicate, which is what
+    lets Spark bound the join state (rows older than watermark+range are
+    evicted) — without both, a stream-stream join's state grows forever.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Synthetic unbounded source (``rate`` format): (timestamp, value) —
     the standard demo/load-test source; swap for kafka/file in production."""
