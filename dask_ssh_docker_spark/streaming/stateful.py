@@ -1,0 +1,48 @@
+"""Custom stateful streaming operators — ``applyInPandasWithState``
+(SURVEY.md §2.H: "applyInPandasWithState for custom stateful operators").
+
+The escape hatch when watermarked windows can't express the state machine:
+arbitrary per-key state carried across micro-batches, Arrow-batched.
+State size is the scale knob — keep per-key state O(1) (aggregates,
+last-seen markers), never per-event history, and use timeouts to evict
+dead keys on real streams.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) carried across micro-batches.
+
+    Emits one updated row per user per batch — the streaming analog of an
+    ever-growing ``groupBy(user).agg(count, sum)``; after all batches the
+    latest row per user equals the global batch aggregate (pinned in
+    tests/test_stateful.py by feeding the same data in 2 batches).
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [user_id], "n": [n], "total": [total]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,55 @@
+"""applyInPandasWithState: state genuinely persists across micro-batches
+(two-file source, one file per trigger → 2 batches; final per-user state
+must equal the global batch aggregate)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_running_totals_across_two_batches(spark, tmp_path):
+    from dask_ssh_docker_spark.sources import load_table
+    from dask_ssh_docker_spark.streaming.stateful import running_user_totals
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    # two parquet files => two micro-batches with maxFilesPerTrigger=1
+    src = tmp_path / "src"
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(str(src / "a"))
+    ev.filter("event_id % 2 = 1").coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = running_user_totals(stream)
+    name = "stateful_probe"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).toPandas()
+    # at least one user must have been updated twice (two batches)
+    assert got.groupby("user_id").size().max() >= 2
+    final = got.groupby("user_id").last()  # memory sink appends in batch order
+
+    expected = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    final = final.sort_index()
+    pd.testing.assert_series_equal(
+        final["n"].astype("int64"), expected["n"].astype("int64"), check_names=False
+    )
+    assert (abs(final["total"] - expected["total"]) < 1e-6).all()
