@@ -1,0 +1,145 @@
+"""IVF (inverted-file) approximate nearest-neighbor index
+(SURVEY.md §2.H similarity-search scale path, alongside the LSH variant).
+
+Classic IVF-Flat, DataFrame-first and fully deterministic:
+
+1. **train**: k coarse centroids by Lloyd iterations — assignment is a
+   broadcast cross-score (centroids are tiny), update is a groupBy mean.
+   Seeded deterministic init (first k vectors by id); each iteration is
+   one shuffle of (cluster, vector) partial sums.
+2. **index**: every vector assigned to its nearest centroid —
+   (centroid_id, vec_id, embedding) — in production this is written
+   partitioned by ``centroid_id`` so a probe reads only its partitions.
+3. **search**: score query→centroids (broadcast), keep ``nprobe`` nearest
+   lists, exact-rank only vectors in those lists.  Scan fraction ≈
+   nprobe/k of the corpus vs 1.0 for brute force.
+
+All vector math is JVM higher-order functions (no Python in the scoring
+path); the Python loop only orchestrates Lloyd iterations (bounded, each
+a persisted DataFrame job — lineage cut per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """(centroid_id, centroid: array<double>) — Lloyd's with deterministic
+    init (first k vectors by id)."""
+    init = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.transform(vec_col, lambda x: x.cast("double")).alias("centroid"),
+        )
+        .rdd.zipWithIndex()
+        .map(lambda p: (p[1], p[0][0]))
+        .toDF(["centroid_id", "centroid"])
+    )
+    cents = init.persist()
+    cents.count()
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).persist()
+    for _ in range(iters):
+        assigned = _assign(vecs, cents)
+        new = (
+            assigned.join(vecs, "id")
+            .select("centroid_id", F.posexplode(F.transform("v", lambda x: x.cast("double"))))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"]).alias("centroid"),
+            )
+        )
+        cents = new.persist()
+        cents.count()
+    return cents
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, centroid_id): nearest centroid per vector (broadcast cross)."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "id", "centroid_id", _sq_dist(F.col("v"), F.col("centroid")).alias("d")
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("d"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("id", "centroid_id")
+    )
+
+
+def build_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, vec_id, embedding) inverted lists.  At scale: write
+    partitioned by centroid_id so probes scan only their lists."""
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        _assign(vecs, centroids)
+        .join(vecs, "id")
+        .select("centroid_id", F.col("id").alias(id_col), F.col("v").alias(vec_col))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors probing only the ``nprobe`` nearest inverted
+    lists per query."""
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        query_id,
+        "__qv",
+        "centroid_id",
+        _sq_dist(F.transform("__qv", lambda x: x.cast("double")), F.col("centroid")).alias("d"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("d"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id, "__qv", "centroid_id")
+    )
+    cands = probes.join(index, "centroid_id").select(
+        query_id, "__qv", F.col(corpus_id), F.col(vec_col).alias("__cv")
+    )
+    sim = cosine_similarity("__qv", "__cv")
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        cands.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("sim", 6).alias("sim"), "rank")
+    )

@@ -103,3 +103,20 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs (scale path for sim_neardup_pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@query("sim_topk_ivf", oracle=None)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat top-10 (8 deterministic Lloyd centroids, nprobe=4 → ~50%
+    corpus scan) — the inverted-list ANN scale path; recall pinned in
+    tests/test_similarity.py."""
+    from ..operators.ivf import build_index, ivf_topk, train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    cents = train_centroids(corpus, k=8, iters=2)
+    idx = build_index(corpus, cents)
+    return ivf_topk(queries_df, idx, cents, k=10, nprobe=4).orderBy("query_id", "rank")

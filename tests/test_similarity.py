@@ -87,3 +87,34 @@ def test_topk_rank_contract(spark):
         assert grp["rank"].tolist() == [1, 2, 3, 4, 5]
         sims = grp.sort_values("rank")["sim"].tolist()
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from dask_ssh_docker_spark.operators.ivf import build_index, ivf_topk, train_centroids
+    from dask_ssh_docker_spark.operators.similarity import brute_force_topk
+    from dask_ssh_docker_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+
+    cents = train_centroids(corpus, k=8, iters=2)
+    assert cents.count() == 8
+    idx = build_index(corpus, cents).persist()
+    assert idx.count() == corpus.count()  # every vector in exactly one list
+
+    got = ivf_topk(queries, idx, cents, k=10, nprobe=4)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(queries, corpus, k=10).collect()
+    }
+    approx = {(r.query_id, r.vec_id) for r in got.collect()}
+    recall = len(exact & approx) / len(exact)
+    # isotropic noise is the worst case for IVF too; nprobe=4 of 8 lists
+    # scans ~50% of the corpus, so recall should beat 0.4 comfortably
+    assert recall >= 0.4, f"IVF recall@10 = {recall}"
+
+    again = {(r.query_id, r.vec_id) for r in ivf_topk(queries, idx, cents, k=10, nprobe=4).collect()}
+    assert approx == again  # deterministic end-to-end
