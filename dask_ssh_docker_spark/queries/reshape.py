@@ -72,3 +72,52 @@ def melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("totalprice"),
         F.col("o_custkey").cast("double").alias("custkey"),
     ).unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
+
+
+@query(
+    "sort_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    """,
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sort_values`` as a full range-partitioned global sort (Spark
+    samples range boundaries exactly like Dask's set_index divisions —
+    the plan shows Exchange rangepartitioning, not a single-partition
+    sort).  Total tie-break keeps it deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.select("l_orderkey", "l_linenumber", "l_shipdate").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+
+
+@query(
+    "categorical_encode",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) AS segment_code
+    FROM customer
+    """,
+)
+def categorical_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented categorical-dtype mapping (SURVEY.md §7 risks):
+    strings → dense integer codes ordered by value.  At scale, build the
+    code table once (distinct + window over the tiny domain) and
+    broadcast-join it instead of windowing the fact table."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    codes = (
+        cust.select("c_mktsegment")
+        .distinct()
+        .withColumn(
+            "segment_code",
+            (F.dense_rank().over(Window.orderBy("c_mktsegment")) - 1).cast("bigint"),
+        )
+    )
+    return cust.join(F.broadcast(codes), "c_mktsegment").select(
+        "c_custkey", "c_mktsegment", "segment_code"
+    )

@@ -164,3 +164,15 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def to_local_iterator(df: DataFrame, prefetch: bool = True):
+    """``df.to_delayed``-style consumption: stream partitions to the
+    driver one at a time (bounded driver memory, unlike collect)."""
+    return df.toLocalIterator(prefetchPartitions=prefetch)
+
+
+def to_rdd(df: DataFrame):
+    """``df.to_bag`` analog: escape to the RDD of Rows for per-partition
+    imperative logic (last resort — loses Catalyst/codegen)."""
+    return df.rdd
