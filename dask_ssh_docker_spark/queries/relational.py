@@ -597,3 +597,55 @@ def concat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def smoke_delayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.range(1000).agg(F.sum("id").cast("bigint").alias("total"))
+
+
+@query(
+    "join_full_outer",
+    oracle=f"""
+    SELECT
+      COALESCE(c_custkey, o_custkey) AS custkey,
+      c_name,
+      o_orderkey,
+      o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 350000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (``dd.merge(how='outer')``): both unmatched sides
+    survive with nulls."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+@query(
+    "union_missing_columns",
+    oracle="""
+    SELECT o_orderkey AS key, o_totalprice AS price, o_orderpriority AS priority
+    FROM orders WHERE o_totalprice > 350000
+    UNION ALL
+    SELECT c_custkey AS key, c_acctbal AS price, NULL AS priority
+    FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dd.concat(axis=0)`` with heterogeneous schemas →
+    ``unionByName(allowMissingColumns=True)`` null-fills the gaps."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 350000
+    ).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("price")
+    )
+    return orders.unionByName(cust, allowMissingColumns=True)
