@@ -1,0 +1,64 @@
+"""Multi-resolution rollup cascade — the hypertable/continuous-aggregate
+pattern (SURVEY.md §2.H streaming row adjacency; TimescaleDB-style
+"hypertable rollup" named in the build brief).
+
+At 100 TB you never re-scan raw events to answer a daily question: you
+maintain an hourly materialization and reaggregate it.  That only works
+for **algebraic** aggregates — (count, sum, min, max) compose; avg is
+derived at read time as sum/count; exact distinct does NOT compose (use
+HLL sketches for that).  This operator builds the cascade and the tests +
+oracle prove reaggregation equals direct aggregation bit-for-bit (sums in
+exact decimal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VAL_DEC = "decimal(18,6)"
+
+#: algebraic partials carried at every resolution
+_PARTIALS = ("n_events", "sum_value", "min_value", "max_value")
+
+
+def rollup_hourly(events: DataFrame, keys: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Raw events → hourly partials (the base materialization)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(VAL_DEC)).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), *keys, *_PARTIALS)
+    )
+
+
+def reaggregate(
+    finer: DataFrame,
+    bucket: str = "1 day",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Finer-resolution partials → coarser buckets WITHOUT touching raw
+    data: counts/sums add, min/max combine.  ``avg_value`` derived at the
+    end (sum/count — the only non-algebraic output, computed at read)."""
+    return (
+        finer.groupBy(F.window("bucket_start", bucket).alias("w"), *keys)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            *keys,
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+            "min_value",
+            "max_value",
+            (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+        )
+    )

@@ -367,3 +367,30 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.last(big, ignorenulls=True).over(w).alias("filled_val"),
     )
+
+
+@query(
+    "rollup_cascade_daily",
+    oracle="""
+    SELECT
+      CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      MIN(value) AS min_value,
+      MAX(value) AS max_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: daily answers computed FROM the
+    hourly materialization (never re-scanning raw events) — the oracle is
+    the direct daily aggregation, so the hash-match proves algebraic
+    reaggregation is exact (decimal partials compose bit-for-bit)."""
+    from ..operators.rollup_cascade import reaggregate, rollup_hourly
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = rollup_hourly(ev)
+    return reaggregate(hourly, "1 day")
