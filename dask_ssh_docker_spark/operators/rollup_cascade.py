@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 VAL_DEC = "decimal(18,6)"
 
 #: algebraic partials carried at every resolution
-_PARTIALS = ("n_events", "sum_value", "min_value", "max_value")
+_PARTIALS = ("n_events", "sum_value", "min_value", "max_value", "users_hll")
 
 
 def rollup_hourly(events: DataFrame, keys: tuple[str, ...] = ("event_type",)) -> DataFrame:
@@ -31,6 +31,9 @@ def rollup_hourly(events: DataFrame, keys: tuple[str, ...] = ("event_type",)) ->
             F.sum(F.col("value").cast(VAL_DEC)).alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
+            # distinct does NOT compose exactly — carry an HLL sketch
+            # (datasketches binary; order-insensitive, mergeable)
+            F.hll_sketch_agg("user_id").alias("users_hll"),
         )
         .select(F.col("w.start").alias("bucket_start"), *keys, *_PARTIALS)
     )
@@ -51,6 +54,7 @@ def reaggregate(
             F.sum("sum_value").alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
+            F.hll_union_agg("users_hll").alias("users_hll"),
         )
         .select(
             F.col("w.start").alias("bucket_start"),
@@ -60,5 +64,6 @@ def reaggregate(
             "min_value",
             "max_value",
             (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+            F.hll_sketch_estimate("users_hll").alias("approx_users"),
         )
     )

@@ -393,4 +393,6 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     hourly = rollup_hourly(ev)
-    return reaggregate(hourly, "1 day")
+    # approx_users (HLL cascade) is pytest-pinned instead: DuckDB's approx
+    # sketch differs, so it can't be part of the hash-matched output
+    return reaggregate(hourly, "1 day").drop("approx_users")

@@ -71,3 +71,32 @@ def test_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_hll_cascade_equals_direct_sketch(spark, sf_dir):
+    """HLL sketches are order-insensitive and mergeable: the union of
+    hourly user sketches must estimate EXACTLY what a direct daily sketch
+    estimates (same registers), and land within 5% of exact distinct."""
+    from pyspark.sql import functions as F
+
+    from dask_ssh_docker_spark.operators.rollup_cascade import (
+        reaggregate,
+        rollup_hourly,
+    )
+    from dask_ssh_docker_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = reaggregate(rollup_hourly(ev), "1 day")
+    direct = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "direct_est", "exact")
+    )
+    j = daily.join(direct, ["bucket_start", "event_type"]).collect()
+    assert j
+    for r in j:
+        assert r.approx_users == r.direct_est  # identical merged registers
+        assert abs(r.approx_users - r.exact) <= max(1, 0.05 * r.exact)
