@@ -136,6 +136,26 @@ def char_shingles(c: Column | str, k: int = 5) -> Column:
     )
 
 
+def chunk_token_windows(t: Column, chunk: int = 50, stride: int = 25) -> Column:
+    """Overlapping token windows for context-length chunking (array of
+    chunk texts).  ``stride < chunk`` gives overlap; the last window is
+    truncated, and a short doc yields exactly one window.
+
+    Pure JVM: sequence of starts → slice → concat_ws.  Like shingling,
+    call on a MATERIALIZED token column (see word_shingles_from_tokens).
+    """
+    n = F.size(t)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(chunk)).cast("double") / F.lit(stride)).cast("int") + 1,
+        F.lit(1),
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", F.slice(t, (i * stride + 1).cast("int"), chunk)),
+    )
+
+
 def word_shingles_from_tokens(t: Column, norm: Column, k: int = 3) -> Column:
     """Word k-shingles from ALREADY-MATERIALIZED token/normalized columns.
 

@@ -149,3 +149,47 @@ def interpolate_time_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = interpolate_linear(ev, "ts", "value", by="user_id", out_col="value_interp")
     return out.select("user_id", "event_id", "value_interp")
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    chunked AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             unnest(list_transform(
+               generate_series(0, greatest(CAST(ceil((len(toks) - 50) / 25.0) AS INT), 0)),
+               i -> array_to_string(toks[(i*25+1):(i*25+50)], ' ')
+             )) AS chunk_text,
+             unnest(generate_series(0, greatest(CAST(ceil((len(toks) - 50) / 25.0) AS INT), 0)))
+               AS chunk_idx
+      FROM base
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           length(chunk_text) AS chunk_chars,
+           len(string_split(chunk_text, ' ')) AS chunk_tokens
+    FROM chunked
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 50-token windows, stride 25 (50% overlap)
+    — one output row per chunk with its stats (the shape a training-data
+    tokenization pipeline feeds downstream)."""
+    from ..functions.text import chunk_token_windows, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens("text").alias("__t"))
+    chunked = staged.select(
+        "doc_id",
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        F.posexplode(chunk_token_windows(F.col("__t"), 50, 25)).alias(
+            "chunk_idx", "chunk_text"
+        ),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "n_tokens",
+        F.length("chunk_text").cast("bigint").alias("chunk_chars"),
+        F.size(F.split("chunk_text", " ")).cast("bigint").alias("chunk_tokens"),
+    )
