@@ -33,6 +33,10 @@ HEADLINE = [
     "dedup_minhash_clusters",
     "text_quality",
     "sim_topk_bruteforce",
+    "rollup_cascade_daily",
+    "interpolate_time_linear",
+    "text_chunk_windows",
+    "text_tfidf_top_terms",
 ]
 
 
