@@ -309,3 +309,65 @@ def cast_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date").cast("timestamp").alias("ship_day"),
         (F.col("l_quantity") > 25).alias("is_bulk"),
     )
+
+
+@query(
+    "str_functions_extended",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+           reverse(p_name)                     AS name_rev,
+           repeat(p_brand, 2)                  AS brand_twice,
+           instr(p_name, 'red')                AS red_pos,
+           left(p_name, 3)                     AS head3,
+           right(p_name, 3)                    AS tail3,
+           ascii(p_type)                       AS first_char_code,
+           chr(65 + CAST(p_partkey % 26 AS INT)) AS letter
+    FROM part
+    """,
+)
+def str_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second tranche of the `.str` surface: translate/reverse/repeat/
+    instr/left/right/ascii/chr."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.reverse("p_name").alias("name_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.instr("p_name", "red").alias("red_pos"),
+        F.substring("p_name", 1, 3).alias("head3"),
+        F.substring("p_name", -3, 3).alias("tail3"),
+        F.ascii("p_type").alias("first_char_code"),
+        F.chr(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias("letter"),
+    )
+
+
+@query(
+    "fuzzy_levenshtein_pairs",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_name <> b.p_name
+      AND abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-duplicate names: edit distance ≤ 2 with a length-delta
+    pre-filter (the cheap bound that prunes the pair space before the
+    quadratic-cost distance; at scale, band by length + first character
+    before the join)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.col("name_a") != F.col("name_b"))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
