@@ -396,3 +396,28 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approx_users (HLL cascade) is pytest-pinned instead: DuckDB's approx
     # sketch differs, so it can't be part of the hash-matched output
     return reaggregate(hourly, "1 day").drop("approx_users")
+
+
+@query(
+    "window_rank_fractions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           round(CUME_DIST()    OVER w, 6) AS cume,
+           NTILE(10)            OVER w AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional ranking (percent_rank / cume_dist / ntile deciles) —
+    completes the ranking-window family beyond row_number/rank."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
