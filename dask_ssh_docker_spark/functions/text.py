@@ -91,12 +91,25 @@ def quality_score(c: Column | str) -> Column:
 
 
 def lang_scores(c: Column | str) -> dict[str, Column]:
-    """Marker-stopword hit count per language."""
+    """Marker-stopword hit count per language.
+
+    Latin languages: whole-token matches.  Chinese: substring occurrence
+    counts on the normalized text — zh is unsegmented, so a marker like
+    '的' never equals a whitespace token (single-char markers make the
+    count just a length difference)."""
     t = tokens(c)
+    norm = normalize_text(c)
     out = {}
     for lang in LANG_PRIORITY:
-        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-        out[lang] = F.size(F.filter(t, lambda w: F.array_contains(markers, w)))
+        if lang == "zh":
+            score = None
+            for m in LANG_MARKERS[lang]:
+                cnt = F.length(norm) - F.length(F.replace(norm, F.lit(m), F.lit("")))
+                score = cnt if score is None else score + cnt
+            out[lang] = score
+        else:
+            markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+            out[lang] = F.size(F.filter(t, lambda w: F.array_contains(markers, w)))
     return out
 
 

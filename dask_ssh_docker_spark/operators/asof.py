@@ -28,10 +28,11 @@ Direction semantics (pandas-compatible):
 - ``forward``:  smallest right ``on`` >= left ``on``
 - ``nearest``:  closer of the two; equidistant → backward wins.
 
-Among duplicate right keys at the same ``on`` value the row latest in
-``tiebreak`` order wins (pass a unique right column for determinism —
-pandas keeps the last occurrence in input order, which is not a
-distributed-friendly contract).
+Among duplicate right keys at the same ``on`` value the winner is the row
+*latest* in ``tiebreak`` order for ``backward`` and *earliest* for
+``forward`` (the orderings are mirror images); pass a unique right column
+for determinism — pandas keeps the last occurrence in input order, which
+is not a distributed-friendly contract.
 """
 
 from __future__ import annotations
@@ -126,12 +127,19 @@ def merge_asof(
         filled = fill(False, allow_exact_matches)
     else:  # nearest: evaluate both fills, pick closer (tie -> backward)
         b, f_ = fill(True, allow_exact_matches), fill(False, allow_exact_matches)
-        is_ts = str(left.schema[on].dataType).startswith("Timestamp")
+        on_type = str(left.schema[on].dataType)
+        is_ts = on_type.startswith("Timestamp")
+        is_date = on_type.startswith("Date")
 
         def num(c: Column) -> Column:
             # exact integer distance axis: micros for timestamps (a double
-            # of epoch seconds has only ~16 sig digits — too coarse)
-            return F.unix_micros(c) if is_ts else c.cast("double")
+            # of epoch seconds has only ~16 sig digits — too coarse);
+            # days for dates (date can't cast to double)
+            if is_ts:
+                return F.unix_micros(c)
+            if is_date:
+                return F.unix_date(c)
+            return c.cast("double")
 
         dist_b = F.abs(num(F.col("__ord")) - num(b["__on"]))
         dist_f = F.abs(num(f_["__on"]) - num(F.col("__ord")))

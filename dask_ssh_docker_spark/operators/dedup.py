@@ -101,6 +101,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 32,
     shingle_k: int = 3,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — num_hashes 64-bit min-hashes per doc.
 
@@ -111,7 +112,12 @@ def minhash_signatures(
     num_hashes running minimums per doc — the idiomatic Spark shape,
     vs recomputing nested array transforms per hash function.
     """
-    sh = shingle_rows(df, text_col, id_col, shingle_k)
+    if shingle_arrays is not None:  # reuse a persisted (__id, __sh) frame
+        sh = shingle_arrays.select(
+            F.col("__id").alias("id"), F.explode("__sh").alias("shingle")
+        )
+    else:
+        sh = shingle_rows(df, text_col, id_col, shingle_k)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -135,6 +141,13 @@ def minhash_candidates(
 
     Shuffle volume: |docs| × bands rows of (band_hash, id).
     """
+    if bands <= 0 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes with 1 <= bands <= num_hashes "
+            f"(got num_hashes={num_hashes}, bands={bands}); rows-per-band=0 "
+            "would hash every doc into one bucket (full O(n^2) cross join), "
+            "and a remainder silently drops signature values"
+        )
     rows = num_hashes // bands
     sig = (
         sig_df
@@ -250,7 +263,9 @@ def minhash_dedup(
     sh_arr = _staged_shingles(df, text_col, id_col, shingle_k).withColumnRenamed(
         "id", "__id"
     ).persist()
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, shingle_arrays=sh_arr
+    )
     cands = minhash_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_k, sig_df=sig
     )

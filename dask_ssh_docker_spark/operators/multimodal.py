@@ -139,7 +139,8 @@ def decode_image_meta(df: DataFrame, blob_col: str, id_col: str, fake: bool = Tr
                 columns=[id_col, "width", "height", "channels", "decode_ok", "decoder"],
             )
 
-    schema = f"{id_col} long, {DECODE_SCHEMA}"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {DECODE_SCHEMA}"
     return df.select(id_col, blob_col).mapInPandas(decode_batches, schema)
 
 

@@ -61,7 +61,18 @@ def salted_join(
     salt in [0, salt); ``right`` (smaller) is replicated ``salt`` times.
     The shuffle key becomes (key, salt) so one hot key spreads over
     ``salt`` reducers.  Row-level results are identical to a plain join
-    (randomness only routes rows)."""
+    (randomness only routes rows).
+
+    Only ``inner`` and ``left`` are supported: right/full outer would emit
+    one null-padded row per *unmatched replica* of a right row (up to
+    ``salt`` spurious rows each) — for outer semantics on a skewed key,
+    salt the other side or fall back to AQE skew handling.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}); "
+            "right/full outer would duplicate unmatched right replicas"
+        )
     l_salted = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     r_salted = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

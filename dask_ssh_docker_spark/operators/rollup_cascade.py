@@ -43,11 +43,17 @@ def reaggregate(
     finer: DataFrame,
     bucket: str = "1 day",
     keys: tuple[str, ...] = ("event_type",),
+    final: bool = True,
 ) -> DataFrame:
     """Finer-resolution partials → coarser buckets WITHOUT touching raw
-    data: counts/sums add, min/max combine.  ``avg_value`` derived at the
-    end (sum/count — the only non-algebraic output, computed at read)."""
-    return (
+    data: counts/sums add, min/max combine, HLL sketches union.
+
+    ``final=False`` keeps the partial schema (decimal sums, raw sketches)
+    so cascades compose to any depth —
+    ``reaggregate(reaggregate(hourly, '1 day', final=False), '1 month')``.
+    ``final=True`` derives the read-time outputs (double sums, avg,
+    sketch estimate)."""
+    agg = (
         finer.groupBy(F.window("bucket_start", bucket).alias("w"), *keys)
         .agg(
             F.sum("n_events").alias("n_events"),
@@ -56,14 +62,16 @@ def reaggregate(
             F.max("max_value").alias("max_value"),
             F.hll_union_agg("users_hll").alias("users_hll"),
         )
-        .select(
-            F.col("w.start").alias("bucket_start"),
-            *keys,
-            "n_events",
-            F.col("sum_value").cast("double").alias("sum_value"),
-            "min_value",
-            "max_value",
-            (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
-            F.hll_sketch_estimate("users_hll").alias("approx_users"),
-        )
+    )
+    if not final:
+        return agg.select(F.col("w.start").alias("bucket_start"), *keys, *_PARTIALS)
+    return agg.select(
+        F.col("w.start").alias("bucket_start"),
+        *keys,
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+        (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+        F.hll_sketch_estimate("users_hll").alias("approx_users"),
     )

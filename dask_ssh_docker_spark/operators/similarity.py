@@ -88,9 +88,21 @@ def lsh_bucketed(
     bits: int = 8,
     tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """(id, vec, table_idx, bucket) — one row per table per input row."""
-    dim = len(df.select(vec_col).first()[0])
+    """(id, vec, table_idx, bucket) — one row per table per input row.
+
+    Pass ``dim`` explicitly to avoid the inference job (a ``first()`` —
+    one eager driver round-trip; also the only way to handle an empty
+    frame, which has no row to infer from)."""
+    if dim is None:
+        head = df.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                f"cannot infer embedding dim from an empty frame / null "
+                f"{vec_col!r}; pass dim= explicitly"
+            )
+        dim = len(head[0])
     planes = _hyperplanes(dim, bits, tables, seed)
     buckets = _bucket_exprs(vec_col, planes)
     return df.select(
@@ -110,13 +122,19 @@ def lsh_topk(
     bits: int = 8,
     tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: join query and corpus rows sharing any LSH
     bucket, exact-score only those candidates, rank per query."""
-    qb = lsh_bucketed(queries, query_id, vec_col, bits, tables, seed).select(
+    if dim is None:
+        head = queries.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError("empty queries frame; pass dim= explicitly")
+        dim = len(head[0])
+    qb = lsh_bucketed(queries, query_id, vec_col, bits, tables, seed, dim=dim).select(
         query_id, F.col(vec_col).alias("__qvec"), "table_idx", "bucket"
     )
-    cb = lsh_bucketed(corpus, corpus_id, vec_col, bits, tables, seed).select(
+    cb = lsh_bucketed(corpus, corpus_id, vec_col, bits, tables, seed, dim=dim).select(
         corpus_id, F.col(vec_col).alias("__cvec"), "table_idx", "bucket"
     )
     cands = (

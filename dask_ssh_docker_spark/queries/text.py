@@ -100,10 +100,21 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_oracle() -> str:
-    score = {
-        lang: f"len(list_filter(toks, t -> list_contains([{', '.join(repr(w) for w in LANG_MARKERS[lang])}], t)))"
-        for lang in LANG_PRIORITY
-    }
+    score = {}
+    for lang in LANG_PRIORITY:
+        if lang == "zh":
+            # substring occurrence counts (unsegmented text; 1-char markers)
+            terms = " + ".join(
+                f"(length(norm) - length(replace(norm, '{m}', '')))"
+                for m in LANG_MARKERS[lang]
+            )
+            score[lang] = f"({terms})"
+        else:
+            score[lang] = (
+                "len(list_filter(toks, t -> list_contains(["
+                + ", ".join(repr(w) for w in LANG_MARKERS[lang])
+                + "], t)))"
+            )
     whens = []
     for lang in LANG_PRIORITY:
         conds = " AND ".join(
@@ -113,7 +124,7 @@ def _lang_oracle() -> str:
     scores_sql = ",\n        ".join(f"{v} AS s_{k}" for k, v in score.items())
     zero = " AND ".join(f"s_{lang} = 0" for lang in LANG_PRIORITY)
     return f"""
-    WITH base AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    WITH base AS (SELECT doc_id, lang, {_NORM} AS norm, {_TOKS} AS toks FROM documents),
     scored AS (
       SELECT doc_id, lang,
         {scores_sql}

@@ -39,17 +39,25 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 4
 
 
-def default_conf(parallelism: int | None = None) -> dict[str, str]:
-    """Engine default Spark conf (documented in BASELINE.md bench config)."""
+def default_conf(parallelism: int | None = None, master: str | None = None) -> dict[str, str]:
+    """Engine default Spark conf (documented in BASELINE.md bench config).
+
+    Shuffle sizing: near core count for local masters; for a remote
+    cluster a high initial value (AQE *coalesces* but never splits a
+    non-skew shuffle, so undersizing from the driver's CPU count would
+    cap cluster parallelism — the driver machine knows nothing about
+    executor count)."""
     p = parallelism or _default_parallelism()
+    local = master is None or master.startswith("local")
+    shuffle_parts = max(p, 8) if local else max(p, 400)
     return {
         # --- optimizer / runtime re-planning ---
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        # --- shuffle sizing: start near core count locally; AQE coalesces
-        "spark.sql.shuffle.partitions": str(max(p, 8)),
-        "spark.default.parallelism": str(max(p, 8)),
+        # --- shuffle sizing (see docstring) ---
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.default.parallelism": str(shuffle_parts),
         # --- python interchange ---
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
@@ -81,7 +89,7 @@ def get_session(
         else "local[*]"
     )
     builder = SparkSession.builder.appName(app_name).master(master)
-    merged = default_conf()
+    merged = default_conf(master=master)
     if conf:
         merged.update(conf)
     for k, v in merged.items():

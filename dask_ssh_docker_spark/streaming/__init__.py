@@ -140,14 +140,22 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
 
 
 def foreach_batch_parquet(stream_df: DataFrame, path: str, checkpoint: str):
-    """``foreachBatch`` sink: micro-batch → idempotent parquet append.
+    """``foreachBatch`` sink: micro-batch → idempotent parquet write.
     The escape hatch for sinks Structured Streaming lacks natively (JDBC,
     upserts): the function receives a BATCH DataFrame + epoch id, so any
-    batch writer works; exactly-once comes from checkpoint + idempotent
-    writes keyed on epoch."""
+    batch writer works.  Exactly-once = checkpoint (skip committed
+    epochs on restart) + idempotent per-epoch writes: each epoch lands in
+    its own partition with dynamic partition overwrite, so a *retried*
+    epoch replaces its partial output instead of appending duplicates."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.withColumn("__epoch", F.lit(epoch_id)).write.mode("append").parquet(path)
+        (
+            batch_df.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)
