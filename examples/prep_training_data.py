@@ -1,0 +1,80 @@
+"""End-to-end LLM training-data prep pipeline (SURVEY.md §2.H composed):
+
+    raw documents
+      → exact dedup (md5 content groups, keep min id)
+      → quality filter (composite score ≥ threshold)
+      → language filter (marker-based lang-ID)
+      → MinHash-LSH near-dup clustering (keep canonical per cluster)
+      → 50-token overlap chunking
+      → curated chunks written to parquet
+
+Run:  PYTHONPATH=. python -m dask_ssh_docker_spark.runner \
+          examples/prep_training_data.py -- [sf_dir] [out_dir]
+
+Every stage is a declarative DataFrame rewrite from the operator library —
+the same composition works unchanged at cluster scale (each stage's 100 TB
+cost is documented in SCALE.md).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str]) -> int:
+    spark = SparkSession.getActiveSession()
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    out_dir = argv[1] if len(argv) > 1 else tempfile.mkdtemp(prefix="curated_")
+
+    from dask_ssh_docker_spark.functions.text import (
+        chunk_token_windows,
+        lang_id,
+        quality_score,
+        tokens,
+    )
+    from dask_ssh_docker_spark.operators.dedup import exact_dedup, minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. exact dedup (normalized content hash, min doc_id survives)
+    docs = exact_dedup(docs, "text", "doc_id")
+    n1 = docs.count()
+
+    # 2-3. quality + language gates (one JVM-side projection, no shuffle)
+    docs = docs.withColumn("quality", quality_score("text")).withColumn(
+        "lang_pred", lang_id("text")
+    )
+    docs = docs.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+    n2 = docs.count()
+
+    # 4. near-dup clustering; keep the canonical doc per cluster
+    clusters = minhash_dedup(docs, "text", "doc_id", threshold=0.5)
+    docs = docs.join(
+        clusters.filter("is_canonical").select("id"),
+        docs.doc_id == F.col("id"),
+        "left_semi",
+    )
+    n3 = docs.count()
+
+    # 5. chunk into overlapping context windows
+    staged = docs.select("doc_id", "lang_pred", "quality", tokens("text").alias("__t"))
+    chunks = staged.select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        F.posexplode(chunk_token_windows(F.col("__t"), 50, 25)).alias(
+            "chunk_idx", "chunk_text"
+        ),
+    )
+    chunks.write.mode("overwrite").parquet(out_dir)
+    n4 = spark.read.parquet(out_dir).count()
+
+    print(
+        f"PIPELINE docs={n0} after_exact={n1} after_quality={n2} "
+        f"after_neardup={n3} chunks={n4} out={out_dir}"
+    )
+    return 0
