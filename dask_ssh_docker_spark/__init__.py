@@ -23,7 +23,17 @@ copied from the reference.
 """
 
 from .session import get_session, stop_session
+from . import functions, operators, plans, sources, streaming  # noqa: F401
 
 __version__ = "0.1.0"
 
-__all__ = ["get_session", "stop_session", "__version__"]
+__all__ = [
+    "get_session",
+    "stop_session",
+    "functions",
+    "operators",
+    "plans",
+    "sources",
+    "streaming",
+    "__version__",
+]
