@@ -129,3 +129,66 @@ def test_minhash_identical_texts_identical_sigs(spark):
     }
     assert sigs[1] == sigs[2]  # normalization folds case/whitespace
     assert sigs[1] != sigs[3]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000), st.one_of(st.none(), st.floats(-100, 100))),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_interpolation_convex_envelope(spark, rows):
+    """Interpolated values never leave [min, max] of a key's observed
+    non-null values; observed values pass through unchanged."""
+    from dask_ssh_docker_spark.operators.interpolate import interpolate_linear
+
+    pdf = pd.DataFrame(rows, columns=["k", "tsec", "v"])
+    pdf["ts"] = pd.to_datetime(pdf["tsec"], unit="s")
+    out = interpolate_linear(
+        spark.createDataFrame(pdf[["k", "ts", "v"]]), "ts", "v", by="k"
+    ).toPandas()
+    for k, grp in out.groupby("k"):
+        obs = grp["v"].dropna()
+        if obs.empty:
+            assert grp["v_interp"].isna().all()
+            continue
+        filled = grp["v_interp"].dropna()
+        assert (filled >= obs.min() - 1e-9).all()
+        assert (filled <= obs.max() + 1e-9).all()
+        got = grp[grp["v"].notna()]
+        assert (got["v_interp"] == got["v"]).all()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.integers(1, 300), st.integers(5, 60), st.integers(2, 59))
+def test_chunking_coverage_property(spark, n_tokens, chunk, stride):
+    """Every token index is covered by >= 1 window; windows are <= chunk
+    tokens; chunk starts advance by stride."""
+    from dask_ssh_docker_spark.functions.text import chunk_token_windows
+
+    stride = min(stride, chunk)  # stride > chunk would skip tokens by design
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame(pd.DataFrame({"text": [text]}))
+    from dask_ssh_docker_spark.functions.text import tokens as tok
+
+    chunks = df.select(
+        chunk_token_windows(tok("text"), chunk, stride).alias("c")
+    ).first().c
+    seen = set()
+    for i, c in enumerate(chunks):
+        toks = c.split(" ")
+        assert len(toks) <= chunk
+        start = i * stride
+        seen.update(range(start, start + len(toks)))
+    assert seen == set(range(n_tokens))

@@ -1,0 +1,14 @@
+#!/usr/bin/env bash
+# All three gates in one shot (what the driver effectively runs):
+#   1. pytest suite          2. oracle gate (engine + plain sessions)
+#   3. bench JSON line
+set -e
+cd "$(dirname "$0")/.."
+echo "== pytest =="
+python -m pytest tests/ -q
+echo "== oracle (engine session) =="
+python tools/check_oracle.py
+echo "== oracle (plain driver-like session) =="
+python tools/check_oracle.py /root/testdata/sf0.01 --plain
+echo "== bench =="
+python bench.py
