@@ -231,16 +231,21 @@ def cluster_min_label(pairs: DataFrame, ids: DataFrame, cc_iters: int = 3) -> Da
             .groupBy("x")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        label = (
+        new_label = (
             label.join(neigh, "x", "left")
             .select(
                 "x",
                 F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("__chg"),
             )
             # cut lineage: without this each iteration re-executes every
             # prior iteration's joins (exponential recompute)
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        changed = new_label.filter("__chg").limit(1).count()
+        label = new_label.drop("__chg")
+        if changed == 0:  # converged — skip the remaining rounds
+            break
     return label.select(F.col("x").alias("id"), F.col("lbl").alias("cluster_id"))
 
 
