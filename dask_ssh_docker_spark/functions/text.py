@@ -192,20 +192,8 @@ def word_shingles_from_tokens(t: Column, norm: Column, k: int = 3) -> Column:
 def word_shingles(c: Column | str, k: int = 3) -> Column:
     """Word k-shingles (k-grams of whitespace tokens), distinct.
 
-    Empty/short docs yield a single shingle of the whole doc so they still
-    participate in Jaccard comparisons.
+    Single-expression convenience form; per-row-heavy pipelines should
+    materialize tokens first and call :func:`word_shingles_from_tokens`
+    (this simply delegates, so the two can never diverge).
     """
-    t = tokens(c)
-    n = F.size(t)
-    idx = F.sequence(F.lit(0), n - k)
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    # short docs (< k tokens): one shingle of the whole normalized text —
-    # also keeps element_at in-bounds under ANSI mode
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(
-        F.array(normalize_text(c))
-    )
+    return word_shingles_from_tokens(tokens(c), normalize_text(c), k)

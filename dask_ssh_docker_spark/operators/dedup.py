@@ -207,9 +207,12 @@ def jaccard_verify(
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", F.round(inter / F.nullif(union, F.lit(0.0)), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("__raw", inter / F.nullif(union, F.lit(0.0)))
+        # filter on the RAW ratio, round only the output — matching the
+        # SQL oracle, which filters unrounded (a 6dp-rounded filter would
+        # keep boundary pairs the oracle drops)
+        .filter(F.col("__raw") >= threshold)
+        .select("id_a", "id_b", F.round("__raw", 6).alias("jaccard"))
     )
 
 
@@ -394,15 +397,13 @@ def jaccard_pairs_exact(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.round(
-        F.col("n_common").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-        6,
-    )
+    jac_raw = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("__raw", jac_raw)
+        .filter(F.col("__raw") >= threshold)  # raw filter = oracle filter
+        .select("id_a", "id_b", F.round("__raw", 6).alias("jaccard"))
     )

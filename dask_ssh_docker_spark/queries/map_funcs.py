@@ -21,11 +21,11 @@ from .registry import query
     "map_functions_props",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
            list_sort(CAST(json_keys(props) AS VARCHAR[]))    AS prop_keys,
            len(json_keys(props))                             AS n_props,
-           json_extract_string(props, '$.k') IS NOT NULL     AS has_k,
-           json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
+           json_extract(props, '$.k') IS NOT NULL            AS has_k,
+           json_extract(props, '$.missing') IS NOT NULL     AS has_missing
     FROM events
     WHERE event_id < 500
     """,

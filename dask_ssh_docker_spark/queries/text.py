@@ -16,6 +16,7 @@ from ..functions.text import (
     LANG_MARKERS,
     LANG_PRIORITY,
     avg_token_length,
+    tokens,
     lang_id,
     md5_fingerprint,
     punct_ratio,
@@ -54,9 +55,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count("text").cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")))
-        .cast("bigint")
-        .alias("n_uniq_tokens"),
+        F.size(F.array_distinct(tokens("text"))).cast("bigint").alias("n_uniq_tokens"),
         avg_token_length("text").alias("avg_token_len"),
         word_token_count("text").alias("n_word_tokens"),
         punct_ratio("text").alias("punct_ratio"),

@@ -45,24 +45,30 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), document frequency from a grouped count (broadcast back),
     ranking window per doc.  The classic inverted-index scoring shape."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ").alias("t"),
-    )
+    from ..functions.text import tokens as _tokens
+
+    toks = docs.select("doc_id", _tokens("text").alias("t"))
     exploded = toks.select(
         "doc_id", F.size("t").alias("doc_len"), F.explode("t").alias("term")
     )
     tf = exploded.groupBy("doc_id", "doc_len", "term").agg(F.count("*").alias("cnt"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            (F.col("cnt").cast("double") / F.col("doc_len").cast("double"))
-            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
-            6,
-        ).alias("tfidf"),
+    # n_docs as a broadcast 1-row aggregate (mirrors the oracle's CROSS
+    # JOIN n) — keeps the plan lazy and single-scan instead of an eager
+    # docs.count() driver action at query-build time
+    n = docs.agg(F.count("*").cast("double").alias("__n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("doc_len").cast("double"))
+                * F.log(F.col("__n_docs") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window
 

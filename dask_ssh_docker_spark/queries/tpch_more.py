@@ -117,13 +117,13 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_share",
     oracle="""
-    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+    SELECT 100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO'
                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-                 ELSE CAST(0 AS DECIMAL(16,4)) END)
-           / SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-           AS DOUBLE) AS promo_share_pct
+                 ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE))
+           AS promo_share_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
 )
@@ -140,8 +140,9 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            (F.lit(100.0) * F.sum(promo) / F.sum(rev))
-            .cast("double")
+            # double-cast each exact sum FIRST, divide, scale last — both
+            # engines then perform the identical two IEEE ops
+            (F.lit(100.0) * (F.sum(promo).cast("double") / F.sum(rev).cast("double")))
             .alias("promo_share_pct")
         )
     )

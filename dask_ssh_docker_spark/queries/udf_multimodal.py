@@ -42,7 +42,7 @@ def multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_blob_metadata(df, "__blob")
     return out.select(
         "doc_id",
-        F.col("blob_size").cast("int").alias("blob_size"),
+        "blob_size",
         "blob_sha256",
         F.upper(F.hex(F.encode(F.substring("text", 1, 4), "utf-8"))).alias("head_hex"),
     )

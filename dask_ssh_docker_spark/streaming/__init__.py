@@ -31,10 +31,13 @@ def _staged_events_dir(sf_dir: str) -> str:
     import hashlib
     import os
 
+    sf_dir = os.path.abspath(sf_dir)  # a relative target would dangle
     d = f"/tmp/spark_graft_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
+    if os.path.islink(link) and not os.path.exists(link):
+        os.unlink(link)  # dangling link from a deleted source
+    if not os.path.islink(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     return d
 
@@ -184,4 +187,10 @@ def run_to_completion(
             .start()
         )
         q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    # detach from the memory sink (checkpointed copy) and drop the sink
+    # table — otherwise every call leaks its full result set in driver
+    # memory for the session lifetime
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
