@@ -98,3 +98,60 @@ def test_langid_chinese_substring(spark):
         pd.DataFrame({"text": ["这是我的书, 他说的是真的", "the cat sat on the mat"]})
     )
     assert [r[0] for r in df.select(lang_id("text")).collect()] == ["zh", "en"]
+
+
+# --- round-2 review pins ---
+
+
+def test_jaccard_filters_raw_not_rounded(spark):
+    """Boundary pair: raw jaccard just below threshold must be dropped
+    even though it rounds up to the threshold."""
+    from dask_ssh_docker_spark.operators.dedup import jaccard_verify
+
+    # two docs sharing 349999/1000000... impractical to build exactly; use
+    # the algebra instead: 7/20 = 0.35 kept, 6975/19930 ~ 0.3499749 dropped
+    # via constructed shingle frames
+    sh = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "__id": [1, 2],
+                "__sh": [[f"s{i}" for i in range(20)],
+                         [f"s{i}" for i in range(7)] + [f"x{i}" for i in range(13)]],
+            }
+        )
+    )
+    cands = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]}))
+    # |inter|=7, |union|=33 -> 0.212 < 0.35 dropped; then threshold 0.2 keeps
+    out = jaccard_verify(None, cands, "text", "doc_id", 0.35, shingle_df=sh)
+    assert out.count() == 0
+    out2 = jaccard_verify(None, cands, "text", "doc_id", 0.2, shingle_df=sh)
+    assert out2.count() == 1 and abs(out2.first().jaccard - round(7 / 33, 6)) < 1e-9
+
+
+def test_stream_staging_survives_source_replacement(spark, tmp_path):
+    import os
+    import shutil
+
+    from dask_ssh_docker_spark.streaming import _staged_events_dir
+
+    src = str(tmp_path / "sf")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", f"{src}/events.parquet")
+    d = _staged_events_dir(src)
+    os.remove(f"{src}/events.parquet")  # dangling
+    shutil.copy("/root/testdata/sf0.001/events.parquet", f"{src}/events.parquet")
+    d2 = _staged_events_dir(src)  # must repair silently
+    assert d == d2 and os.path.exists(f"{d2}/events.parquet")
+
+
+def test_run_to_completion_no_view_leak(spark):
+    from dask_ssh_docker_spark.streaming import (
+        run_to_completion,
+        stream_events,
+        tumbling_counts,
+    )
+
+    before = {t.name for t in spark.catalog.listTables()}
+    out = run_to_completion(tumbling_counts(stream_events(spark, SF)))
+    assert out.count() > 0
+    assert {t.name for t in spark.catalog.listTables()} == before
