@@ -43,7 +43,8 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
+    digits = m.group(1).strip(".") if m else ""
+    sf = float(digits) if digits else None
 
     from dask_ssh_docker_spark.queries import REGISTRY
     from dask_ssh_docker_spark.session import get_session

@@ -50,6 +50,13 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: st
     return spark.table(left_table).join(spark.table(right_table), on)
 
 
+def _left_salt(salt: int) -> F.Column:
+    """The salt routing expression salted_join applies to the large side
+    (exposed so tests assert the operator's own distribution, not a
+    re-implementation)."""
+    return (F.rand(seed=42) * salt).cast("int")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -73,7 +80,7 @@ def salted_join(
             f"salted_join supports how='inner'|'left' (got {how!r}); "
             "right/full outer would duplicate unmatched right replicas"
         )
-    l_salted = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    l_salted = left.withColumn("__salt", _left_salt(salt))
     r_salted = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

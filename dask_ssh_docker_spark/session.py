@@ -25,6 +25,7 @@ Defaults are tuned for analytics at scale:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -47,8 +48,14 @@ def default_conf(parallelism: int | None = None, master: str | None = None) -> d
     non-skew shuffle, so undersizing from the driver's CPU count would
     cap cluster parallelism — the driver machine knows nothing about
     executor count)."""
-    p = parallelism or _default_parallelism()
     local = master is None or master.startswith("local")
+    p = parallelism
+    if p is None and master:
+        m = re.match(r"local\[(\d+)\]", master)
+        if m:  # explicit local[N] wins over host CPU count
+            p = int(m.group(1))
+    if p is None:
+        p = _default_parallelism()
     shuffle_parts = max(p, 8) if local else max(p, 400)
     return {
         # --- optimizer / runtime re-planning ---

@@ -190,5 +190,8 @@ def test_chunking_coverage_property(spark, n_tokens, chunk, stride):
         toks = c.split(" ")
         assert len(toks) <= chunk
         start = i * stride
+        # verify CONTENT, not just count: tokens are position-encoded, so a
+        # shifted slice would fail here
+        assert toks == [f"t{j}" for j in range(start, start + len(toks))]
         seen.update(range(start, start + len(toks)))
     assert seen == set(range(n_tokens))

@@ -88,7 +88,9 @@ def test_remote_master_shuffle_sizing():
     from dask_ssh_docker_spark.session import default_conf
 
     assert int(default_conf(master="spark://h:7077")["spark.sql.shuffle.partitions"]) >= 400
-    assert int(default_conf(master="local[8]")["spark.sql.shuffle.partitions"]) <= 64
+    # local[N] is parsed from the master string, independent of host CPUs
+    assert int(default_conf(master="local[8]")["spark.sql.shuffle.partitions"]) == 8
+    assert int(default_conf(master="local[2]")["spark.sql.shuffle.partitions"]) == 8  # floor
 
 
 def test_langid_chinese_substring(spark):
@@ -108,24 +110,26 @@ def test_jaccard_filters_raw_not_rounded(spark):
     even though it rounds up to the threshold."""
     from dask_ssh_docker_spark.operators.dedup import jaccard_verify
 
-    # two docs sharing 349999/1000000... impractical to build exactly; use
-    # the algebra instead: 7/20 = 0.35 kept, 6975/19930 ~ 0.3499749 dropped
-    # via constructed shingle frames
+    # true boundary: raw = 17/48 = 0.3541666..; round6 = 0.354167 > raw.
+    # threshold BETWEEN them distinguishes raw-filter (drop) from
+    # rounded-filter (keep) - the exact regression this pin guards.
     sh = spark.createDataFrame(
         pd.DataFrame(
             {
                 "__id": [1, 2],
-                "__sh": [[f"s{i}" for i in range(20)],
-                         [f"s{i}" for i in range(7)] + [f"x{i}" for i in range(13)]],
+                "__sh": [[f"c{i}" for i in range(17)] + [f"a{i}" for i in range(14)],
+                         [f"c{i}" for i in range(17)] + [f"b{i}" for i in range(17)]],
             }
         )
     )
     cands = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]}))
-    # |inter|=7, |union|=33 -> 0.212 < 0.35 dropped; then threshold 0.2 keeps
-    out = jaccard_verify(None, cands, "text", "doc_id", 0.35, shingle_df=sh)
-    assert out.count() == 0
-    out2 = jaccard_verify(None, cands, "text", "doc_id", 0.2, shingle_df=sh)
-    assert out2.count() == 1 and abs(out2.first().jaccard - round(7 / 33, 6)) < 1e-9
+    raw = 17 / 48
+    thr = (raw + round(raw, 6)) / 2  # strictly between raw and its rounding
+    assert raw < thr < round(raw, 6)
+    out = jaccard_verify(None, cands, "text", "doc_id", thr, shingle_df=sh)
+    assert out.count() == 0  # raw filter drops; a rounded filter would keep
+    out2 = jaccard_verify(None, cands, "text", "doc_id", raw - 1e-9, shingle_df=sh)
+    assert out2.count() == 1 and abs(out2.first().jaccard - round(raw, 6)) < 1e-9
 
 
 def test_stream_staging_survives_source_replacement(spark, tmp_path):

@@ -65,12 +65,10 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         "user_id", "ts", F.col("event_id").alias("click_id")
     )
     purchases = stream_events(spark, sf).filter("event_type = 'purchase'").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
-        F.col("event_id").alias("purchase_id"),
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
     )
     joined = stream_stream_interval_join(
-        clicks, purchases.withColumnRenamed("p_user", "user_id").withColumnRenamed("p_ts", "ts2")
-        .withColumnRenamed("ts2", "ts"), "user_id", within="30 minutes"
+        clicks, purchases, "user_id", within="30 minutes"
     ).select("click_id", "purchase_id")
     got = run_to_completion(joined, output_mode="append").toPandas()
 

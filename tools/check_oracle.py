@@ -33,6 +33,12 @@ def norm_cell(v):
     if v is None or v != v:  # NaN/None normalize
         return "∅"
     if isinstance(v, float):
+        import math
+
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+        if v == 0.0:
+            return "0.000000"  # fold -0.0 (sign of zero is engine-dependent)
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.6f}"
         return f"{v:.6g}" if abs(v) > 1e14 else f"{v:.6f}"
@@ -40,8 +46,6 @@ def norm_cell(v):
         return v.isoformat()
     if type(v).__name__ == "date":  # datetime.date ≡ midnight timestamp
         return pd.Timestamp(v).isoformat()
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
@@ -82,6 +86,11 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+
+    unknown = only - set(REGISTRY)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
 
     failures = []
     for name, spec in REGISTRY.items():
