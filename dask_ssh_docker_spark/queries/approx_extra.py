@@ -113,3 +113,29 @@ def describe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("o_totalprice").alias("median_v"),
         F.round(F.stddev_samp("o_totalprice"), 6).alias("std_r"),
     )
+
+
+@query(
+    "group_quantiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE))
+             AS p50,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE))
+             AS p90,
+           percentile_cont(0.99) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE))
+             AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (Dask ``groupby.quantile`` exact flavor).
+    Both engines implement SQL percentile_cont linear interpolation on the
+    sorted values, so results hash-match without rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
