@@ -649,3 +649,68 @@ def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("price")
     )
     return orders.unionByName(cust, allowMissingColumns=True)
+
+
+@query(
+    "merge_indicator",
+    oracle="""
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL THEN 'both'
+                WHEN c.c_custkey IS NOT NULL THEN 'left_only'
+                ELSE 'right_only' END AS _merge,
+           COUNT(*) AS n
+    FROM (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 8000) c
+    FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def merge_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas/Dask ``merge(indicator=True)``: provenance column marking
+    both/left_only/right_only per joined key."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 8000)
+        .select("c_custkey")
+        .distinct()
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    merge = (
+        F.when(c.c_custkey.isNotNull() & o.o_custkey.isNotNull(), "both")
+        .when(c.c_custkey.isNotNull(), "left_only")
+        .otherwise("right_only")
+    )
+    return (
+        joined.select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            merge.alias("_merge"),
+        )
+        .groupBy("custkey", "_merge")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "explode_outer_null_preserving",
+    oracle="""
+    SELECT p_partkey, word
+    FROM (
+      SELECT p_partkey,
+             CASE WHEN p_size > 30 THEN string_split(p_name, ' ') END AS words
+      FROM part
+    ) LEFT JOIN LATERAL unnest(words) AS t(word) ON true
+    """,
+)
+def explode_outer_null_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: rows with a null/empty array survive with a null
+    element (plain explode would drop them) — the LEFT-JOIN-LATERAL
+    semantics of the SQL oracle."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.when(F.col("p_size") > 30, F.split("p_name", " "))
+    return p.select("p_partkey", F.explode_outer(words).alias("word"))
