@@ -371,3 +371,27 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+@query(
+    "numeric_format_conv",
+    oracle="""
+    SELECT o_orderkey,
+           lower(to_hex(o_orderkey))     AS key_hex,
+           bin(o_orderkey)               AS key_bin,
+           printf('%.2f', o_totalprice)  AS price_str
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+)
+def numeric_format_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base conversion + fixed-point string formatting (Dask ``map`` with
+    format strings → JVM conv/format_string).  bin() strips leading zeros
+    in both engines; printf %.2f rounds half-even identically."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.lower(F.hex("o_orderkey")).alias("key_hex"),
+        F.conv(F.col("o_orderkey").cast("string"), 10, 2).alias("key_bin"),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("price_str"),
+    )
