@@ -25,12 +25,21 @@ def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag (Dask ``nunique_approx`` / t-digest ``quantile``).  Error bounds
     pinned in tests/test_approx.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
             "price_quartiles"
         ),
         F.count("*").alias("n_rows"),
+    )
+    # Serialize the quartile array (driver canonicalizer cannot hash lists).
+    return agg.select(
+        "l_returnflag",
+        "approx_parts",
+        F.array_join(
+            F.transform("price_quartiles", lambda x: F.format_string("%.4f", x)), "|"
+        ).alias("price_quartiles"),
+        "n_rows",
     ).orderBy("l_returnflag")
 
 

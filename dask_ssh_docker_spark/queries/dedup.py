@@ -38,15 +38,22 @@ _SHINGLES = f"""
     SELECT fp,
            MIN(doc_id) AS canonical_id,
            COUNT(*)    AS n_members,
-           list_sort(list(doc_id)) AS member_ids
+           array_to_string(list_sort(list(doc_id)), '|') AS member_ids
     FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
     GROUP BY fp
     """,
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups by content hash — only (hash, id) shuffles."""
+    """Exact dedup groups by content hash — only (hash, id) shuffles.
+
+    ``member_ids`` is serialized to a '|'-joined string at the query
+    boundary (driver canonicalizer cannot hash list cells)."""
     docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup_groups(docs, "text", "doc_id")
+    out = exact_dedup_groups(docs, "text", "doc_id")
+    return out.withColumn(
+        "member_ids",
+        F.array_join(F.transform("member_ids", lambda x: x.cast("string")), "|"),
+    )
 
 
 @query(

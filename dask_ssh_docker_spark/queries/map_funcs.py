@@ -22,7 +22,8 @@ from .registry import query
     oracle="""
     SELECT event_id,
            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-           list_sort(CAST(json_keys(props) AS VARCHAR[]))    AS prop_keys,
+           array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), '|')
+                                                             AS prop_keys,
            len(json_keys(props))                             AS n_props,
            json_extract(props, '$.k') IS NOT NULL            AS has_k,
            json_extract(props, '$.missing') IS NOT NULL     AS has_missing
@@ -38,7 +39,7 @@ def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.element_at(m, "k").alias("k_value"),
-        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("prop_keys"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_props"),
         F.map_contains_key(m, "k").alias("has_k"),
         F.map_contains_key(m, "missing").alias("has_missing"),

@@ -247,35 +247,50 @@ def json_map_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       p_partkey,
-      words,
+      COALESCE(array_to_string(words, '|'), '')         AS words,
       len(words)                                        AS n_words,
-      list_transform(words, w -> upper(w))              AS words_upper,
-      list_filter(words, w -> length(w) > 4)            AS long_words,
+      COALESCE(array_to_string(list_transform(words, w -> upper(w)), '|'), '')
+                                                        AS words_upper,
+      COALESCE(array_to_string(list_filter(words, w -> length(w) > 4), '|'), '')
+                                                        AS long_words,
       array_contains(words, 'red')                      AS has_red,
       CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS BIGINT)
                                                         AS total_chars,
-      list_sort(list_distinct(words))                   AS uniq_sorted
+      COALESCE(array_to_string(list_sort(list_distinct(words)), '|'), '')
+                                                        AS uniq_sorted
     FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
     """,
 )
 def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ArrayType + higher-order functions (transform/filter/aggregate) —
-    richer than the Dask object-column equivalent, all JVM-side."""
+    richer than the Dask object-column equivalent, all JVM-side.
+
+    Result-schema policy: ArrayType output columns are serialized with
+    ``array_join(..., '|')`` (oracle ``array_to_string``) because the
+    driver's canonicalizer cannot hash list cells (round-1 red row).
+    The higher-order computation itself still runs on real arrays.
+    """
     p = load_table(spark, sf_dir, "part")
     words = F.split("p_name", " ")
     return p.select("p_partkey", words.alias("words")).select(
         "p_partkey",
-        "words",
+        F.array_join("words", "|").alias("words"),
         F.size("words").cast("bigint").alias("n_words"),
-        F.transform("words", lambda w: F.upper(w)).alias("words_upper"),
-        F.filter("words", lambda w: F.length(w) > 4).alias("long_words"),
+        F.array_join(
+            F.transform("words", lambda w: F.upper(w)), "|"
+        ).alias("words_upper"),
+        F.array_join(
+            F.filter("words", lambda w: F.length(w) > 4), "|"
+        ).alias("long_words"),
         F.array_contains("words", "red").alias("has_red"),
         F.aggregate(
             F.transform("words", lambda w: F.length(w).cast("bigint")),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         ).alias("total_chars"),
-        F.array_sort(F.array_distinct("words")).alias("uniq_sorted"),
+        F.array_join(F.array_sort(F.array_distinct("words")), "|").alias(
+            "uniq_sorted"
+        ),
     )
 
 

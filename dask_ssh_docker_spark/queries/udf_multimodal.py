@@ -94,18 +94,28 @@ def udf_groupby_apply_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(value AS DOUBLE) AS duration,
-           [CAST(floor(CAST(i AS DOUBLE) * CAST(value AS DOUBLE) * 1000.0 / 8.0) AS BIGINT)
-            for i in generate_series(0, 7)] AS frame_offsets_ms
+           array_to_string(
+             [CAST(floor(CAST(i AS DOUBLE) * CAST(value AS DOUBLE) * 1000.0 / 8.0) AS BIGINT)
+              for i in generate_series(0, 7)], '|') AS frame_offsets_ms
     FROM events
     WHERE event_type = 'view'
     """,
 )
 def udf_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: 8 uniform millisecond offsets over a
-    declared duration (events.value standing in for clip seconds)."""
+    declared duration (events.value standing in for clip seconds).
+
+    Offsets serialized '|'-joined at the query boundary (no ArrayType in
+    driver-visible output per the result-schema policy)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
     out = sample_frame_offsets(ev.withColumn("duration", F.col("value")), "value", 8)
-    return out.select("event_id", "duration", "frame_offsets_ms")
+    return out.select(
+        "event_id",
+        "duration",
+        F.array_join(
+            F.transform("frame_offsets_ms", lambda x: x.cast("string")), "|"
+        ).alias("frame_offsets_ms"),
+    )
 
 
 @query("multimodal_decode_stub", oracle=None)

@@ -35,7 +35,7 @@ def test_percentile_approx_bracketed(spark):
         REGISTRY["approx_distinct_quantiles"].fn(spark, SF)
         .filter("l_returnflag = 'N'").first()
     )
-    q25, q50, q75 = row.price_quartiles
+    q25, q50, q75 = (float(x) for x in row.price_quartiles.split("|"))
     li = load_table(spark, SF, "lineitem").filter("l_returnflag = 'N'")
     lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
     assert lo <= q25 <= q50 <= q75 <= hi
