@@ -17,4 +17,5 @@ from .text import (  # noqa: F401
     tokens,
     word_shingles,
 )
+from .scan import cumulative_product  # noqa: F401
 from .vector import cosine_similarity, dot, l2_norm  # noqa: F401

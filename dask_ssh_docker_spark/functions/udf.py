@@ -36,6 +36,99 @@ def map_partitions(df: DataFrame, fn: Callable[[pd.DataFrame], pd.DataFrame], sc
     return df.mapInPandas(gen, schema)
 
 
+def map_overlap(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    before: int,
+    after: int,
+    schema: str,
+    *,
+    order_by: list[str],
+    by: str | list[str] | None = None,
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """``dd.DataFrame.map_overlap(fn, before, after)`` [Dask public API].
+
+    Dask hands each positional partition to ``fn`` extended with ``before``
+    trailing rows of the previous partition and ``after`` leading rows of
+    the next, then drops the halo from the output.  Spark has no positional
+    partitions at the API level, so the equivalent is built explicitly:
+
+    1. per ``by``-key (or globally if ``by`` is None — which forces a
+       single-partition window and is only for small frames), rows are
+       numbered in ``order_by`` order and split into chunks of
+       ``chunk_rows``;
+    2. each row is exploded into its own chunk (core) plus, where within
+       ``before``/``after`` of a boundary, the neighboring chunk (halo) —
+       shuffle volume = rows × (1 + (before+after)/chunk_rows), marginal
+       for halo ≪ chunk;
+    3. ``applyInPandas`` per (key, chunk): ``fn`` sees the halo-extended
+       frame in order and must return one output row per input row
+       (positionally aligned, like Dask); halo positions are dropped from
+       the output.
+
+    ``fn`` must not change the row count; helper columns are stripped
+    before ``fn`` sees the frame.  Scale: the only shuffle is the
+    (key, chunk) grouping; chunk size bounds worker memory exactly like
+    Dask's partition size does.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if before < 0 or after < 0:
+        raise ValueError("before/after must be >= 0")
+    if before >= chunk_rows or after >= chunk_rows:
+        raise ValueError("halo must be smaller than chunk_rows")
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    w = (
+        Window.partitionBy(*keys).orderBy(*order_by)
+        if keys
+        else Window.orderBy(*order_by)
+    )
+    # Materialize the row number in its own projection first: window
+    # expressions cannot appear inside a generator (explode) — and the
+    # single evaluation also keeps Catalyst from re-deriving it per use.
+    df = df.withColumn("__rn", F.row_number().over(w) - 1)
+    rn = F.col("__rn")
+    b0 = F.floor(rn / chunk_rows)
+    memberships = F.array_compact(
+        F.array(
+            F.struct(b0.alias("c"), F.lit(True).alias("core")),
+            # last `before` rows of chunk b are the leading halo of b+1
+            F.when(
+                F.lit(before > 0) & (rn >= (b0 + 1) * chunk_rows - before),
+                F.struct((b0 + 1).alias("c"), F.lit(False).alias("core")),
+            ),
+            # first `after` rows of chunk b are the trailing halo of b-1
+            F.when(
+                F.lit(after > 0) & (b0 > 0) & (rn < b0 * chunk_rows + after),
+                F.struct((b0 - 1).alias("c"), F.lit(False).alias("core")),
+            ),
+        )
+    )
+    exploded = (
+        df.withColumn("__m", F.explode(memberships))
+        .select("*", F.col("__m.c").alias("__chunk"), F.col("__m.core").alias("__core"))
+        .drop("__m")
+    )
+
+    helper = ["__rn", "__chunk", "__core"]
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__rn", kind="mergesort").reset_index(drop=True)
+        core = pdf["__core"].to_numpy()
+        out = fn(pdf.drop(columns=helper))
+        if len(out) != len(pdf):
+            raise ValueError(
+                f"map_overlap fn must preserve row count: got {len(out)} "
+                f"rows for {len(pdf)} inputs"
+            )
+        return out.iloc[core].reset_index(drop=True)
+
+    return exploded.groupBy(*keys, "__chunk").applyInPandas(apply, schema)
+
+
 def groupby_apply(
     df: DataFrame,
     keys: list[str],

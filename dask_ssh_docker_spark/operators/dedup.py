@@ -20,9 +20,9 @@ Design for 100 TB:
 
 All candidate→cluster steps keep the *minimum id per cluster* as canonical
 (deterministic survivor).  Cluster closure uses iterated min-label
-propagation on the candidate edge set (bounded iterations; near-dup
-clusters are shallow in practice — chains longer than ``cc_iters`` hops
-collapse progressively per extra iteration).
+propagation on the candidate edge set, run to convergence under a hard
+iteration cap — hitting the cap while labels still move raises (strict) or
+warns, never silently splits a component.
 """
 
 from __future__ import annotations
@@ -216,13 +216,20 @@ def jaccard_verify(
     )
 
 
-def cluster_min_label(pairs: DataFrame, ids: DataFrame, cc_iters: int = 3) -> DataFrame:
+def cluster_min_label(
+    pairs: DataFrame, ids: DataFrame, cc_iters: int = 20, strict: bool = True
+) -> DataFrame:
     """(id, cluster_id): connected components of the pair graph by iterated
     min-label propagation; singletons keep their own id.  Labels advance
-    one hop per round over the static edge set, so ``cc_iters`` rounds
-    collapse chains up to ``cc_iters`` hops — ample for near-dup clusters,
-    which are dense and shallow (raise it for long-chain graphs).
+    one hop per round over the static edge set, so convergence needs as
+    many rounds as the widest component's min-label chain; the loop runs
+    TO CONVERGENCE (no label changed) with ``cc_iters`` as a hard cap.
+    Near-dup clusters are dense and shallow, so the default cap is ample;
+    if the cap is hit while labels are still moving, the components are
+    split — ``strict=True`` (default) raises, ``strict=False`` warns and
+    returns the partial labels.
     """
+    import warnings
     edges = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .union(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
@@ -249,6 +256,16 @@ def cluster_min_label(pairs: DataFrame, ids: DataFrame, cc_iters: int = 3) -> Da
         label = new_label.drop("__chg")
         if changed == 0:  # converged — skip the remaining rounds
             break
+    else:  # cap hit with labels still moving → components are split
+        msg = (
+            f"cluster_min_label did not converge within cc_iters={cc_iters} "
+            "rounds; a connected component wider than the cap is split into "
+            "multiple clusters. Raise cc_iters (each round is one shuffle "
+            "over the edge set)."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return label.select(F.col("x").alias("id"), F.col("lbl").alias("cluster_id"))
 
 
@@ -333,7 +350,24 @@ def simhash_dedup_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by simhash: pigeonhole banding (hamming ≤ bands-1 ⇒
-    some 64/bands-bit band equal) then exact xor+bit_count verification."""
+    some 64/bands-bit band equal) then exact xor+bit_count verification.
+
+    Candidate recall is GUARANTEED only for ``max_hamming <= bands - 1``
+    (pigeonhole: k differing bits can touch at most k bands); a larger
+    ``max_hamming`` would silently miss qualifying pairs, and a ``bands``
+    that doesn't divide 64 would silently drop signature bits — both are
+    rejected rather than degraded."""
+    if 64 % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide the 64-bit signature evenly "
+            "(a remainder would silently drop signature bits)"
+        )
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"bands-1={bands - 1}; use bands >= max_hamming+1 "
+            f"(e.g. bands={max_hamming + 1}) for full candidate recall"
+        )
     width = 64 // bands
     sig = df.select(
         F.col(id_col).alias("id"), simhash_signature(text_col).alias("sig")

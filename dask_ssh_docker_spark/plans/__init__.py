@@ -51,6 +51,26 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def hinted_broadcast_tables(df: DataFrame) -> set[str]:
+    """First output column of each relation sitting under a
+    ``ResolvedHint (strategy=broadcast)`` node in the *analyzed* logical
+    plan.  This identifies tables carrying a FORCED broadcast hint — as
+    opposed to broadcasts chosen by the planner/AQE from size estimates,
+    which never appear as hints.  Scale policy: only fixed-cardinality
+    dims (region/nation) may show up here; a hint on a scale-growing
+    table (customer/supplier/part → first columns ``c_*``/``s_*``/``p_*``)
+    is a 100 TB OOM bug."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    out: set[str] = set()
+    for m in re.finditer(
+        r"ResolvedHint \(strategy=broadcast\)(?:.*?)Relation \[([A-Za-z_0-9]+)",
+        plan,
+        re.S,
+    ):
+        out.add(m.group(1))
+    return out
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
 

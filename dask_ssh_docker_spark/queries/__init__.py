@@ -39,6 +39,96 @@ from . import tpch_more  # noqa: E402,F401
 from . import text_rank_binning  # noqa: E402,F401
 
 
+# ---------------------------------------------------------------------------
+# Registration priority.
+#
+# The driver's correctness gate checks queries in registration order and has
+# a bounded budget (round 1 recorded exactly the first 50 names, leaving the
+# entire LLM-pipeline set unchecked).  Rebuild REGISTRY in an explicit
+# priority order so the driver window covers, in order:
+#   1. queries changed this round (must re-prove green),
+#   2. never-driver-checked oracle-bearing queries (the §2.H LLM set,
+#      TPC-H extras, subqueries, reshape/sort/describe),
+#   3. rows-only queries (weaker driver check; all pytest-pinned),
+#   4. round-1 driver-green queries (already on record).
+# Names not listed keep their import order after the listed ones.
+# ---------------------------------------------------------------------------
+
+_PRIORITY = [
+    # -- changed this round (array serialization / broadcast policy) --
+    "array_higher_order",
+    "dedup_exact_groups",
+    "udf_frame_offsets",
+    "map_functions_props",
+    "q3_top_unshipped_orders",
+    "q5_region_revenue",
+    "join_range_theta",
+    # -- new this round --
+    "window_cummax",
+    "window_cummin",
+    "window_cumprod",
+    "map_overlap_centered_mean",
+    "read_fwf_roundtrip",
+    # -- never driver-checked, oracle-bearing --
+    "asof_forward",
+    "asof_nearest",
+    "text_stats",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_jaccard_pairs",
+    "sim_topk_bruteforce",
+    "sim_neardup_pairs",
+    "stream_tumbling_counts",
+    "multimodal_blob_metadata",
+    "udf_groupby_apply_median",
+    "agg_cube",
+    "custom_agg_geomean",
+    "describe_summary",
+    "group_quantiles_exact",
+    "subq_scalar_small_orders",
+    "subq_exists_bulk",
+    "subq_not_in_parts",
+    "subq_having_big_customers",
+    "sql_api_window_share",
+    "pivot_returnflag",
+    "melt_unpivot",
+    "sort_global",
+    "categorical_encode",
+    "agg_first_last_by_time",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "q19_disjunctive_predicates",
+    "text_tfidf_top_terms",
+    "histogram_order_prices",
+    "interpolate_time_linear",
+    "text_chunk_windows",
+    # -- rows-only (driver does a weaker rows-only check; pytest-pinned) --
+    "approx_distinct_quantiles",
+    "dedup_minhash_clusters",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "stream_sessionize",
+    "dedup_simhash_pairs",
+    "sim_neardup_lsh",
+    "multimodal_decode_stub",
+]
+
+
+def _reorder_registry() -> None:
+    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()
+
+
 def spark_queries():
     """dict name -> (spark, sf_dir) -> DataFrame, for ``__spark_entry__``."""
     return {name: spec.fn for name, spec in REGISTRY.items()}

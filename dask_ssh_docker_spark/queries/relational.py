@@ -95,9 +95,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-fact shuffle join + broadcast dim filter + agg + top-k.
+    """Fact-fact shuffle join + dim filter + agg + top-k.
 
-    ``customer`` is tiny relative to the facts → broadcast; the
+    ``customer`` grows with scale factor, so it gets NO forced broadcast
+    hint — AQE's size-based dynamic broadcast picks the strategy at
+    runtime (broadcast at small SF, shuffle join at 100 TB).  The
     orders⋈lineitem equi-join shuffles on the order key (at 100 TB both
     facts would be bucketed by orderkey to make this co-located).
     """
@@ -114,7 +116,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (one - dec("l_discount", RATE_DEC))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -143,8 +145,11 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six-table star join: every dimension is broadcast, so the only
-    shuffle is the lineitem⋈orders fact join + the final aggregation."""
+    """Six-table star join.  Only the fixed-cardinality dims (region=5,
+    nation=25) carry broadcast hints; customer/supplier grow linearly
+    with scale factor, so their join strategy is left to AQE's
+    size-threshold dynamic broadcast — forced hints there would OOM
+    executors at the 100 TB design point."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -158,9 +163,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (one - dec("l_discount", RATE_DEC))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (supp.s_nationkey == cust.c_nationkey),
         )
@@ -260,14 +265,17 @@ def join_cross_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range/theta) join → broadcast nested-loop on the small
-    side.  At scale this family needs binning/interval-join rewrites; the
-    library form lives in ``operators.asof`` for the ordered case."""
+    side.  The broadcast hint goes on the *bounded* side (orders filtered
+    to a constant key range — fixed size at any SF), never on ``part``,
+    which grows with scale factor.  At scale this family needs
+    binning/interval-join rewrites; the library form lives in
+    ``operators.asof`` for the ordered case."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
     part = load_table(spark, sf_dir, "part")
     cond = (orders.o_totalprice >= part.p_retailprice * 100) & (
         orders.o_totalprice <= part.p_retailprice * 100 + 500
     )
-    return orders.join(F.broadcast(part), cond).select("o_orderkey", "p_partkey")
+    return part.join(F.broadcast(orders), cond).select("o_orderkey", "p_partkey")
 
 
 # ---------------------------------------------------------------------------
@@ -597,6 +605,41 @@ def concat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def smoke_delayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.range(1000).agg(F.sum("id").cast("bigint").alias("total"))
+
+
+@query(
+    "read_fwf_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def read_fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``read_fwf`` end-to-end (§2.B): nation rendered to fixed-width
+    text, read back via the substring-projection reader, values proven
+    identical to the parquet source by the oracle."""
+    import hashlib
+    import tempfile
+
+    from ..sources import read_fwf
+
+    nation = load_table(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.concat(
+            F.rpad(F.col("n_nationkey").cast("string"), 4, " "),
+            F.rpad(F.col("n_name"), 26, " "),
+            F.rpad(F.col("n_regionkey").cast("string"), 4, " "),
+        ).alias("value")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/spark_graft_fwf_{tag}"
+    lines.write.mode("overwrite").text(path)
+    return read_fwf(
+        spark,
+        path,
+        colspecs=[(0, 4), (4, 30), (30, 34)],
+        names=["n_nationkey", "n_name", "n_regionkey"],
+        dtypes=["long", "string", "long"],
+    )
 
 
 @query(

@@ -68,7 +68,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: lost revenue from returned items, top-20 customers."""
+    """TPC-H Q10: lost revenue from returned items, top-20 customers.
+
+    ``nation`` (25 rows at any SF) keeps its broadcast hint; ``customer``
+    grows with SF, so its join strategy is left to AQE dynamic broadcast
+    (a forced hint would OOM executors at 100 TB)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp")
@@ -79,7 +83,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = dec("l_extendedprice") * (one - dec("l_discount", RATE_DEC))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -129,7 +133,8 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional revenue share (decimal ratio surfaced
-    as one double division)."""
+    as one double division).  ``part`` grows with SF — no forced
+    broadcast; AQE picks the strategy."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     one = F.lit(1).cast(RATE_DEC)
@@ -138,7 +143,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(16,4)")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             # double-cast each exact sum FIRST, divide, scale last — both
             # engines then perform the identical two IEEE ops
@@ -160,7 +165,9 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs across both join sides (the optimizer
-    must keep the join predicate separable from the residual filter)."""
+    must keep the join predicate separable from the residual filter).
+    ``part`` grows with SF — no forced broadcast; AQE picks the
+    strategy."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     cond = (
@@ -169,7 +176,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_type") == "ECONOMY") & (F.col("l_discount") > 0.07))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(dsum("l_extendedprice").alias("gross_revenue"), F.count("*").alias("n"))
     )

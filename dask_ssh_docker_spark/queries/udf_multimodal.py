@@ -126,3 +126,66 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
     return decode_image_meta(blobs, "blob", "doc_id", fake=True).orderBy("doc_id")
+
+
+@query(
+    "map_overlap_centered_mean",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS DOUBLE) AS centered_avg5
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+    )
+    """,
+)
+def map_overlap_centered_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``map_overlap(fn, before=2, after=2)`` (Dask signature) driving a
+    centered 5-row moving average per user — the halo rows let each chunk
+    compute edge-correct results, exactly like Dask partition halos.
+
+    chunk_rows=64 forces many chunk boundaries per user at sf0.01, so the
+    halo path is genuinely exercised by the oracle comparison.  Exactness:
+    events.value is exact at 6dp, so sums run in integer micro-units and
+    the (sum → double) / count division sequence matches the oracle's
+    decimal-window arithmetic bit-for-bit.
+    """
+    import numpy as np
+
+    from ..functions.udf import map_overlap
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def centered(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        mu = np.rint(pdf["value"].to_numpy() * 1e6).astype(np.int64)
+        c = np.concatenate([[0], np.cumsum(mu)])
+        idx = np.arange(n)
+        lo = np.maximum(idx - 2, 0)
+        hi = np.minimum(idx + 2, n - 1)
+        s = c[hi + 1] - c[lo]
+        cnt = (hi - lo + 1).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "centered_avg5": (s / 1e6) / cnt,
+            }
+        )
+
+    return map_overlap(
+        ev,
+        centered,
+        before=2,
+        after=2,
+        schema="user_id long, event_id long, centered_avg5 double",
+        order_by=["ts", "event_id"],
+        by="user_id",
+        chunk_rows=64,
+    )

@@ -144,6 +144,105 @@ def window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_cummax",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      MAX(value) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS running_max
+    FROM events
+    """,
+)
+def window_cummax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cummax`` per key — order-insensitive comparison, exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.max("value").over(w).alias("running_max"),
+    )
+
+
+@query(
+    "window_cummin",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      MIN(value) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS running_min
+    FROM events
+    """,
+)
+def window_cummin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cummin`` per key — order-insensitive comparison, exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.min("value").over(w).alias("running_min"),
+    )
+
+
+@query(
+    "window_cumprod",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      round(exp(SUM(ln(1.0 + l_discount)) OVER (
+        PARTITION BY l_orderkey ORDER BY l_linenumber, l_discount
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )), 6) AS discount_compound
+    FROM lineitem
+    """,
+)
+def window_cumprod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cumprod`` per key via :func:`..functions.cumulative_product`
+    (sign/zero-aware log-domain running product — Spark has no product
+    window aggregate).  Factors ``1 + l_discount`` ∈ [1.0, 1.1] over ≤7
+    lines per order, so the log-domain accumulation stays well-conditioned;
+    rounded to 6dp to absorb the last transcendental ulp (both engines sum
+    the identical ``ln`` terms in the identical frame order).
+
+    Ordering note: (l_orderkey, l_linenumber) is NOT unique in the driver
+    testdata, so the frame also orders by ``l_discount`` — rows tying on
+    all three keys are interchangeable in output space (identical output
+    columns ⇒ the multiset of results is order-invariant), which keeps the
+    cross-engine hash deterministic without a synthetic row id."""
+    from ..functions import cumulative_product
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_discount")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            cumulative_product(F.lit(1.0) + F.col("l_discount"), w), 6
+        ).alias("discount_compound"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rolling windows — row-count frame and time-range frame (§2.I rolling)
 # ---------------------------------------------------------------------------

@@ -14,12 +14,21 @@ Replicates the contract of ``/root/reference/bin/dask-ssh-docker:34-99``:
   ``--master``/env the session is ``local[*]``; pointing
   ``SPARK_GRAFT_MASTER`` at a real cluster runs the same script unchanged;
 - dependency distribution (reference ``example/custom_image/Dockerfile``):
-  ``--py-files`` → ``spark.submit.pyFiles``.
+  ``--py-files`` → ``sc.addPyFile`` per entry (NOT just the
+  ``spark.submit.pyFiles`` conf: that conf is only honored by
+  ``spark-submit``, and ``getOrCreate`` ignores new conf on an existing
+  session — ``addPyFile`` ships the files on a live session regardless of
+  how it was built);
+- interactive hold (reference ``bin/dask-ssh-docker:71-74``: no script ⇒
+  keep the cluster up for a REPL): with no script the runner builds the
+  session, prints master/UI info, and blocks — an interactive Python REPL
+  with ``spark`` bound on a TTY, else until stdin EOF/ENTER — then tears
+  down.
 
 Usage::
 
     python -m dask_ssh_docker_spark.runner [--master M] [--conf k=v ...]
-        [--py-files a.zip,b.py] script.py [-- script args...]
+        [--py-files a.zip,b.py] [script.py [-- script args...]]
 """
 
 from __future__ import annotations
@@ -44,9 +53,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--py-files", default=None, help="comma-separated deps shipped to executors"
     )
-    p.add_argument("script", help="user script defining main(argv)")
+    p.add_argument(
+        "script",
+        nargs="?",
+        default=None,
+        help="user script defining main(argv); omit to hold an interactive session",
+    )
     p.add_argument("script_args", nargs="*", help="args after -- go to the script")
     return p
+
+
+def _hold(spark) -> int:
+    """No-script hold mode (reference ``bin/dask-ssh-docker:71-74``): keep
+    the session alive for interactive use, tear down on exit."""
+    sc = spark.sparkContext
+    ui = sc.uiWebUrl or "(ui disabled)"
+    print(f"spark-graft session up: master={sc.master} appId={sc.applicationId}")
+    print(f"web UI: {ui}")
+    if sys.stdin.isatty():
+        import code
+
+        code.interact(
+            banner="Interactive hold — `spark` is bound; exit() to tear down.",
+            local={"spark": spark},
+        )
+    else:
+        print("holding; press ENTER (or close stdin) to tear down")
+        try:
+            sys.stdin.readline()
+        except KeyboardInterrupt:
+            pass
+    print("tearing down session")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -69,8 +107,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.py_files:
         conf["spark.submit.pyFiles"] = args.py_files
 
-    spark = get_session(app_name=os.path.basename(args.script), master=args.master, conf=conf)
+    app_name = os.path.basename(args.script) if args.script else "spark-graft-hold"
+    spark = get_session(app_name=app_name, master=args.master, conf=conf)
     try:
+        if args.py_files:
+            # The conf above only matters under spark-submit; on a
+            # programmatically built (or pre-existing getOrCreate'd)
+            # session, addPyFile is what actually ships deps to executors.
+            for dep in args.py_files.split(","):
+                if dep.strip():
+                    spark.sparkContext.addPyFile(dep.strip())
+
+        if args.script is None:
+            if script_args:
+                raise SystemExit("script args given but no script (hold mode)")
+            return _hold(spark)
+
         script_path = os.path.abspath(args.script)
         if not os.path.exists(script_path):
             raise SystemExit(f"script not found: {args.script}")

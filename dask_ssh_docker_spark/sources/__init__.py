@@ -32,8 +32,13 @@ TABLES = (
     "embeddings",
 )
 
-#: Small dimension tables that should always be broadcast in joins.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
+#: Fixed-cardinality dimension tables (region=5, nation=25 rows at EVERY
+#: scale factor) — the only tables that may carry a forced broadcast hint.
+#: customer/supplier/part grow linearly with SF and must NOT be force-
+#: broadcast: at the 100 TB design point they are fact-sized and a hinted
+#: broadcast OOMs every executor.  Their join strategy is left to AQE's
+#: size-threshold dynamic broadcast.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def read_parquet(
@@ -81,6 +86,39 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     return reader.json(path)
 
 
+def read_fwf(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[int, int]],
+    names: list[str],
+    dtypes: list[str] | None = None,
+) -> DataFrame:
+    """``pd.read_fwf``-style fixed-width reader (Dask ``dd.read_fwf``).
+
+    ``colspecs`` are 0-based half-open ``(start, end)`` byte offsets per
+    column, pandas-convention; values are trimmed and optionally cast via
+    ``dtypes`` (Spark type names, parallel to ``names``).
+
+    Built as a substring projection over ``spark.read.text`` — the line
+    scan parallelizes over file splits like any text source, and the
+    fixed-offset substrings stay inside WholeStageCodegen (no Python).
+    """
+    if len(colspecs) != len(names):
+        raise ValueError("colspecs and names must have the same length")
+    if dtypes is not None and len(dtypes) != len(names):
+        raise ValueError("dtypes must parallel names")
+    from pyspark.sql import functions as F
+
+    txt = spark.read.text(path)
+    cols = []
+    for i, ((start, end), name) in enumerate(zip(colspecs, names)):
+        c = F.trim(F.substring("value", start + 1, end - start))
+        if dtypes is not None:
+            c = c.cast(dtypes[i])
+        cols.append(c.alias(name))
+    return txt.select(*cols)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """``dd.read_orc`` equivalent."""
     return spark.read.orc(path)
@@ -109,6 +147,45 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10000,
+    num_partitions: int | None = None,
+    isolation_level: str | None = None,
+    **options: str,
+) -> None:
+    """``dd.to_sql`` equivalent → ``df.write.jdbc``.
+
+    - ``batch_size`` → JDBC ``batchsize`` (rows per INSERT batch — the
+      dominant throughput knob);
+    - ``num_partitions`` caps concurrent connections (coalesce, not
+      repartition: narrowing needs no shuffle);
+    - ``mode`` follows Spark semantics (``append``/``overwrite``/
+      ``ignore``/``error``), matching pandas/Dask ``if_exists``.
+
+    No database ships in the test container, so the wrapper is covered by
+    an option-plumbing test (tests/test_runner_streaming_multimodal.py);
+    the JDBC execution path itself is Spark's own.
+    """
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+    )
+    if isolation_level is not None:
+        writer = writer.option("isolationLevel", isolation_level)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
 
 
 def from_pandas(spark: SparkSession, pdf, schema=None) -> DataFrame:

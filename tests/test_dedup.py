@@ -109,3 +109,52 @@ def test_simhash_pairs_are_textually_similar(spark):
     rows = joined.collect()
     assert rows, "expected some simhash pairs on the corpus"
     assert all(r.tok_overlap > 0.3 for r in rows)
+
+
+def test_simhash_rejects_unguaranteed_params(spark):
+    """Pigeonhole guard: max_hamming > bands-1 or 64 % bands != 0 must
+    raise instead of silently missing pairs / dropping bits."""
+    import pytest
+
+    from dask_ssh_docker_spark.operators.dedup import simhash_dedup_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_dedup_pairs(df, "text", "doc_id", max_hamming=5, bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_dedup_pairs(df, "text", "doc_id", max_hamming=2, bands=5)
+    # the suggested remedy works: bands = max_hamming + 1 (8 divides 64)
+    simhash_dedup_pairs(df, "text", "doc_id", max_hamming=7, bands=8)
+
+
+def test_cluster_min_label_converges_on_long_chain(spark):
+    """A 10-hop path graph must collapse to ONE cluster (the old fixed
+    3-iteration loop silently split it)."""
+    from dask_ssh_docker_spark.operators.dedup import cluster_min_label
+
+    n = 11
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = cluster_min_label(pairs, ids).toPandas()
+    assert set(out["cluster_id"]) == {0}, out
+
+
+def test_cluster_min_label_cap_raises_or_warns(spark):
+    """Hitting the iteration cap with moving labels raises (strict) or
+    warns (strict=False) — never a silent split."""
+    import pytest
+
+    from dask_ssh_docker_spark.operators.dedup import cluster_min_label
+
+    n = 6
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_min_label(pairs, ids, cc_iters=2)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = cluster_min_label(pairs, ids, cc_iters=2, strict=False).toPandas()
+    assert len(out) == n

@@ -84,3 +84,31 @@ def test_rollup_cascade_empty(spark):
         [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
     assert reaggregate(rollup_hourly(empty), "1 day").count() == 0
+
+
+def test_cumulative_product_sign_and_zero(spark):
+    """cumprod helper: parity of negatives, zero pinning, pandas parity."""
+    from pyspark.sql import Window
+
+    from dask_ssh_docker_spark.functions import cumulative_product
+
+    vals = [2.0, -3.0, -0.5, 4.0, 0.0, -2.0, 5.0]
+    pdf = pd.DataFrame({"k": 1, "i": range(len(vals)), "x": vals})
+    df = spark.createDataFrame(pdf)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.select("i", cumulative_product("x", w).alias("cp"))
+        .toPandas()
+        .sort_values("i")["cp"]
+        .to_numpy()
+    )
+    expect = pdf["x"].cumprod().to_numpy()
+    import numpy as np
+
+    assert np.allclose(out, expect, rtol=1e-12, atol=1e-12), (out, expect)
+    # once a zero enters the prefix, the product stays exactly 0.0
+    assert all(v == 0.0 for v in out[4:])

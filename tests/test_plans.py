@@ -37,6 +37,34 @@ def test_q5_broadcasts_dims_single_fact_shuffle(spark, sf_dir, reg):
     assert count_exchanges(df) <= 3
 
 
+def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir, reg):
+    """Broadcast hints are allowed ONLY on fixed-cardinality dims
+    (region=5 / nation=25 rows at every SF).  customer/supplier/part grow
+    linearly with SF — a forced hint there OOMs executors at 100 TB, so
+    those joins must be left to AQE's size-threshold dynamic broadcast."""
+    from dask_ssh_docker_spark.plans import hinted_broadcast_tables
+
+    fixed_dim_cols = {"n_nationkey", "r_regionkey"}
+    for qname in (
+        "q3_top_unshipped_orders",
+        "q5_region_revenue",
+        "q10_returned_revenue",
+        "q14_promo_share",
+        "q19_disjunctive_predicates",
+    ):
+        hinted = hinted_broadcast_tables(reg[qname].fn(spark, sf_dir))
+        assert hinted <= fixed_dim_cols, (qname, hinted)
+
+
+def test_theta_join_broadcasts_bounded_side(spark, sf_dir, reg):
+    """join_range_theta hints the constant-size filtered orders side,
+    never the SF-growing part table."""
+    from dask_ssh_docker_spark.plans import hinted_broadcast_tables
+
+    hinted = hinted_broadcast_tables(reg["join_range_theta"].fn(spark, sf_dir))
+    assert hinted and all(c.startswith("o_") for c in hinted), hinted
+
+
 def test_topk_is_take_ordered(spark, sf_dir, reg):
     from dask_ssh_docker_spark.plans import has_take_ordered
 

@@ -128,3 +128,101 @@ def test_sniff_format_magic_bytes(spark):
     )
     got = [r[0] for r in df.select(sniff_format("blob")).collect()]
     assert got == ["png", "jpeg", "gif", "riff", "unknown"]
+
+
+def test_runner_hold_mode_blocks_until_stdin(tmp_path):
+    """No script ⇒ hold: session info printed, blocks on stdin, clean exit
+    (reference bin/dask-ssh-docker:71-74 contract)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "dask_ssh_docker_spark.runner",
+         "--master", "local[2]", "--conf", "spark.ui.enabled=false"],
+        input="\n", capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "session up: master=local[2]" in out.stdout
+    assert "tearing down session" in out.stdout
+
+
+def test_runner_py_files_ships_dep_to_executors(tmp_path):
+    """--py-files must work on a programmatically built session (addPyFile,
+    not just the spark-submit-only conf)."""
+    dep = tmp_path / "runner_dep_mod.py"
+    dep.write_text("VALUE = 20260813\n")
+    script = tmp_path / "uses_dep.py"
+    script.write_text(
+        textwrap.dedent(
+            """
+            from pyspark.sql import SparkSession
+            def main(argv):
+                spark = SparkSession.getActiveSession()
+                def check(it):
+                    import runner_dep_mod
+                    yield runner_dep_mod.VALUE
+                vals = spark.sparkContext.parallelize(range(4), 4).mapPartitions(check).collect()
+                assert vals == [20260813] * 4, vals
+                print("DEP_OK")
+                return 0
+            """
+        )
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "dask_ssh_docker_spark.runner",
+         "--master", "local[4]", "--conf", "spark.ui.enabled=false",
+         "--py-files", str(dep), str(script)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "DEP_OK" in out.stdout
+
+
+def test_write_jdbc_option_plumbing():
+    """No DB in the container: assert the wrapper plumbs url/table/mode/
+    batchsize/isolation/options into the DataFrameWriter and saves."""
+    from dask_ssh_docker_spark.sources import write_jdbc
+
+    class FakeWriter:
+        def __init__(self):
+            self.opts, self.fmt, self.saved = {}, None, False
+            self.write_mode = None
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def mode(self, m):
+            self.write_mode = m
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def save(self):
+            self.saved = True
+
+    class FakeDF:
+        def __init__(self, w):
+            self.write = w
+            self.coalesced = None
+
+        def coalesce(self, n):
+            self.coalesced = n
+            return self
+
+    w = FakeWriter()
+    df = FakeDF(w)
+    write_jdbc(
+        df, "jdbc:postgresql://h/db", "t_out", mode="overwrite",
+        batch_size=5000, num_partitions=4, isolation_level="READ_COMMITTED",
+        truncate="true",
+    )
+    assert w.saved and w.fmt == "jdbc" and w.write_mode == "overwrite"
+    assert df.coalesced == 4
+    assert w.opts == {
+        "url": "jdbc:postgresql://h/db",
+        "dbtable": "t_out",
+        "batchsize": "5000",
+        "isolationLevel": "READ_COMMITTED",
+        "truncate": "true",
+    }

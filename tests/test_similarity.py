@@ -118,3 +118,43 @@ def test_ivf_topk_recall_and_determinism(spark):
 
     again = {(r.query_id, r.vec_id) for r in ivf_topk(queries, idx, cents, k=10, nprobe=4).collect()}
     assert approx == again  # deterministic end-to-end
+
+
+def test_ann_recall_pinned_at_sf01(spark):
+    """Verdict r1 item: pin LSH and IVF recall against brute force at
+    sf0.1 (the bench scale), not just sf0.01."""
+    from dask_ssh_docker_spark.operators.ivf import (
+        build_index,
+        ivf_topk,
+        train_centroids,
+    )
+    from dask_ssh_docker_spark.operators.similarity import brute_force_topk, lsh_topk
+    from dask_ssh_docker_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding").persist()
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(queries, corpus, k=10).collect()
+    }
+
+    lsh = {
+        (r.query_id, r.vec_id)
+        for r in lsh_topk(queries, corpus, k=10, bits=6, tables=16).collect()
+    }
+    lsh_recall = len(exact & lsh) / len(exact)
+    assert lsh_recall >= 0.4, f"LSH recall@10 @sf0.1 = {lsh_recall}"
+
+    cents = train_centroids(corpus, k=16, iters=2)
+    idx = build_index(corpus, cents).persist()
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(queries, idx, cents, k=10, nprobe=8).collect()
+    }
+    ivf_recall = len(exact & ivf) / len(exact)
+    assert ivf_recall >= 0.4, f"IVF recall@10 @sf0.1 = {ivf_recall}"
+    corpus.unpersist()
+    idx.unpersist()
