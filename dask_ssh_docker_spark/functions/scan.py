@@ -39,9 +39,14 @@ def cumulative_product(c: Column | str, w: WindowSpec) -> Column:
     x = _col(c).cast("double")
     n_zero = F.sum(F.when(x == 0.0, F.lit(1)).otherwise(F.lit(0))).over(w)
     n_neg = F.sum(F.when(x < 0.0, F.lit(1)).otherwise(F.lit(0))).over(w)
-    # when() without otherwise() yields NULL for zero factors → sum skips.
+    # when() without otherwise() yields NULL for zero/null factors → sum
+    # skips them (pandas skipna=True semantics for the running product).
     log_mag = F.sum(F.when(x != 0.0, F.log(F.abs(x)))).over(w)
     sign = F.when(F.pmod(n_neg, F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-    return F.when(n_zero > 0, F.lit(0.0)).otherwise(
-        sign * F.exp(F.coalesce(log_mag, F.lit(0.0)))
+    # A NULL factor yields NULL at ITS row but is skipped downstream —
+    # matching pandas Series.cumprod() (skipna=True), not "treat as 1".
+    return F.when(x.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(n_zero > 0, F.lit(0.0)).otherwise(
+            sign * F.exp(F.coalesce(log_mag, F.lit(0.0)))
+        )
     )

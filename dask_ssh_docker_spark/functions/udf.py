@@ -86,18 +86,29 @@ def map_overlap(
         if keys
         else Window.orderBy(*order_by)
     )
-    # Materialize the row number in its own projection first: window
-    # expressions cannot appear inside a generator (explode) — and the
-    # single evaluation also keeps Catalyst from re-deriving it per use.
-    df = df.withColumn("__rn", F.row_number().over(w) - 1)
+    # Materialize the row number (and per-key max) in their own projection
+    # first: window expressions cannot appear inside a generator (explode)
+    # — and the single evaluation also keeps Catalyst from re-deriving
+    # them per use.
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    df = df.withColumn("__rn", F.row_number().over(w) - 1).withColumn(
+        "__rn_max", F.max("__rn").over(wk)
+    )
     rn = F.col("__rn")
     b0 = F.floor(rn / chunk_rows)
+    # A chunk b+1 only exists if some row has rn >= (b+1)*chunk_rows;
+    # without this guard the tail rows of each key's LAST chunk would spawn
+    # a halo-only group whose fn output is entirely discarded (wasted fn
+    # invocation + shuffle volume on every call).
+    next_chunk_exists = (b0 + 1) * chunk_rows <= F.col("__rn_max")
     memberships = F.array_compact(
         F.array(
             F.struct(b0.alias("c"), F.lit(True).alias("core")),
             # last `before` rows of chunk b are the leading halo of b+1
             F.when(
-                F.lit(before > 0) & (rn >= (b0 + 1) * chunk_rows - before),
+                F.lit(before > 0)
+                & next_chunk_exists
+                & (rn >= (b0 + 1) * chunk_rows - before),
                 F.struct((b0 + 1).alias("c"), F.lit(False).alias("core")),
             ),
             # first `after` rows of chunk b are the trailing halo of b-1
@@ -113,7 +124,7 @@ def map_overlap(
         .drop("__m")
     )
 
-    helper = ["__rn", "__chunk", "__core"]
+    helper = ["__rn", "__rn_max", "__chunk", "__core"]
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__rn", kind="mergesort").reset_index(drop=True)

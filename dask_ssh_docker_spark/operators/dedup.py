@@ -256,16 +256,30 @@ def cluster_min_label(
         label = new_label.drop("__chg")
         if changed == 0:  # converged — skip the remaining rounds
             break
-    else:  # cap hit with labels still moving → components are split
-        msg = (
-            f"cluster_min_label did not converge within cc_iters={cc_iters} "
-            "rounds; a connected component wider than the cap is split into "
-            "multiple clusters. Raise cc_iters (each round is one shuffle "
-            "over the edge set)."
+    else:
+        # Cap hit with labels still moving in the final round.  That alone
+        # does NOT mean the labels are wrong — convergence is only
+        # observable one round after the last change — so probe whether a
+        # further round WOULD change anything before declaring a split.
+        would_change = (
+            edges.join(label.withColumnRenamed("x", "y2"), edges.y == F.col("y2"))
+            .groupBy("x")
+            .agg(F.min("lbl").alias("nlbl"))
+            .join(label, "x")
+            .filter(F.col("nlbl") < F.col("lbl"))
+            .limit(1)
+            .count()
         )
-        if strict:
-            raise RuntimeError(msg)
-        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        if would_change:
+            msg = (
+                f"cluster_min_label did not converge within cc_iters={cc_iters} "
+                "rounds; a connected component wider than the cap is split into "
+                "multiple clusters. Raise cc_iters (each round is one shuffle "
+                "over the edge set)."
+            )
+            if strict:
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return label.select(F.col("x").alias("id"), F.col("lbl").alias("cluster_id"))
 
 

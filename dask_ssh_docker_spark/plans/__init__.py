@@ -62,12 +62,13 @@ def hinted_broadcast_tables(df: DataFrame) -> set[str]:
     is a 100 TB OOM bug."""
     plan = df._jdf.queryExecution().analyzed().toString()
     out: set[str] = set()
-    for m in re.finditer(
-        r"ResolvedHint \(strategy=broadcast\)(?:.*?)Relation \[([A-Za-z_0-9]+)",
-        plan,
-        re.S,
-    ):
-        out.add(m.group(1))
+    # Scan from each hint position independently (not one non-greedy pass:
+    # that would consume nested hints that sit before the first Relation,
+    # leaving them unreported).
+    for m in re.finditer(r"ResolvedHint \(strategy=broadcast\)", plan):
+        rel = re.search(r"Relation \[([A-Za-z_0-9]+)", plan[m.end():])
+        if rel:
+            out.add(rel.group(1))
     return out
 
 

@@ -118,7 +118,10 @@ _PRIORITY = [
 
 
 def _reorder_registry() -> None:
-    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:  # a typo/rename here silently defeats the driver window
+        raise RuntimeError(f"_PRIORITY names not in REGISTRY: {missing}")
+    ordered = {n: REGISTRY[n] for n in _PRIORITY}
     for name, spec in REGISTRY.items():
         if name not in ordered:
             ordered[name] = spec

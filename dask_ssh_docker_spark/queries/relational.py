@@ -617,7 +617,6 @@ def read_fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``read_fwf`` end-to-end (§2.B): nation rendered to fixed-width
     text, read back via the substring-projection reader, values proven
     identical to the parquet source by the oracle."""
-    import hashlib
     import tempfile
 
     from ..sources import read_fwf
@@ -630,8 +629,10 @@ def read_fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rpad(F.col("n_regionkey").cast("string"), 4, " "),
         ).alias("value")
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"{tempfile.gettempdir()}/spark_graft_fwf_{tag}"
+    # mkdtemp: a fresh private dir per call — concurrent sessions (or a
+    # re-collect after a later run) can never race an overwrite of a
+    # shared fixed path.
+    path = tempfile.mkdtemp(prefix="spark_graft_fwf_") + "/data"
     lines.write.mode("overwrite").text(path)
     return read_fwf(
         spark,

@@ -158,3 +158,14 @@ def test_cluster_min_label_cap_raises_or_warns(spark):
     with pytest.warns(RuntimeWarning, match="did not converge"):
         out = cluster_min_label(pairs, ids, cc_iters=2, strict=False).toPandas()
     assert len(out) == n
+
+
+def test_cluster_min_label_exact_cap_is_not_nonconvergence(spark):
+    """Labels that finish moving in the FINAL permitted round are
+    converged — the cap probe must not false-positive (review fix)."""
+    from dask_ssh_docker_spark.operators.dedup import cluster_min_label
+
+    ids = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    out = cluster_min_label(pairs, ids, cc_iters=2).toPandas()
+    assert set(out["cluster_id"]) == {0}

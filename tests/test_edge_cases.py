@@ -112,3 +112,28 @@ def test_cumulative_product_sign_and_zero(spark):
     assert np.allclose(out, expect, rtol=1e-12, atol=1e-12), (out, expect)
     # once a zero enters the prefix, the product stays exactly 0.0
     assert all(v == 0.0 for v in out[4:])
+
+
+def test_cumulative_product_null_skipna_semantics(spark):
+    """NULL factor → NULL at its own row, skipped downstream (pandas
+    Series.cumprod skipna=True), never silently treated as 1.0."""
+    from pyspark.sql import Window
+
+    from dask_ssh_docker_spark.functions import cumulative_product
+
+    pdf = pd.DataFrame({"k": 1, "i": range(4), "x": [2.0, None, 3.0, -1.0]})
+    df = spark.createDataFrame(pdf)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.select("i", cumulative_product("x", w).alias("cp"))
+        .toPandas()
+        .sort_values("i")["cp"]
+        .tolist()
+    )
+    assert out[0] == 2.0
+    assert out[1] is None or pd.isna(out[1])
+    assert abs(out[2] - 6.0) < 1e-12 and abs(out[3] + 6.0) < 1e-12
