@@ -69,6 +69,7 @@ _PRIORITY = [
     "window_cumprod",
     "map_overlap_centered_mean",
     "read_fwf_roundtrip",
+    "text_gopher_quality",
     # -- never driver-checked, oracle-bearing --
     "asof_forward",
     "asof_nearest",

@@ -161,3 +161,125 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_prefix")
     )
+
+
+@query(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    words AS (
+      SELECT doc_id, unnest(toks) AS w FROM base
+    ),
+    wc AS (
+      SELECT doc_id, w, COUNT(*) AS n FROM words GROUP BY doc_id, w
+    ),
+    wstats AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT)               AS n_words,
+             CAST(MAX(n) AS BIGINT)               AS top_word_n,
+             CAST(SUM(n * length(w)) AS BIGINT)   AS n_chars_in_words,
+             CAST(SUM(CASE WHEN regexp_matches(w, '[a-z]') THEN n ELSE 0 END) AS BIGINT)
+                                                  AS n_alpha_words
+      FROM wc GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id, unnest(
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> concat_ws(' ', toks[i], toks[i+1]))) AS bg
+      FROM base WHERE len(toks) >= 2
+    ),
+    bgc AS (
+      SELECT doc_id, bg, COUNT(*) AS n FROM bigrams GROUP BY doc_id, bg
+    ),
+    bgstats AS (
+      SELECT doc_id, CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+             CAST(SUM(n) AS BIGINT) AS n_bigrams
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           w.n_words,
+           CAST(w.n_chars_in_words AS DOUBLE) / w.n_words       AS mean_word_len,
+           CAST(w.n_alpha_words AS DOUBLE) / w.n_words          AS alpha_word_frac,
+           CAST(w.top_word_n AS DOUBLE) / w.n_words             AS top_word_frac,
+           CAST(COALESCE(b.top_bigram_n, 0) AS DOUBLE)
+             / COALESCE(b.n_bigrams, 1)                         AS top_bigram_frac,
+           (w.n_words BETWEEN 50 AND 100000
+            AND (CAST(w.n_chars_in_words AS DOUBLE) / w.n_words) BETWEEN 3.0 AND 10.0
+            AND CAST(w.n_alpha_words AS DOUBLE) / w.n_words > 0.8
+            AND CAST(w.top_word_n AS DOUBLE) / w.n_words < 0.2
+            AND CAST(COALESCE(b.top_bigram_n, 0) AS DOUBLE)
+                / COALESCE(b.n_bigrams, 1) < 0.2)               AS gopher_keep
+    FROM wstats w LEFT JOIN bgstats b ON w.doc_id = b.doc_id
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality filters (the canonical web-scale
+    training-data gate: word count, mean word length, alphabetic-word
+    fraction, most-common-word fraction, most-common-bigram fraction, and
+    the combined keep decision).
+
+    Plan shape: explode → (doc, token) partial-agg → doc agg — two
+    key-shuffles of token-count rows, no UDF anywhere; ratios divide the
+    identical integer operands in both engines (bitwise-equal doubles).
+    At 100 TB the (doc_id, token) aggregation is the canonical map-side
+    combinable shuffle; the bigram pass reuses the same normalized token
+    arrays.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = docs.select("doc_id", toks.alias("toks"))
+
+    words = base.select("doc_id", F.explode("toks").alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.max("n").cast("bigint").alias("top_word_n"),
+        F.sum(F.col("n") * F.length("w")).cast("bigint").alias("n_chars_in_words"),
+        F.sum(
+            F.when(F.col("w").rlike("[a-z]"), F.col("n")).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_alpha_words"),
+    )
+
+    bigrams = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+                    ),
+                )
+            ).alias("bg"),
+        )
+    )
+    bgc = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+    bgstats = bgc.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("top_bigram_n"),
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+    )
+
+    n_words_d = F.col("n_words").cast("double")
+    mean_wl = F.col("n_chars_in_words").cast("double") / n_words_d
+    alpha_frac = F.col("n_alpha_words").cast("double") / n_words_d
+    top_w_frac = F.col("top_word_n").cast("double") / n_words_d
+    top_bg_frac = F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast(
+        "double"
+    ) / F.coalesce(F.col("n_bigrams"), F.lit(1)).cast("double")
+
+    return wstats.join(bgstats, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        top_w_frac.alias("top_word_frac"),
+        top_bg_frac.alias("top_bigram_frac"),
+        (
+            F.col("n_words").between(50, 100000)
+            & mean_wl.between(3.0, 10.0)
+            & (alpha_frac > 0.8)
+            & (top_w_frac < 0.2)
+            & (top_bg_frac < 0.2)
+        ).alias("gopher_keep"),
+    )
