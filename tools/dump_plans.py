@@ -13,11 +13,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = [
     ("q1_pricing_summary", "scan→filter→partial/final hash agg; pushdown + pruning"),
-    ("q5_region_revenue", "star join: all dims broadcast, single fact shuffle"),
+    ("q5_region_revenue", "star join: hints ONLY on fixed dims (region/nation); customer/supplier joins AQE-decided"),
     ("topk_orders", "top-k as TakeOrderedAndProject (no full sort)"),
     ("asof_backward", "as-of join: ONE exchange (the by-key shuffle)"),
     ("dedup_exact_groups", "dedup: only (hash,id) shuffles, bodies pruned"),
     ("sim_topk_bruteforce", "broadcast query set, map-side scoring, ranking window"),
+    ("window_cumprod", "cumprod scan: one key shuffle, three window sums, no UDF"),
+    ("map_overlap_centered_mean", "halo explode + one (key,chunk) shuffle into ArrowEvalPython-free applyInPandas"),
+    ("text_gopher_quality", "explode → (doc,token) partial agg → doc agg; map-side combine both hops"),
 ]
 
 
