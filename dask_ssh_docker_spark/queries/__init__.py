@@ -70,6 +70,8 @@ _PRIORITY = [
     "map_overlap_centered_mean",
     "read_fwf_roundtrip",
     "text_gopher_quality",
+    "docs_source_mix",
+    "text_contamination_flags",
     # -- never driver-checked, oracle-bearing --
     "asof_forward",
     "asof_nearest",

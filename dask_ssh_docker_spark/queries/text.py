@@ -283,3 +283,126 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (top_bg_frac < 0.2)
         ).alias("gopher_keep"),
     )
+
+
+@query(
+    "docs_source_mix",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, lang, {_TOKS} AS toks, n_chars FROM documents
+    ),
+    per AS (
+      SELECT source, lang,
+             COUNT(*)                      AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT)   AS n_chars
+      FROM base GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS all_tokens FROM per)
+    SELECT source, lang, n_docs, n_tokens, n_chars,
+           CAST(n_tokens AS DOUBLE) / all_tokens AS token_share
+    FROM per, tot
+    """,
+)
+def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture accounting per (source, lang): doc/token/char counts
+    and each cell's share of all tokens — the bookkeeping behind data-mix
+    weighting in a training pipeline.
+
+    Shape: one map-side-combinable groupBy; the global token total joins
+    back as a broadcast scalar (crossJoin of a 1-row aggregate), so the
+    share division never re-shuffles the grouped rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", "lang", F.size(tokens("text")).alias("ntok"), "n_chars")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("all_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_tokens").cast("double") / F.col("all_tokens")).alias("token_share"),
+    )
+
+
+@query(
+    "text_contamination_flags",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 8
+             THEN list_distinct(list_transform(generate_series(0, len(toks)-8),
+                    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+                                        toks[i+5], toks[i+6], toks[i+7], toks[i+8])))
+             ELSE [] END) AS g
+      FROM base
+    ),
+    eval_sh AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_hits
+      FROM sh s JOIN eval_sh e ON s.g = e.g
+      WHERE s.doc_id >= 10
+      GROUP BY s.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated_grams,
+           COALESCE(h.n_hits, 0) > 0             AS is_contaminated
+    FROM (SELECT doc_id FROM base WHERE doc_id >= 10) b
+    LEFT JOIN hits h ON b.doc_id = h.doc_id
+    """,
+)
+def text_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screening: flag corpus docs sharing any
+    8-gram with the eval set (docs 0-9 standing in for a benchmark).
+
+    Scale shape: the eval set is tiny by construction, so its distinct
+    8-gram set is BROADCAST — corpus shingles stream map-side against it,
+    no corpus shuffle for the join; only the per-doc hit count aggregates.
+    This is the standard decontamination pass over a 100 TB corpus (the
+    eval suite is KBs of n-grams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    n = 8
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - n),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[F.element_at("toks", i + j + 1) for j in range(n)],
+                        ),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    eval_grams = grams.filter(F.col("doc_id") < 10).select("g").distinct()
+    corpus = grams.filter(F.col("doc_id") >= 10)
+    hits = (
+        corpus.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        base.filter(F.col("doc_id") >= 10)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_contaminated_grams"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
