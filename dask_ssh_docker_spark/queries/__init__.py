@@ -72,6 +72,8 @@ _PRIORITY = [
     "text_gopher_quality",
     "docs_source_mix",
     "text_contamination_flags",
+    "get_dummies_segment",
+    "groupby_transform_zscore",
     # -- never driver-checked, oracle-bearing --
     "asof_forward",
     "asof_nearest",

@@ -121,3 +121,73 @@ def categorical_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(F.broadcast(codes), "c_mktsegment").select(
         "c_custkey", "c_mktsegment", "segment_code"
     )
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "get_dummies_segment",
+    oracle=f"""
+    SELECT c_custkey,
+      {", ".join(f"CAST(c_mktsegment = '{s}' AS BIGINT) AS seg_{s.lower()}" for s in _SEGMENTS)}
+    FROM customer
+    """,
+)
+def get_dummies_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dd.get_dummies`` (one-hot encode) over a declared category
+    domain — like the pivot, the domain is explicit so the output schema
+    is known without a collect; each indicator is a map-side CASE column
+    (no shuffle at all)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        *[
+            (F.col("c_mktsegment") == s).cast("bigint").alias(f"seg_{s.lower()}")
+            for s in _SEGMENTS
+        ],
+    )
+
+
+@query(
+    "groupby_transform_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             COUNT(*) AS n,
+             MIN(o_totalprice) AS mn,
+             MAX(o_totalprice) AS mx
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CASE WHEN st.mx = st.mn THEN 0.0
+                ELSE (o.o_totalprice - st.mn) / (st.mx - st.mn) END
+             AS price_minmax_scaled,
+           o.o_totalprice - st.s / st.n AS price_dev_from_mean
+    FROM orders o JOIN stats st ON o.o_custkey = st.o_custkey
+    """,
+)
+def groupby_transform_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupby(...).transform(...)`` (Dask/pandas): per-group statistics
+    broadcast back onto every member row — expressed as unordered window
+    aggregates over the group key, so it is ONE shuffle on the key and no
+    join.  Min-max scaling + deviation-from-mean (mean derived as exact
+    decimal sum / count, so both engines divide identical operands;
+    std/var are intentionally avoided — engine-order-dependent)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    s = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    n = F.count("*").over(w)
+    mn = F.min("o_totalprice").over(w)
+    mx = F.max("o_totalprice").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(mx == mn, F.lit(0.0))
+        .otherwise((F.col("o_totalprice") - mn) / (mx - mn))
+        .alias("price_minmax_scaled"),
+        (F.col("o_totalprice") - s / n).alias("price_dev_from_mean"),
+    )
