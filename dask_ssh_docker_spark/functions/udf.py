@@ -67,8 +67,11 @@ def map_overlap(
        (positionally aligned, like Dask); halo positions are dropped from
        the output.
 
-    ``fn`` must not change the row count; helper columns are stripped
-    before ``fn`` sees the frame.  Scale: the only shuffle is the
+    ``fn`` must not change the row count, and each output row may depend
+    only on input rows within ``[row - before, row + after]`` — exactly
+    Dask's contract; computations that reach further (ffill, expanding
+    aggregates) produce chunk-boundary-dependent results.  Helper columns
+    are stripped before ``fn`` sees the frame.  Scale: the only shuffle is the
     (key, chunk) grouping; chunk size bounds worker memory exactly like
     Dask's partition size does.
     """

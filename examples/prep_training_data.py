@@ -3,7 +3,9 @@
     raw documents
       → exact dedup (md5 content groups, keep min id)
       → quality filter (composite score ≥ threshold)
+      → Gopher-style repetition gate (top-word fraction)
       → language filter (marker-based lang-ID)
+      → benchmark decontamination (broadcast eval 8-gram set)
       → MinHash-LSH near-dup clustering (keep canonical per cluster)
       → 50-token overlap chunking
       → curated chunks written to parquet
@@ -49,6 +51,45 @@ def main(argv: list[str]) -> int:
         "lang_pred", lang_id("text")
     )
     docs = docs.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+
+    # 3b. Gopher-style repetition gate: drop docs dominated by one token
+    # ((doc,token) partial agg — the canonical map-side-combinable pass)
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    rep = (
+        toks.groupBy("doc_id", "w").count()
+        .groupBy("doc_id")
+        .agg((F.max("count") / F.sum("count")).alias("top_word_frac"))
+    )
+    docs = docs.join(
+        rep.filter(F.col("top_word_frac") < 0.3).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 3c. decontamination: drop docs sharing an 8-gram with the eval set
+    # (docs 0-9 stand in; the distinct eval-gram set broadcasts).
+    # Tokens are materialized through a projection FIRST — referencing
+    # tokens("text") inside the nested lambdas would defeat Catalyst CSE
+    # and re-tokenize per element.
+    tokd = docs.select("doc_id", tokens("text").alias("__t"))
+    grams = tokd.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__t") >= 8,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__t") - 8),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[F.element_at("__t", i + j + 1) for j in range(8)],
+                        ),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    eval_grams = grams.filter(F.col("doc_id") < 10).select("g").distinct()
+    dirty = grams.join(F.broadcast(eval_grams), "g").select("doc_id").distinct()
+    docs = docs.filter(F.col("doc_id") >= 10).join(dirty, "doc_id", "left_anti")
     n2 = docs.count()
 
     # 4. near-dup clustering; keep the canonical doc per cluster

@@ -195,3 +195,89 @@ def test_chunking_coverage_property(spark, n_tokens, chunk, stride):
         assert toks == [f"t{j}" for j in range(start, start + len(toks))]
         seen.update(range(start, start + len(toks)))
     assert seen == set(range(n_tokens))
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.just(0.0),
+            st.floats(min_value=-4.0, max_value=4.0, allow_nan=False).filter(
+                lambda v: abs(v) > 1e-3
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cumulative_product_matches_pandas(spark, vals):
+    """cumprod == pandas Series.cumprod (skipna) over arbitrary mixes of
+    zeros, negatives, and nulls."""
+    from pyspark.sql import Window
+
+    from dask_ssh_docker_spark.functions import cumulative_product
+
+    pdf = pd.DataFrame({"k": 1, "i": range(len(vals)), "x": pd.array(vals, dtype="float64")})
+    df = spark.createDataFrame(pdf)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = (
+        df.select("i", cumulative_product("x", w).alias("cp"))
+        .toPandas()
+        .sort_values("i")["cp"]
+        .to_numpy(dtype="float64", na_value=np.nan)
+    )
+    want = pdf["x"].astype("float64").cumprod().to_numpy(dtype="float64", na_value=np.nan)
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-12, equal_nan=True), (got, want)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=4),
+    st.sampled_from([5, 8, 16]),
+)
+def test_map_overlap_invariant_to_chunking(spark, n, before, after, chunk_rows):
+    """Output of a (before, after)-bounded rolling sum is identical no
+    matter how the frame is chunked — halos make chunking invisible."""
+    if before >= chunk_rows or after >= chunk_rows:
+        return
+    from dask_ssh_docker_spark.functions.udf import map_overlap
+
+    pdf = pd.DataFrame({"k": 0, "t": range(n), "v": np.arange(n, dtype="float64")})
+    df = spark.createDataFrame(pdf)
+
+    def roll(p: pd.DataFrame) -> pd.DataFrame:
+        # NB the fn must only use rows within [t-before, t+after] per
+        # output row (the declared halo contract) — no ffill/expanding
+        # tricks that would reach beyond the halo.
+        out = p[["k", "t"]].copy()
+        s = p["v"].rolling(before + after + 1, center=False, min_periods=1).sum()
+        out["r"] = s.shift(-after)
+        return out
+
+    got = (
+        map_overlap(
+            df, roll, before=before, after=after,
+            schema="k long, t long, r double",
+            order_by=["t"], by="k", chunk_rows=chunk_rows,
+        )
+        .toPandas()
+        .sort_values("t")["r"]
+        .to_numpy()
+    )
+    want = roll(pdf)["r"].to_numpy()
+    assert np.allclose(got, want, atol=1e-12, equal_nan=True), (got, want)
