@@ -189,6 +189,27 @@ def word_shingles_from_tokens(t: Column, norm: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array(norm))
 
 
+def word_kgrams_from_tokens(t: Column, k: int) -> Column:
+    """Distinct word k-grams from an ALREADY-MATERIALIZED token column,
+    with short docs (< k tokens) yielding an EMPTY array (vs
+    :func:`word_shingles_from_tokens`, which falls back to the whole
+    normalized text — the dedup-shingle convention).  Used by the
+    decontamination pass (a doc shorter than the n-gram cannot contain
+    it).  Same CSE rule applies: materialize ``t`` through a projection
+    first."""
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), n - k)
+    gr = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(gr)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_shingles(c: Column | str, k: int = 3) -> Column:
     """Word k-shingles (k-grams of whitespace tokens), distinct.
 

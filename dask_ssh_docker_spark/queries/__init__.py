@@ -73,7 +73,7 @@ _PRIORITY = [
     "docs_source_mix",
     "text_contamination_flags",
     "get_dummies_segment",
-    "groupby_transform_zscore",
+    "groupby_transform_scale",
     # -- never driver-checked, oracle-bearing --
     "asof_forward",
     "asof_nearest",

@@ -150,7 +150,7 @@ def get_dummies_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "groupby_transform_zscore",
+    "groupby_transform_scale",
     oracle="""
     WITH stats AS (
       SELECT o_custkey,
@@ -168,7 +168,7 @@ def get_dummies_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o JOIN stats st ON o.o_custkey = st.o_custkey
     """,
 )
-def groupby_transform_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def groupby_transform_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``groupby(...).transform(...)`` (Dask/pandas): per-group statistics
     broadcast back onto every member row — expressed as unordered window
     aggregates over the group key, so it is ONE shuffle on the key and no

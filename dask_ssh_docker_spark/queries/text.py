@@ -314,7 +314,14 @@ def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     share division never re-shuffles the grouped rows."""
     docs = load_table(spark, sf_dir, "documents")
     per = (
-        docs.select("source", "lang", F.size(tokens("text")).alias("ntok"), "n_chars")
+        docs.select(
+            "source",
+            "lang",
+            # NULL text must stay NULL (DuckDB len(NULL) is skipped by
+            # SUM; Spark's legacy size(NULL) would inject -1)
+            F.when(F.col("text").isNotNull(), F.size(tokens("text"))).alias("ntok"),
+            "n_chars",
+        )
         .groupBy("source", "lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -369,25 +376,13 @@ def text_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     no corpus shuffle for the join; only the per-doc hit count aggregates.
     This is the standard decontamination pass over a 100 TB corpus (the
     eval suite is KBs of n-grams)."""
+    from ..functions.text import word_kgrams_from_tokens
+
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokens("text").alias("toks"))
-    n = 8
     grams = base.select(
         "doc_id",
-        F.explode(
-            F.when(
-                F.size("toks") >= n,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("toks") - n),
-                        lambda i: F.concat_ws(
-                            " ",
-                            *[F.element_at("toks", i + j + 1) for j in range(n)],
-                        ),
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+        F.explode(word_kgrams_from_tokens(F.col("toks"), 8)).alias("g"),
     )
     eval_grams = grams.filter(F.col("doc_id") < 10).select("g").distinct()
     corpus = grams.filter(F.col("doc_id") >= 10)

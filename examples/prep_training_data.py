@@ -37,10 +37,23 @@ def main(argv: list[str]) -> int:
         quality_score,
         tokens,
     )
+    from dask_ssh_docker_spark.functions.text import word_kgrams_from_tokens
     from dask_ssh_docker_spark.operators.dedup import exact_dedup, minhash_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n0 = docs.count()
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = raw.count()
+
+    # 0. split off the eval/benchmark set FIRST (docs 0-9 stand in).  Its
+    # 8-grams must come from the RAW docs — deriving them after the
+    # quality/lang gates would silently unscreen any eval doc those gates
+    # drop.  (Tokens materialized before the nested lambdas: CSE.)
+    def kgrams(frame):
+        return frame.select("doc_id", tokens("text").alias("__t")).select(
+            "doc_id", F.explode(word_kgrams_from_tokens(F.col("__t"), 8)).alias("g")
+        )
+
+    eval_grams = kgrams(raw.filter(F.col("doc_id") < 10)).select("g").distinct()
+    docs = raw.filter(F.col("doc_id") >= 10)
 
     # 1. exact dedup (normalized content hash, min doc_id survives)
     docs = exact_dedup(docs, "text", "doc_id")
@@ -51,6 +64,7 @@ def main(argv: list[str]) -> int:
         "lang_pred", lang_id("text")
     )
     docs = docs.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+    n2 = docs.count()
 
     # 3b. Gopher-style repetition gate: drop docs dominated by one token
     # ((doc,token) partial agg — the canonical map-side-combinable pass)
@@ -63,34 +77,15 @@ def main(argv: list[str]) -> int:
     docs = docs.join(
         rep.filter(F.col("top_word_frac") < 0.3).select("doc_id"), "doc_id", "left_semi"
     )
+    n3 = docs.count()
 
     # 3c. decontamination: drop docs sharing an 8-gram with the eval set
-    # (docs 0-9 stand in; the distinct eval-gram set broadcasts).
-    # Tokens are materialized through a projection FIRST — referencing
-    # tokens("text") inside the nested lambdas would defeat Catalyst CSE
-    # and re-tokenize per element.
-    tokd = docs.select("doc_id", tokens("text").alias("__t"))
-    grams = tokd.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("__t") >= 8,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("__t") - 8),
-                        lambda i: F.concat_ws(
-                            " ",
-                            *[F.element_at("__t", i + j + 1) for j in range(8)],
-                        ),
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+    # (the tiny distinct eval-gram set broadcasts; no corpus shuffle)
+    dirty = (
+        kgrams(docs).join(F.broadcast(eval_grams), "g").select("doc_id").distinct()
     )
-    eval_grams = grams.filter(F.col("doc_id") < 10).select("g").distinct()
-    dirty = grams.join(F.broadcast(eval_grams), "g").select("doc_id").distinct()
-    docs = docs.filter(F.col("doc_id") >= 10).join(dirty, "doc_id", "left_anti")
-    n2 = docs.count()
+    docs = docs.join(dirty, "doc_id", "left_anti")
+    n4 = docs.count()
 
     # 4. near-dup clustering; keep the canonical doc per cluster
     clusters = minhash_dedup(docs, "text", "doc_id", threshold=0.5)
@@ -99,7 +94,7 @@ def main(argv: list[str]) -> int:
         docs.doc_id == F.col("id"),
         "left_semi",
     )
-    n3 = docs.count()
+    n5 = docs.count()
 
     # 5. chunk into overlapping context windows
     staged = docs.select("doc_id", "lang_pred", "quality", tokens("text").alias("__t"))
@@ -112,10 +107,11 @@ def main(argv: list[str]) -> int:
         ),
     )
     chunks.write.mode("overwrite").parquet(out_dir)
-    n4 = spark.read.parquet(out_dir).count()
+    n6 = spark.read.parquet(out_dir).count()
 
     print(
         f"PIPELINE docs={n0} after_exact={n1} after_quality={n2} "
-        f"after_neardup={n3} chunks={n4} out={out_dir}"
+        f"after_gopher={n3} after_decontam={n4} after_neardup={n5} "
+        f"chunks={n6} out={out_dir}"
     )
     return 0
