@@ -41,9 +41,22 @@ def train_centroids(
     vec_col: str = "embedding",
     k: int = 16,
     iters: int = 3,
+    sample_fraction: float | None = None,
+    seed: int = 20260813,
 ) -> DataFrame:
     """(centroid_id, centroid: array<double>) — Lloyd's with deterministic
-    init (first k vectors by id)."""
+    init (first k vectors by id).
+
+    ``sample_fraction``: train on a seeded Bernoulli sample of the corpus
+    instead of every row — the 100 TB path (SCALE.md): k-means quality
+    depends on the *distribution*, not the row count, so a few million
+    sampled vectors train centroids as well as the full corpus while each
+    Lloyd iteration scans a constant-size frame.  Indexing/search still
+    cover the FULL corpus; only training reads the sample."""
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError("sample_fraction must be in (0, 1]")
+        corpus = corpus.sample(fraction=sample_fraction, seed=seed)
     init = (
         corpus.orderBy(id_col)
         .limit(k)

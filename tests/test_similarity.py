@@ -158,3 +158,27 @@ def test_ann_recall_pinned_at_sf01(spark):
     assert ivf_recall >= 0.4, f"IVF recall@10 @sf0.1 = {ivf_recall}"
     corpus.unpersist()
     idx.unpersist()
+
+
+def test_ivf_sample_trained_centroids(spark):
+    """sample_fraction trains on a seeded subset (the 100 TB path) and
+    still yields a usable index: k centroids, full-corpus coverage,
+    deterministic across repeat calls."""
+    from dask_ssh_docker_spark.operators.ivf import build_index, train_centroids
+    from dask_ssh_docker_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    c1 = train_centroids(corpus, k=8, iters=2, sample_fraction=0.5)
+    c2 = train_centroids(corpus, k=8, iters=2, sample_fraction=0.5)
+    assert c1.count() == 8
+    p1 = c1.toPandas().sort_values("centroid_id")["centroid"].tolist()
+    p2 = c2.toPandas().sort_values("centroid_id")["centroid"].tolist()
+    assert [list(a) for a in p1] == [list(b) for b in p2]  # seeded → stable
+    idx = build_index(corpus, c1)
+    assert idx.count() == corpus.count()  # full corpus indexed
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        train_centroids(corpus, k=4, sample_fraction=0.0)
