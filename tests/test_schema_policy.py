@@ -1,0 +1,41 @@
+"""Result-schema policy sweep (regression guard for the driver gate).
+
+The external correctness harness canonicalizes query output through pandas
+(sort + hash); column types that don't survive that trip cleanly are
+banned from driver-visible output:
+
+- ARRAY/MAP/STRUCT: pandas sort_values raises on unhashable cells (the
+  round-1 red row) — serialize with array_join/to_json at the boundary;
+- DECIMAL: pandas converts to object/Decimal, hashing diverges from the
+  oracle's float path — cast to double after exact aggregation;
+- DATE: date-vs-midnight-timestamp normalization differs between engines'
+  pandas conversions — cast to timestamp.
+
+BINARY is allowed (bytes hash fine and round-trip exactly).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+SF = "/root/testdata/sf0.001"
+
+_BANNED = (T.ArrayType, T.MapType, T.StructType, T.DecimalType, T.DateType)
+
+
+def test_no_driver_hostile_output_types(spark):
+    from dask_ssh_docker_spark.queries import REGISTRY
+
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name.startswith("stream_"):
+            continue  # streaming queries execute eagerly on construction
+        df = spec.fn(spark, SF)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, _BANNED):
+                offenders.append((name, f.name, str(f.dataType)))
+    assert not offenders, (
+        "driver-visible output columns with banned types (serialize at the "
+        f"query boundary): {offenders}"
+    )
