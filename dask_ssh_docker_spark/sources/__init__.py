@@ -124,6 +124,29 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_hdf(spark: SparkSession, path: str, key: str, **kwargs) -> DataFrame:
+    """``dd.read_hdf`` equivalent (driver-side load → distribute).
+
+    HDF5 is not a splittable/distributed format — Dask itself reads each
+    file near-serially and the format exists here for migration parity,
+    not as a scale path.  The file is read ONCE on the driver via
+    ``pandas.read_hdf`` (requires the optional ``tables``/PyTables
+    dependency) and distributed with Arrow ``createDataFrame``; convert
+    to parquet for anything that should scale.
+    """
+    import pandas as pd
+
+    try:
+        pdf = pd.read_hdf(path, key=key, **kwargs)
+    except ImportError as e:  # PyTables not installed in this environment
+        raise ImportError(
+            "read_hdf requires the optional 'tables' (PyTables) package; "
+            "install it, or convert the HDF5 file to parquet and use "
+            "read_parquet (the scale path)."
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -117,3 +117,34 @@ def test_width_bucket_matches_floor_formula(spark):
         (F.floor(F.col("o_totalprice") / 50000.0).cast("bigint") + 1).alias("ff"),
     ).filter("wb <> ff")
     assert mismatch.count() == 0
+
+
+def test_read_hdf_plumbs_through_pandas(spark, monkeypatch):
+    """No PyTables in the container: assert the wrapper forwards
+    path/key/kwargs to pandas.read_hdf and distributes the frame."""
+    import pandas as pd
+
+    from dask_ssh_docker_spark.sources import read_hdf
+
+    seen = {}
+
+    def fake_read_hdf(path, key=None, **kw):
+        seen.update({"path": path, "key": key, **kw})
+        return pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+
+    monkeypatch.setattr(pd, "read_hdf", fake_read_hdf)
+    df = read_hdf(spark, "/tmp/fake.h5", key="t", start=0)
+    assert seen == {"path": "/tmp/fake.h5", "key": "t", "start": 0}
+    assert df.count() == 3 and set(df.columns) == {"a", "b"}
+
+
+def test_read_hdf_without_pytables_raises_informatively(spark):
+    import pytest
+
+    from dask_ssh_docker_spark.sources import read_hdf
+
+    with pytest.raises((ImportError, FileNotFoundError)) as ei:
+        read_hdf(spark, "/tmp/definitely_missing.h5", key="t")
+    # either PyTables is absent (ImportError with remediation) or the
+    # file check fires first — both are informative failures, not crashes
+    assert "read_hdf" in str(ei.value) or "does not exist" in str(ei.value)
