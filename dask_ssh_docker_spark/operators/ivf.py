@@ -49,14 +49,27 @@ def train_centroids(
 
     ``sample_fraction``: train on a seeded Bernoulli sample of the corpus
     instead of every row — the 100 TB path (SCALE.md): k-means quality
-    depends on the *distribution*, not the row count, so a few million
-    sampled vectors train centroids as well as the full corpus while each
-    Lloyd iteration scans a constant-size frame.  Indexing/search still
-    cover the FULL corpus; only training reads the sample."""
+    depends on the *distribution*, not the row count, so a modest sample
+    trains centroids as well as the full corpus while each Lloyd
+    iteration scans only the sample.  The sample grows with the corpus at
+    a fixed fraction — choose ``fraction ≈ target_rows / corpus_rows``
+    for a size-targeted training frame.  Indexing/search still cover the
+    FULL corpus; only training reads the sample.
+
+    Reproducibility note: ``sample(seed=)`` derives per-partition streams,
+    so the selected rows are stable only for a fixed partition layout —
+    re-training after a re-partitioned re-read may select a different
+    (equally valid) sample.  Centroids are deterministic given the same
+    input layout, not across layouts."""
     if sample_fraction is not None:
         if not (0.0 < sample_fraction <= 1.0):
             raise ValueError("sample_fraction must be in (0, 1]")
         corpus = corpus.sample(fraction=sample_fraction, seed=seed)
+        if corpus.limit(k).count() < k:
+            raise ValueError(
+                f"seeded sample has fewer than k={k} rows; raise "
+                "sample_fraction (or train on the full corpus)"
+            )
     init = (
         corpus.orderBy(id_col)
         .limit(k)
@@ -84,6 +97,17 @@ def train_centroids(
             .select(
                 "centroid_id",
                 F.transform("pm", lambda s: s["m"]).alias("centroid"),
+            )
+        )
+        # A centroid whose cluster went empty gets no groupBy row; keep
+        # its previous position instead of silently shrinking k (which
+        # would break the nprobe/k scan-fraction contract downstream).
+        new = (
+            cents.select("centroid_id", F.col("centroid").alias("__prev"))
+            .join(new, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("centroid", "__prev").alias("centroid"),
             )
         )
         cents = new.persist()

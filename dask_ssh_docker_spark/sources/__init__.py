@@ -138,13 +138,20 @@ def read_hdf(spark: SparkSession, path: str, key: str, **kwargs) -> DataFrame:
 
     try:
         pdf = pd.read_hdf(path, key=key, **kwargs)
-    except ImportError as e:  # PyTables not installed in this environment
-        raise ImportError(
-            "read_hdf requires the optional 'tables' (PyTables) package; "
-            "install it, or convert the HDF5 file to parquet and use "
-            "read_parquet (the scale path)."
-        ) from e
-    return spark.createDataFrame(pdf)
+    except ImportError as e:
+        # Only translate a missing-PyTables import; an ImportError raised
+        # while unpickling stored objects must surface as itself.
+        dep_missing = getattr(e, "name", None) in ("tables", "pytables") or (
+            "pytables" in str(e).lower() or "'tables'" in str(e)
+        )
+        if dep_missing:
+            raise ImportError(
+                "read_hdf requires the optional 'tables' (PyTables) package; "
+                "install it, or convert the HDF5 file to parquet and use "
+                "read_parquet (the scale path)."
+            ) from e
+        raise
+    return from_pandas(spark, pdf)
 
 
 def read_jdbc(

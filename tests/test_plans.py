@@ -83,7 +83,7 @@ def test_no_python_row_eval_anywhere(spark, sf_dir, reg):
     from dask_ssh_docker_spark.plans import uses_python_eval
 
     for name, spec in reg.items():
-        if name.startswith("stream_"):
+        if spec.fn.__module__.endswith("queries.streaming"):
             continue  # streaming queries execute eagerly on construction
         assert not uses_python_eval(spec.fn(spark, sf_dir)), name
 

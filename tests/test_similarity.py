@@ -182,3 +182,36 @@ def test_ivf_sample_trained_centroids(spark):
 
     with pytest.raises(ValueError):
         train_centroids(corpus, k=4, sample_fraction=0.0)
+
+
+def test_ivf_empty_cluster_keeps_centroid_count(spark):
+    """Duplicate init vectors force an empty cluster on iteration 1 (ties
+    assign to the lower centroid_id); k must NOT silently shrink — the
+    empty cluster keeps its previous centroid."""
+    import pandas as pd
+
+    from dask_ssh_docker_spark.operators.ivf import train_centroids
+
+    vecs = [[0.0, 0.0], [0.0, 0.0], [10.0, 10.0], [0.1, 0.0], [9.9, 10.0]]
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    df = spark.createDataFrame(pdf)
+    cents = train_centroids(df, k=3, iters=2)
+    out = cents.toPandas()
+    assert len(out) == 3 and set(out["centroid_id"]) == {0, 1, 2}
+    # the empty cluster (centroid 1, the duplicate) kept its position
+    c1 = [v for v in out[out.centroid_id == 1]["centroid"].iloc[0]]
+    assert c1 == [0.0, 0.0]
+
+
+def test_ivf_sample_too_small_raises(spark):
+    import pandas as pd
+    import pytest
+
+    from dask_ssh_docker_spark.operators.ivf import train_centroids
+
+    pdf = pd.DataFrame(
+        {"vec_id": range(20), "embedding": [[float(i), 0.0] for i in range(20)]}
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="fewer than k"):
+        train_centroids(df, k=16, iters=1, sample_fraction=0.05)
