@@ -54,14 +54,15 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial job so q1 doesn't pay startup costs
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # One warm-up + one measured run per query (steady-state, JMH-style):
+    # One warm-up + measured runs per query (steady-state, JMH-style):
     # the first execution of each plan shape pays one-time codegen
-    # compilation and file-listing costs that are not the operator's cost.
+    # compilation and file-listing costs that are not the operator's cost;
+    # best-of-3 absorbs transient machine-load noise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -76,7 +77,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "mode": "steady_state_best_of_2",
+                "mode": "steady_state_best_of_3",
             }
         )
     )
