@@ -118,3 +118,42 @@ def test_broadcast_hint_respected(spark, sf_dir):
         F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
     )
     assert has_broadcast_join(j)
+
+
+def test_gopher_quality_partial_aggregation(spark, sf_dir, reg):
+    """Both aggregation hops of the Gopher gate must partial-agg (a
+    partial/final HashAggregate pair around each Exchange) — the property
+    that makes the (doc,token) shuffle map-side combinable at 100 TB."""
+    from dask_ssh_docker_spark.plans import physical_plan
+
+    plan = physical_plan(reg["text_gopher_quality"].fn(spark, sf_dir))
+    import re
+
+    assert len(re.findall(r"HashAggregate", plan)) >= 4  # partial+final ×2 hops
+    assert "BatchEvalPython" not in plan
+
+
+def test_contamination_broadcasts_eval_grams(spark, sf_dir, reg):
+    """The eval-gram side of the decontamination join must broadcast —
+    the corpus never shuffles for the join."""
+    from dask_ssh_docker_spark.plans import physical_plan
+
+    plan = physical_plan(reg["text_contamination_flags"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_get_dummies_no_shuffle(spark, sf_dir, reg):
+    """Declared-domain one-hot is pure map-side: zero exchanges."""
+    from dask_ssh_docker_spark.plans import count_exchanges
+
+    assert count_exchanges(reg["get_dummies_segment"].fn(spark, sf_dir)) == 0
+
+
+def test_groupby_transform_single_shuffle(spark, sf_dir, reg):
+    """transform = unordered window over the group key: ONE exchange, no
+    self-join of the stats back onto the rows."""
+    from dask_ssh_docker_spark.plans import count_exchanges, physical_plan
+
+    df = reg["groupby_transform_scale"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert "SortMergeJoin" not in physical_plan(df)
