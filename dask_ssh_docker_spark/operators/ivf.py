@@ -80,38 +80,44 @@ def train_centroids(
         .map(lambda p: (p[1], p[0][0]))
         .toDF(["centroid_id", "centroid"])
     )
-    cents = init.persist()
-    cents.count()
+    # Eager localCheckpoint (k rows, ≪1 MB): materializes each iteration's
+    # centroids AND cuts lineage, so (a) no chain of grouped aggregates
+    # accumulates under the broadcast hint across iterations, (b) the
+    # previous iteration's blocks become unreachable and ContextCleaner
+    # frees them — no session-lifetime cache leak from repeated persist().
+    cents = init.localCheckpoint()
     vecs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).persist()
-    for _ in range(iters):
-        assigned = _assign(vecs, cents)
-        new = (
-            assigned.join(vecs, "id")
-            .select("centroid_id", F.posexplode(F.transform("v", lambda x: x.cast("double"))))
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("col").alias("m"))
-            .groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "centroid_id",
-                F.transform("pm", lambda s: s["m"]).alias("centroid"),
+    try:
+        for _ in range(iters):
+            assigned = _assign(vecs, cents)
+            new = (
+                assigned.join(vecs, "id")
+                .select("centroid_id", F.posexplode(F.transform("v", lambda x: x.cast("double"))))
+                .groupBy("centroid_id", "pos")
+                .agg(F.avg("col").alias("m"))
+                .groupBy("centroid_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select(
+                    "centroid_id",
+                    F.transform("pm", lambda s: s["m"]).alias("centroid"),
+                )
             )
-        )
-        # A centroid whose cluster went empty gets no groupBy row; keep
-        # its previous position instead of silently shrinking k (which
-        # would break the nprobe/k scan-fraction contract downstream).
-        new = (
-            cents.select("centroid_id", F.col("centroid").alias("__prev"))
-            .join(new, "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce("centroid", "__prev").alias("centroid"),
+            # A centroid whose cluster went empty gets no groupBy row; keep
+            # its previous position instead of silently shrinking k (which
+            # would break the nprobe/k scan-fraction contract downstream).
+            new = (
+                cents.select("centroid_id", F.col("centroid").alias("__prev"))
+                .join(new, "centroid_id", "left")
+                .select(
+                    "centroid_id",
+                    F.coalesce("centroid", "__prev").alias("centroid"),
+                )
             )
-        )
-        cents = new.persist()
-        cents.count()
+            cents = new.localCheckpoint()
+    finally:
+        vecs.unpersist()
     return cents
 
 

@@ -51,8 +51,28 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def _iter_plan_nodes(node):
+    """Depth-first walk of a JVM LogicalPlan tree via py4j."""
+    yield node
+    children = node.children()
+    for i in range(children.length()):
+        yield from _iter_plan_nodes(children.apply(i))
+
+
+def _broadcast_hint_nodes(df: DataFrame):
+    """JVM ``ResolvedHint`` nodes with a broadcast strategy, found by
+    walking the analyzed logical plan tree (not regex over the flattened
+    string — a hinted subtree whose leaf is a LogicalRDD or view would be
+    mis-attributed to the next relation in the string)."""
+    plan = df._jdf.queryExecution().analyzed()
+    for node in _iter_plan_nodes(plan):
+        if node.getClass().getSimpleName() == "ResolvedHint":
+            if "broadcast" in node.hints().toString().lower():
+                yield node
+
+
 def hinted_broadcast_tables(df: DataFrame) -> set[str]:
-    """First output column of each relation sitting under a
+    """First output column of each leaf relation sitting under a
     ``ResolvedHint (strategy=broadcast)`` node in the *analyzed* logical
     plan.  This identifies tables carrying a FORCED broadcast hint — as
     opposed to broadcasts chosen by the planner/AQE from size estimates,
@@ -60,16 +80,43 @@ def hinted_broadcast_tables(df: DataFrame) -> set[str]:
     dims (region/nation) may show up here; a hint on a scale-growing
     table (customer/supplier/part → first columns ``c_*``/``s_*``/``p_*``)
     is a 100 TB OOM bug."""
-    plan = df._jdf.queryExecution().analyzed().toString()
     out: set[str] = set()
-    # Scan from each hint position independently (not one non-greedy pass:
-    # that would consume nested hints that sit before the first Relation,
-    # leaving them unreported).
-    for m in re.finditer(r"ResolvedHint \(strategy=broadcast\)", plan):
-        rel = re.search(r"Relation \[([A-Za-z_0-9]+)", plan[m.end():])
-        if rel:
-            out.add(rel.group(1))
+    for node in _broadcast_hint_nodes(df):
+        leaves = node.child().collectLeaves()
+        for i in range(leaves.length()):
+            cols = leaves.apply(i).output()
+            if cols.length() > 0:
+                out.add(cols.apply(0).name())
     return out
+
+
+def hinted_unbounded_aggregate_broadcasts(df: DataFrame) -> list[str]:
+    """Forced-broadcast subtrees that contain a *grouped* aggregate —
+    i.e. a broadcast whose row count scales with data cardinality (a
+    distinct-terms vocabulary, a per-key rollup).  A global aggregate
+    (no grouping keys → exactly one row) is bounded and exempt.  Any
+    entry returned here is a guaranteed 100 TB executor OOM: a forced
+    hint bypasses AQE's size threshold.  Returns the simpleString of
+    each offending hint child for assertion messages."""
+    def _unbounded_grouped_agg(node) -> bool:
+        name = node.getClass().getSimpleName()
+        if name == "Aggregate":
+            if node.groupingExpressions().length() == 0:
+                return False  # global agg: exactly 1 row, prune subtree
+            return True
+        if name in ("GlobalLimit", "LocalLimit"):
+            return False  # limit caps cardinality, prune subtree
+        children = node.children()
+        return any(
+            _unbounded_grouped_agg(children.apply(i))
+            for i in range(children.length())
+        )
+
+    bad: list[str] = []
+    for node in _broadcast_hint_nodes(df):
+        if _unbounded_grouped_agg(node.child()):
+            bad.append(node.child().nodeName())
+    return bad
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

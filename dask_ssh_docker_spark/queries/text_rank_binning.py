@@ -57,8 +57,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JOIN n) — keeps the plan lazy and single-scan instead of an eager
     # docs.count() driver action at query-build time
     n = docs.agg(F.count("*").cast("double").alias("__n_docs"))
+    # dfreq (one row per distinct corpus term) grows without bound on web
+    # text — NEVER force-broadcast it.  Left unhinted, AQE broadcasts it at
+    # small scale and falls back to a shuffle join past the size threshold.
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

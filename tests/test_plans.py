@@ -56,6 +56,37 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir, reg):
         assert hinted <= fixed_dim_cols, (qname, hinted)
 
 
+def test_no_hinted_broadcast_of_unbounded_aggregates(spark, sf_dir, reg):
+    """A forced broadcast of a GROUPED aggregate (e.g. a distinct-terms
+    vocabulary) scales with data cardinality and bypasses AQE's size
+    threshold — guaranteed executor OOM at 100 TB.  Swept across every
+    registered batch query.  Global (ungrouped) aggregates are exempt:
+    exactly one row, bounded forever."""
+    from dask_ssh_docker_spark.plans import hinted_unbounded_aggregate_broadcasts
+
+    for name, spec in reg.items():
+        if spec.fn.__module__.endswith("queries.streaming"):
+            continue
+        bad = hinted_unbounded_aggregate_broadcasts(spec.fn(spark, sf_dir))
+        assert not bad, (name, bad)
+
+
+def test_tfidf_vocabulary_not_force_broadcast(spark, sf_dir, reg):
+    """The TF-IDF document-frequency table (one row per distinct corpus
+    term — unbounded on web text) must not carry a forced broadcast hint;
+    only the 1-row global n_docs aggregate may."""
+    from dask_ssh_docker_spark.plans import (
+        _broadcast_hint_nodes,
+        hinted_unbounded_aggregate_broadcasts,
+    )
+
+    df = reg["text_tfidf_top_terms"].fn(spark, sf_dir)
+    assert hinted_unbounded_aggregate_broadcasts(df) == []
+    # the surviving hint(s) are global aggregates only
+    for node in _broadcast_hint_nodes(df):
+        assert "Aggregate" in node.child().toString()
+
+
 def test_theta_join_broadcasts_bounded_side(spark, sf_dir, reg):
     """join_range_theta hints the constant-size filtered orders side,
     never the SF-growing part table."""
