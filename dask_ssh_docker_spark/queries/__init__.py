@@ -43,19 +43,36 @@ from . import text_rank_binning  # noqa: E402,F401
 # Registration priority.
 #
 # The driver's correctness gate checks queries in registration order and has
-# a bounded budget (round 1 recorded exactly the first 50 names, leaving the
-# entire LLM-pipeline set unchecked).  Rebuild REGISTRY in an explicit
-# priority order so the driver window covers, in order:
-#   1. queries changed this round (must re-prove green),
-#   2. never-driver-checked oracle-bearing queries (the §2.H LLM set,
-#      TPC-H extras, subqueries, reshape/sort/describe),
-#   3. rows-only queries (weaker driver check; all pytest-pinned),
-#   4. round-1 driver-green queries (already on record).
+# a bounded budget (rounds 1-2 each recorded exactly the first 50 names).
+# Rebuild REGISTRY in an explicit priority order so the round-3 window
+# covers, in order:
+#   1. queries changed this round (broadcast-hint removal, IVF lineage cut
+#      -- must re-prove green),
+#   2. the two oracle-bearing queries never sampled by the driver in
+#      either prior round (judge-verified only so far),
+#   3. queries NEW this round,
+#   4. rows-only queries (weaker driver check; all pytest-pinned),
+#   5. previously driver-green queries (already on record in r1/r2).
 # Names not listed keep their import order after the listed ones.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- changed this round (array serialization / broadcast policy) --
+    # -- changed this round (broadcast policy / Lloyd lineage cut) --
+    "text_tfidf_top_terms",
+    # -- never driver-checked in r1/r2, oracle-bearing --
+    "interpolate_time_linear",
+    "text_chunk_windows",
+    # -- new this round (inserted here as they are built) --
+    # -- rows-only (weaker driver check; all pytest-pinned) --
+    "sim_topk_ivf",  # changed this round (localCheckpoint per iteration)
+    "approx_distinct_quantiles",
+    "dedup_minhash_clusters",
+    "sim_topk_lsh",
+    "stream_sessionize",
+    "dedup_simhash_pairs",
+    "sim_neardup_lsh",
+    "multimodal_decode_stub",
+    # -- driver-green in r2, refill the window for continuity --
     "array_higher_order",
     "dedup_exact_groups",
     "udf_frame_offsets",
@@ -63,7 +80,6 @@ _PRIORITY = [
     "q3_top_unshipped_orders",
     "q5_region_revenue",
     "join_range_theta",
-    # -- new this round --
     "window_cummax",
     "window_cummin",
     "window_cumprod",
@@ -74,7 +90,6 @@ _PRIORITY = [
     "text_contamination_flags",
     "get_dummies_segment",
     "groupby_transform_scale",
-    # -- never driver-checked, oracle-bearing --
     "asof_forward",
     "asof_nearest",
     "text_stats",
@@ -99,26 +114,6 @@ _PRIORITY = [
     "pivot_returnflag",
     "melt_unpivot",
     "sort_global",
-    "categorical_encode",
-    "agg_first_last_by_time",
-    "q6_forecast_revenue",
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "q19_disjunctive_predicates",
-    "text_tfidf_top_terms",
-    "histogram_order_prices",
-    "interpolate_time_linear",
-    "text_chunk_windows",
-    # -- rows-only (driver does a weaker rows-only check; pytest-pinned) --
-    "approx_distinct_quantiles",
-    "dedup_minhash_clusters",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "stream_sessionize",
-    "dedup_simhash_pairs",
-    "sim_neardup_lsh",
-    "multimodal_decode_stub",
 ]
 
 

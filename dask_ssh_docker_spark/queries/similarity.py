@@ -88,14 +88,20 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_topk_lsh", oracle=None)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH top-10 (8 tables × 8 bits, seeded) — the
-    approximate scale path; recall pinned in tests/test_similarity.py."""
+    """Random-hyperplane LSH top-10 (32 tables × 6 bits, seeded) — the
+    approximate scale path; recall@10 ≥ 0.8 vs brute force pinned at
+    sf0.1 in tests/test_similarity.py.  The test corpus is isotropic
+    random noise — the adversarial case for hyperplane LSH, hence the
+    generous table count; clustered real-world embeddings reach the same
+    recall with far fewer tables (tune bits/tables per corpus)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
-    return lsh_topk(queries, corpus, k=10).orderBy("query_id", "rank")
+    return lsh_topk(queries, corpus, k=10, bits=6, tables=32).orderBy(
+        "query_id", "rank"
+    )
 
 
 @query("sim_neardup_lsh", oracle=None)
@@ -107,9 +113,12 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_topk_ivf", oracle=None)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat top-10 (8 deterministic Lloyd centroids, nprobe=4 → ~50%
-    corpus scan) — the inverted-list ANN scale path; recall pinned in
-    tests/test_similarity.py."""
+    """IVF-Flat top-10 (16 deterministic Lloyd centroids, nprobe=12 →
+    ~75% corpus scan) — the inverted-list ANN scale path; recall@10 ≥ 0.8
+    vs brute force pinned at sf0.1 in tests/test_similarity.py.  Isotropic
+    noise spreads true neighbors evenly across lists, forcing a high
+    nprobe/k here; clustered real embeddings get the same recall at
+    nprobe/k ≈ 0.1-0.25 (the scan fraction that makes IVF pay at 100 TB)."""
     from ..operators.ivf import build_index, ivf_topk, train_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -117,6 +126,8 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
-    cents = train_centroids(corpus, k=8, iters=2)
+    cents = train_centroids(corpus, k=16, iters=2)
     idx = build_index(corpus, cents)
-    return ivf_topk(queries_df, idx, cents, k=10, nprobe=4).orderBy("query_id", "rank")
+    return ivf_topk(queries_df, idx, cents, k=10, nprobe=12).orderBy(
+        "query_id", "rank"
+    )
