@@ -198,9 +198,10 @@ def write_jdbc(
     - ``mode`` follows Spark semantics (``append``/``overwrite``/
       ``ignore``/``error``), matching pandas/Dask ``if_exists``.
 
-    No database ships in the test container, so the wrapper is covered by
-    an option-plumbing test (tests/test_runner_streaming_multimodal.py);
-    the JDBC execution path itself is Spark's own.
+    Round-trip verified against embedded Apache Derby (bundled in the
+    Spark distribution) in tests/test_jdbc.py: table creation, dialect
+    type mapping, batch inserts, save modes, partitioned parallel reads,
+    and predicate pushdown into the database.
     """
     if num_partitions is not None:
         df = df.coalesce(num_partitions)
