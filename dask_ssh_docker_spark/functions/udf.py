@@ -82,6 +82,15 @@ def map_overlap(
         raise ValueError("before/after must be >= 0")
     if before >= chunk_rows or after >= chunk_rows:
         raise ValueError("halo must be smaller than chunk_rows")
+    reserved = ("__rn", "__rn_max", "__m", "__chunk", "__core")
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        # withColumn would silently overwrite and the helper strip would
+        # then drop the user's data — refuse instead.
+        raise ValueError(
+            f"map_overlap reserves helper column names {reserved}; "
+            f"input already has {clash} — rename those columns first"
+        )
 
     keys = [by] if isinstance(by, str) else list(by or [])
     w = (

@@ -105,8 +105,12 @@ def decode_image_meta(df: DataFrame, blob_col: str, id_col: str, fake: bool = Tr
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                blob = row[blob_col] or b""
+            # itertuples, not iterrows: no per-row Series construction
+            # (input is projected to exactly (id, blob), positions fixed)
+            for rid, blob in pdf[[id_col, blob_col]].itertuples(
+                index=False, name=None
+            ):
+                blob = blob or b""
                 if have_pil and not fake:
                     import io
 
@@ -115,18 +119,18 @@ def decode_image_meta(df: DataFrame, blob_col: str, id_col: str, fake: bool = Tr
                     try:
                         img = Image.open(io.BytesIO(blob))
                         out.append(
-                            (row[id_col], img.width, img.height,
+                            (rid, img.width, img.height,
                              len(img.getbands()), True, "pil")
                         )
                         continue
                     except Exception:  # noqa: BLE001
-                        out.append((row[id_col], None, None, None, False, "pil"))
+                        out.append((rid, None, None, None, False, "pil"))
                         continue
                 # DETERMINISTIC FAKE: dims from content hash
                 h = hashlib.sha256(blob).digest()
                 out.append(
                     (
-                        row[id_col],
+                        rid,
                         64 + h[0] % 192,
                         64 + h[1] % 192,
                         1 + h[2] % 4,

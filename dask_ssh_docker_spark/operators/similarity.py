@@ -180,10 +180,12 @@ def lsh_neardup_pairs(
     bits: int = 8,
     tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs restricted to LSH-bucket cohabitants — the scale
-    path: |rows|·T bucket tuples shuffle instead of n² pairs."""
-    bkt = lsh_bucketed(df, id_col, vec_col, bits, tables, seed)
+    path: |rows|·T bucket tuples shuffle instead of n² pairs.  Pass
+    ``dim`` to keep plan construction job-free (see ``lsh_bucketed``)."""
+    bkt = lsh_bucketed(df, id_col, vec_col, bits, tables, seed, dim=dim)
     a = bkt.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         "table_idx", "bucket",

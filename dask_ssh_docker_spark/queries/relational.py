@@ -607,6 +607,10 @@ def smoke_delayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.range(1000).agg(F.sum("id").cast("bigint").alias("total"))
 
 
+# rendered fixed-width dir per sf_dir (see read_fwf_roundtrip)
+_FWF_RENDER_CACHE: dict[str, str] = {}
+
+
 @query(
     "read_fwf_roundtrip",
     oracle="""
@@ -621,19 +625,23 @@ def read_fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources import read_fwf
 
-    nation = load_table(spark, sf_dir, "nation")
-    lines = nation.select(
-        F.concat(
-            F.rpad(F.col("n_nationkey").cast("string"), 4, " "),
-            F.rpad(F.col("n_name"), 26, " "),
-            F.rpad(F.col("n_regionkey").cast("string"), 4, " "),
-        ).alias("value")
-    )
-    # mkdtemp: a fresh private dir per call — concurrent sessions (or a
-    # re-collect after a later run) can never race an overwrite of a
-    # shared fixed path.
-    path = tempfile.mkdtemp(prefix="spark_graft_fwf_") + "/data"
-    lines.write.mode("overwrite").text(path)
+    # Memoized per sf_dir: plan construction is otherwise side-effecting
+    # (an eager write job per call) and repeated driver/test sweeps would
+    # accumulate temp dirs.  mkdtemp on first use keeps the path private
+    # per process — concurrent sessions can never race a shared fixed path.
+    path = _FWF_RENDER_CACHE.get(sf_dir)
+    if path is None:
+        nation = load_table(spark, sf_dir, "nation")
+        lines = nation.select(
+            F.concat(
+                F.rpad(F.col("n_nationkey").cast("string"), 4, " "),
+                F.rpad(F.col("n_name"), 26, " "),
+                F.rpad(F.col("n_regionkey").cast("string"), 4, " "),
+            ).alias("value")
+        )
+        path = tempfile.mkdtemp(prefix="spark_graft_fwf_") + "/data"
+        lines.write.mode("overwrite").text(path)
+        _FWF_RENDER_CACHE[sf_dir] = path
     return read_fwf(
         spark,
         path,

@@ -99,7 +99,9 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
-    return lsh_topk(queries, corpus, k=10, bits=6, tables=32).orderBy(
+    # dim passed explicitly (testdata embeddings are 64-d, TESTDATA.md):
+    # plan construction stays job-free — no first() inference round-trip.
+    return lsh_topk(queries, corpus, k=10, bits=6, tables=32, dim=64).orderBy(
         "query_id", "rank"
     )
 
@@ -108,7 +110,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs (scale path for sim_neardup_pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return lsh_neardup_pairs(emb, threshold=0.4, dim=64).orderBy("id_a", "id_b")
 
 
 @query("sim_topk_ivf", oracle=None)

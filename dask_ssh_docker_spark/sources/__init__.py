@@ -95,9 +95,12 @@ def read_fwf(
 ) -> DataFrame:
     """``pd.read_fwf``-style fixed-width reader (Dask ``dd.read_fwf``).
 
-    ``colspecs`` are 0-based half-open ``(start, end)`` byte offsets per
-    column, pandas-convention; values are trimmed and optionally cast via
-    ``dtypes`` (Spark type names, parallel to ``names``).
+    ``colspecs`` are 0-based half-open ``(start, end)`` CHARACTER offsets
+    per column (pandas-convention — ``pd.read_fwf`` slices decoded
+    strings, and ``F.substring`` counts characters the same way; the
+    distinction from byte offsets only matters for multi-byte UTF-8
+    data).  Values are trimmed and optionally cast via ``dtypes`` (Spark
+    type names, parallel to ``names``).
 
     Built as a substring projection over ``spark.read.text`` — the line
     scan parallelizes over file splits like any text source, and the

@@ -109,3 +109,17 @@ def test_map_overlap_validates_args(spark):
     with pytest.raises(ValueError):
         map_overlap(df, lambda p: p, before=99, after=0,
                     schema="k long", order_by=["t"], by="k", chunk_rows=10)
+
+
+def test_map_overlap_rejects_reserved_column_clash(spark):
+    """An input column named like an internal helper would be silently
+    overwritten then stripped — must raise instead (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from dask_ssh_docker_spark.functions.udf import map_overlap
+
+    _, df = _mk(spark, n=10, keys=1)
+    clashed = df.withColumn("__chunk", F.lit(1))
+    with pytest.raises(ValueError, match="reserve"):
+        map_overlap(clashed, lambda p: p, before=1, after=1,
+                    schema="k long, t long", order_by=["t"], by="k")

@@ -204,3 +204,33 @@ def test_ivf_sample_too_small_raises(spark):
     df = spark.createDataFrame(pdf)
     with pytest.raises(ValueError, match="fewer than k"):
         train_centroids(df, k=16, iters=1, sample_fraction=0.05)
+
+
+def test_lsh_plan_construction_is_job_free(spark):
+    """Building the LSH operators with dim= passed (as the registered
+    queries now do) must launch NO Spark job — the first() dim-inference
+    round-trip is gone from the shipped path and plan construction stays
+    lazy.  (Table loading itself is excluded: spark.read.parquet runs an
+    intrinsic schema-inference job that exists for every query.)"""
+    from dask_ssh_docker_spark.operators.similarity import (
+        lsh_neardup_pairs,
+        lsh_topk,
+    )
+    from dask_ssh_docker_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+
+    sc = spark.sparkContext
+    group = "lsh-build-probe"
+    sc.setJobGroup(group, "lsh plan construction probe")
+    try:
+        lsh_topk(queries, corpus, k=10, bits=6, tables=32, dim=64)
+        lsh_neardup_pairs(emb, threshold=0.4, dim=64)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], f"LSH plan construction launched jobs: {jobs}"
