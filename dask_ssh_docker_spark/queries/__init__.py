@@ -37,6 +37,7 @@ from . import reshape  # noqa: E402,F401
 from . import agg_by  # noqa: E402,F401
 from . import tpch_more  # noqa: E402,F401
 from . import text_rank_binning  # noqa: E402,F401
+from . import pipeline  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -63,6 +64,11 @@ _PRIORITY = [
     "interpolate_time_linear",
     "text_chunk_windows",
     # -- new this round (inserted here as they are built) --
+    "split_train_val_md5",
+    "sample_stratified_by_source",
+    "pack_sequences_greedy",
+    "text_pii_redaction",
+    "top_terms_per_source",
     # -- rows-only (weaker driver check; all pytest-pinned) --
     "sim_topk_ivf",  # changed this round (localCheckpoint per iteration)
     "approx_distinct_quantiles",

@@ -1,0 +1,251 @@
+"""Training-data pipeline operations (SURVEY.md §2.H extension): the
+dataset-curation steps between raw corpus and training shards —
+deterministic splits, stratified sampling, context-window packing,
+PII redaction, vocabulary summarization.
+
+Every computation is a JVM expression (md5 / regexp / window cumsum); the
+oracles use the identical hash and regex semantics, so results match
+bitwise.  Determinism policy: splits and samples hash content keys (never
+``rand()``) — re-running on re-partitioned data gives identical
+membership, the property a reproducible training run needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources import load_table
+from .registry import query
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# hex-prefix thresholds over md5: uniform on [0, 256) per 2-hex-char prefix
+_TRAIN_HEX = "e6"  # 230/256 ≈ 89.8 % train
+_VAL_HEX = "f3"    # 243/256 ≈ 94.9 % cumulative → ~5.1 % val, ~5.1 % test
+
+
+@query(
+    "split_train_val_md5",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HEX}'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HEX}'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_val_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/5/5 train/val/test split by md5(doc_id) hex-prefix
+    compare — stable under re-partitioning, re-runs, and engine changes
+    (both engines emit identical lowercase md5 hex), unlike ``rand(seed)``
+    whose draw depends on partition layout.  Pure map-side: zero shuffles
+    at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(prefix < _TRAIN_HEX, "train")
+        .when(prefix < _VAL_HEX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "sample_stratified_by_source",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE source NOT IN ('src0', 'src1')
+       OR substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE source WHEN 'src0' THEN '33' WHEN 'src1' THEN '80' END
+    """,
+)
+def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling for data-mix reweighting:
+    keep ~20 % of src0 (0x33/256), ~50 % of src1 (0x80/256), 100 % of
+    everything else — membership by salted content hash, so the sample is
+    reproducible row-for-row on any cluster layout (``sampleBy`` with
+    seeded rand is not).  Pure map-side filter: pushdown-friendly, zero
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
+        1,
+        2,
+    )
+    threshold = (
+        F.when(F.col("source") == "src0", "33")
+        .when(F.col("source") == "src1", "80")
+    )
+    return docs.filter(
+        ~F.col("source").isin("src0", "src1") | (prefix < threshold)
+    ).select("doc_id", "source")
+
+
+@query(
+    "pack_sequences_greedy",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, start_tok,
+           CAST(floor(start_tok / 512.0) AS BIGINT) AS bin_first,
+           CAST(floor((start_tok + n_tokens - 1) / 512.0) AS BIGINT) AS bin_last
+    FROM c
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    doc_id order and cut into 512-token context windows; each doc reports
+    its global token offset and the first/last window it lands in (the
+    boundary map a packed-pretraining loader needs).
+
+    Scale shape: the running offset is a cumsum window PARTITIONED BY
+    SOURCE — each shard packs independently (exactly how 100 TB corpora
+    are packed in practice), so no global-order single-partition window
+    exists; one hash shuffle on source."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / 512.0).cast("bigint").alias("bin_first"),
+        F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / 512.0)
+        .cast("bigint")
+        .alias("bin_last"),
+    )
+
+
+_EMAIL_RE = r"[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com or call 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' . ' || COALESCE(text, '') AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(body, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(length(
+             regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g')
+           ) AS BIGINT) AS redacted_chars,
+           substr(
+             regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g'), 1, 60
+           ) AS redacted_head
+    FROM synth
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact email addresses and phone numbers
+    with JVM regexp_replace (no Python in the scan).  The synthetic corpus
+    contains no organic PII, so a deterministic email+phone is injected
+    per doc_id first — the regexes, counts, and replacement then exercise
+    the real path and must match the oracle byte-for-byte.  The regex
+    subset used (char classes, bounded repeats) behaves identically in
+    Java regex and RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" . "),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(body, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(body, F.lit(_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(body, F.lit(_PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.length(redacted).cast("bigint").alias("redacted_chars"),
+        F.substring(redacted, 1, 60).alias("redacted_head"),
+    )
+
+
+@query(
+    "top_terms_per_source",
+    oracle=f"""
+    WITH exploded AS (
+      SELECT source, unnest({_TOKS}) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    counted AS (
+      SELECT source, term, COUNT(*) AS cnt
+      FROM exploded GROUP BY source, term
+    ),
+    ranked AS (
+      SELECT source, term, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, term) AS rank
+      FROM counted
+    )
+    SELECT source, term, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 vocabulary terms per source — the corpus-inspection query
+    behind data-mix debugging.  Shape: explode → partial/final count agg
+    (map-side combined, one shuffle on (source, term)) → per-source
+    ranking window over the already-aggregated (small) frame.  Ties break
+    on term for determinism."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counted = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "source",
+            "term",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

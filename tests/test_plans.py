@@ -180,6 +180,42 @@ def test_get_dummies_no_shuffle(spark, sf_dir, reg):
     assert count_exchanges(reg["get_dummies_segment"].fn(spark, sf_dir)) == 0
 
 
+def test_pipeline_splits_are_shuffle_free(spark, sf_dir, reg):
+    """Hash-based split / stratified-sample / PII-redaction queries are
+    pure map-side projections+filters: zero exchanges at any scale."""
+    from dask_ssh_docker_spark.plans import count_exchanges
+
+    for q in (
+        "split_train_val_md5",
+        "sample_stratified_by_source",
+        "text_pii_redaction",
+    ):
+        assert count_exchanges(reg[q].fn(spark, sf_dir)) == 0, q
+
+
+def test_pack_sequences_partitioned_cumsum(spark, sf_dir, reg):
+    """Sequence packing cumsums WITHIN source partitions — one hash
+    exchange on source, and no single-partition global-order window
+    (the 100 TB shape: shards pack independently)."""
+    from dask_ssh_docker_spark.plans import count_exchanges, physical_plan
+
+    df = reg["pack_sequences_greedy"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert "Exchange SinglePartition" not in physical_plan(df)
+
+
+def test_top_terms_partial_aggregation(spark, sf_dir, reg):
+    """The (source, term) count must partial-agg before its exchange so
+    the exploded-token shuffle is map-side combined; the ranking window
+    runs over the aggregated (vocabulary-sized) frame only."""
+    import re
+
+    from dask_ssh_docker_spark.plans import physical_plan
+
+    plan = physical_plan(reg["top_terms_per_source"].fn(spark, sf_dir))
+    assert len(re.findall(r"HashAggregate", plan)) >= 2  # partial+final
+
+
 def test_groupby_transform_single_shuffle(spark, sf_dir, reg):
     """transform = unordered window over the group key: ONE exchange, no
     self-join of the stats back onto the rows."""
