@@ -38,6 +38,7 @@ from . import agg_by  # noqa: E402,F401
 from . import tpch_more  # noqa: E402,F401
 from . import text_rank_binning  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import tpch_full  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -69,6 +70,20 @@ _PRIORITY = [
     "pack_sequences_greedy",
     "text_pii_redaction",
     "top_terms_per_source",
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_suppliers",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
     # -- rows-only (weaker driver check; all pytest-pinned) --
     "sim_topk_ivf",  # changed this round (localCheckpoint per iteration)
     "approx_distinct_quantiles",
