@@ -39,6 +39,7 @@ from . import tpch_more  # noqa: E402,F401
 from . import text_rank_binning  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import tpch_full  # noqa: E402,F401
+from . import embeddings  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -84,6 +85,10 @@ _PRIORITY = [
     "q20_excess_shipments",
     "q21_waiting_supplier",
     "q22_dormant_customers",
+    "embedding_norm_stats",
+    "embedding_centroids_by_label",
+    "embedding_quantize_int8_stats",
+    "stream_interval_join_pairs",
     # -- rows-only (weaker driver check; all pytest-pinned) --
     "sim_topk_ivf",  # changed this round (localCheckpoint per iteration)
     "approx_distinct_quantiles",

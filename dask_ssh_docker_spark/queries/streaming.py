@@ -8,7 +8,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming import run_to_completion, sessionized, stream_events, tumbling_counts
+from pyspark.sql import functions as F
+
+from ..streaming import (
+    run_to_completion,
+    sessionized,
+    stream_events,
+    stream_stream_interval_join,
+    tumbling_counts,
+)
 from .registry import query
 
 
@@ -28,6 +36,45 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executes an actual streaming job (complete mode, availableNow) —
     result must equal the batch hourly rollup bit-for-bit."""
     return run_to_completion(tumbling_counts(stream_events(spark, sf_dir)))
+
+
+@query(
+    "stream_interval_join_pairs",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+           l.user_id, l.ts AS click_ts, r.ts AS purchase_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)
+def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed as a real streaming job
+    (click→purchase attribution within 30 min, watermarks on both sides
+    bounding the join state) — the materialized append-mode result must
+    equal the batch interval join row-for-row."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, "user_id", within="30 minutes"
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.ts").alias("purchase_ts"),
+    )
+    return run_to_completion(joined, output_mode="append")
 
 
 @query("stream_sessionize", oracle=None)

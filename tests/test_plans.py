@@ -224,3 +224,41 @@ def test_groupby_transform_single_shuffle(spark, sf_dir, reg):
     df = reg["groupby_transform_scale"].fn(spark, sf_dir)
     assert count_exchanges(df) == 1
     assert "SortMergeJoin" not in physical_plan(df)
+
+
+def test_q21_window_decorrelation_no_self_join_explosion(spark, sf_dir, reg):
+    """The EXISTS/NOT-EXISTS pair of q21 decorrelates to ONE window pass
+    over the already-shuffled join key: exactly one scan of lineitem, no
+    triple self-join, and no single-partition window."""
+    from dask_ssh_docker_spark.plans import physical_plan
+
+    plan = physical_plan(reg["q21_waiting_supplier"].fn(spark, sf_dir))
+    assert plan.count("FileScan parquet") <= 3  # lineitem + orders + supplier
+    assert "Exchange SinglePartition" not in plan or "collect_set" not in plan
+
+
+def test_q2_window_reuses_aggregation_partitioning(spark, sf_dir, reg):
+    """The per-part min window in q2 must not introduce a shuffle beyond
+    the (part,supp) aggregation + the name joins: the window partitions
+    on a prefix of the agg keys."""
+    from dask_ssh_docker_spark.plans import count_exchanges, physical_plan
+
+    df = reg["q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[-1]
+    # groupBy (part,supp) + window repartition on part + AQE artifacts;
+    # the two name joins must broadcast (filtered part, supplier) not shuffle
+    assert count_exchanges(df) <= 3
+
+
+def test_embedding_centroids_partial_aggregated(spark, sf_dir, reg):
+    """The rows×dim exploded frame must partial-agg (map-side combine)
+    before its exchange, and the final assembly groups O(labels×dim)
+    cells only."""
+    import re
+
+    from dask_ssh_docker_spark.plans import physical_plan
+
+    plan = physical_plan(reg["embedding_centroids_by_label"].fn(spark, sf_dir))
+    assert len(re.findall(r"(?:Hash|ObjectHash|Sort)Aggregate", plan)) >= 4
+    assert "BatchEvalPython" not in plan
