@@ -89,6 +89,7 @@ _PRIORITY = [
     "embedding_centroids_by_label",
     "embedding_quantize_int8_stats",
     "stream_interval_join_pairs",
+    "funnel_view_click_purchase",
     # -- rows-only (weaker driver check; all pytest-pinned) --
     "sim_topk_ivf",  # changed this round (localCheckpoint per iteration)
     "approx_distinct_quantiles",

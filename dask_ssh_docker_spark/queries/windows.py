@@ -520,3 +520,86 @@ def window_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-funnel analysis (§2.H user-journey analytics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           CASE WHEN p.purchase_ts IS NOT NULL THEN 'purchase'
+                WHEN c.click_ts IS NOT NULL THEN 'click'
+                ELSE 'view' END AS reached
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user view→click→purchase funnel: earliest view, earliest click
+    at-or-after it, earliest purchase at-or-after that.
+
+    The oracle states the semantics as three grouped self-joins (three
+    shuffles of events).  The Spark plan instead chains three conditional-
+    min windows over ``user_id`` — each stage references the previous
+    stage's window result, and every window (and the final dedup) reuses
+    the SAME hash partitioning, so the whole funnel is ONE exchange of the
+    events table regardless of funnel depth.  That is the shape that
+    survives 100 TB: funnel stages cost projections, not shuffles."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "view_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "click_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("view_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "purchase_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("click_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return (
+        s3.filter(F.col("view_ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("view_ts").alias("view_ts"),
+            F.min("click_ts").alias("click_ts"),
+            F.min("purchase_ts").alias("purchase_ts"),
+        )
+        .withColumn(
+            "reached",
+            F.when(F.col("purchase_ts").isNotNull(), "purchase")
+            .when(F.col("click_ts").isNotNull(), "click")
+            .otherwise("view"),
+        )
+    )

@@ -262,3 +262,13 @@ def test_embedding_centroids_partial_aggregated(spark, sf_dir, reg):
     plan = physical_plan(reg["embedding_centroids_by_label"].fn(spark, sf_dir))
     assert len(re.findall(r"(?:Hash|ObjectHash|Sort)Aggregate", plan)) >= 4
     assert "BatchEvalPython" not in plan
+
+
+def test_funnel_single_exchange(spark, sf_dir, reg):
+    """Three funnel stages + final dedup must reuse ONE user_id hash
+    partitioning — funnel depth costs projections, not shuffles."""
+    from dask_ssh_docker_spark.plans import count_exchanges, physical_plan
+
+    df = reg["funnel_view_click_purchase"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert "Exchange SinglePartition" not in physical_plan(df)
