@@ -246,20 +246,28 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite"):
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table (TESTDATA.md).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects by default; we read it as raw nanos
-    (``spark.sql.legacy.parquet.nanosAsLong`` — runtime SQL conf, set here
-    defensively because the driver supplies its own session) and convert
-    losslessly to microsecond TimestampType with integer division (the
-    testdata has zero sub-microsecond components).
+    ``events.ts`` varies by testdata generation: parquet TIMESTAMP(NANOS)
+    (read as raw nanos via ``spark.sql.legacy.parquet.nanosAsLong`` — a
+    runtime SQL conf, set here defensively because the driver supplies its
+    own session — then converted losslessly to microsecond TimestampType)
+    or TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ by
+    Spark 4's parquet NTZ inference).  Both are normalized to session-local
+    TimestampType under a UTC session zone, so ``unix_micros``/window
+    arithmetic downstream sees identical epoch values either way — and the
+    DuckDB oracles' naive ``epoch_us(ts)`` matches bitwise.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dt == "timestamp_ntz":
+            # UTC session zone ⇒ NTZ→LTZ cast is a pure reinterpretation
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

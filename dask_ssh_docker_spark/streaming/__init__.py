@@ -43,10 +43,12 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table (same nanos handling as the
-    batch loader: ``spark.sql.legacy.parquet.nanosAsLong`` + exact
-    nanos→micros conversion)."""
+    """File-source stream of the events table (same ``ts`` normalization
+    as the batch loader: nanos-as-long generations convert with exact
+    integer division, NTZ generations reinterpret under the UTC session
+    zone)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from ..sources import load_table
 
     schema = load_table(spark, sf_dir, "events").schema  # post-conversion schema
@@ -55,8 +57,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .parquet(_staged_events_dir(sf_dir))
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     assert df.schema == schema
     return df
 
