@@ -40,6 +40,7 @@ from . import text_rank_binning  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import tpch_full  # noqa: E402,F401
 from . import embeddings  # noqa: E402,F401
+from . import analytics_extra  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -90,6 +91,10 @@ _PRIORITY = [
     "embedding_quantize_int8_stats",
     "stream_interval_join_pairs",
     "funnel_view_click_purchase",
+    "window_ewma_bounded",
+    "text_bigram_logprob",
+    "retention_cohorts_weekly",
+    "tok_len_histogram",
     # -- rows-only (weaker driver check; all pytest-pinned) --
     "sim_topk_ivf",  # changed this round (localCheckpoint per iteration)
     "approx_distinct_quantiles",

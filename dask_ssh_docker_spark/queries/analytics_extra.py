@@ -1,0 +1,216 @@
+"""Second-wave analytics queries (SURVEY.md §2.H/§2.I depth): bounded
+EWMA smoothing, corpus bigram language-model scoring, weekly retention
+cohorts, and token-length histograms.
+
+Every computation is a JVM expression; the oracles replicate the exact
+fold/rounding order so doubles survive the 6-decimal value hash.
+
+Scale notes (100 TB):
+
+- ``window_ewma_bounded``: one hash shuffle on user_id (the same window
+  exchange as lag/rolling); the 20-row frame keeps per-row state O(1).
+- ``text_bigram_logprob``: bigram counts shuffle on (w1, w2); the
+  conditional denominator re-aggregates on w1.  The probability table is
+  term-cardinality (unbounded on web text) — deliberately NOT
+  broadcast-hinted; AQE may broadcast at small scale and shuffle-join
+  past the threshold.
+- ``retention_cohorts_weekly``: distinct + min + join all shuffle on
+  user_id (co-partitioned after the first exchange); output is
+  O(weeks²) rows.
+- ``tok_len_histogram``: map-side log2 bucketing, one partial-agg'd
+  shuffle on (source, bucket); output O(sources × ~20 buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources import load_table
+from .registry import query
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# EWMA smoothing factor α=0.1 → decay 0.9, over a 20-row trailing frame.
+_DECAY = 0.9
+_FRAME = 20
+
+
+@query(
+    "window_ewma_bounded",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_id, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN {_FRAME - 1} PRECEDING AND CURRENT ROW) AS vals
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round(list_reduce(vals, (acc, x) -> acc * {_DECAY} + x)
+                 / ((1 - power({_DECAY}, len(vals))) / {1 - _DECAY:.1f}), 6)
+             AS ewma
+    FROM v
+    """,
+)
+def window_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per user over a
+    bounded {frame}-row trailing frame (the streaming-safe EWMA form: the
+    pandas ``ewm(adjust=True)`` weights, truncated to the frame, so state
+    is O(frame) instead of O(history)).
+
+    Determinism: the numerator is a LEFT FOLD ``acc*decay + x`` over the
+    frame-ordered value list — Spark's ``aggregate(…, 0.0, …)`` and
+    DuckDB's ``list_reduce`` (seeded with the first element) perform the
+    identical IEEE op sequence — and the denominator is the closed-form
+    geometric series (1-d^n)/(1-d).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-(_FRAME - 1), 0)
+    )
+    vals = F.collect_list(F.col("value").cast("double")).over(w)
+    num = F.aggregate(
+        vals, F.lit(0.0), lambda acc, x: acc * F.lit(_DECAY) + x
+    )
+    den = (F.lit(1.0) - F.pow(F.lit(_DECAY), F.size(vals))) / F.lit(1 - _DECAY)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)])   AS w2
+      FROM base WHERE len(toks) >= 2
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+    c1  AS (SELECT w1, SUM(c12) AS c1 FROM cnt GROUP BY w1),
+    p AS (
+      SELECT w1, w2, ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS logp
+      FROM cnt JOIN c1 USING (w1)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(SUM(logp) / COUNT(*), 6) AS avg_logprob
+    FROM bi JOIN p USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model score per document: P(w2|w1) from the
+    corpus's own bigram/unigram counts, document score = mean log
+    probability (the KenLM-style fluency proxy used to filter gibberish
+    from web crawl — a doc of globally-rare transitions scores low).
+
+    Per-row float sums accumulate in engine order; at document size the
+    drift is ~1e-13, far under the 6-decimal hash normalization.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    staged = docs.select("doc_id", tokens("text").alias("t")).filter(F.size("t") >= 2)
+    pairs = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = staged.select("doc_id", F.explode(pairs).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    cnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = cnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # term-cardinality tables: no forced broadcast (see module scale notes)
+    p = cnt.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.log(F.col("c12").cast("double") / F.col("c1").cast("double")).alias("logp"),
+    )
+    return (
+        bi.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("logp") / F.count("*"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "retention_cohorts_weekly",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    f AS (SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY user_id)
+    SELECT cohort,
+           CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM uw JOIN f USING (user_id)
+    GROUP BY cohort, week_offset
+    """,
+)
+def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-active
+    ISO week, counted in each subsequent active week.  Week offsets are
+    exact multiples of 7 days, so the day-diff/7 arithmetic is integral
+    in both engines (no rounding-mode exposure)."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
+@query(
+    "tok_len_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, len({_TOKS}) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(floor(log2(n_tokens + 1)) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens
+    FROM t GROUP BY source, bucket
+    """,
+)
+def tok_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram per source — the
+    length-distribution audit run before choosing context window / pack
+    sizes.  Map-side bucketing, one partial-agg'd shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = docs.select("source", F.size(tokens("text")).alias("n_tokens"))
+    return (
+        t.groupBy(
+            "source",
+            F.floor(F.log2(F.col("n_tokens") + 1)).cast("bigint").alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
