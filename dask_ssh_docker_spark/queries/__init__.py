@@ -95,6 +95,8 @@ _PRIORITY = [
     "text_bigram_logprob",
     "retention_cohorts_weekly",
     "tok_len_histogram",
+    "qcut_order_price_quartiles",
+    "resample_hourly_gapfill",
     # -- rows-only (weaker driver check; all pytest-pinned) --
     "sim_topk_ivf",  # changed this round (localCheckpoint per iteration)
     "approx_distinct_quantiles",

@@ -183,6 +183,116 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "qcut_order_price_quartiles",
+    oracle="""
+    WITH q AS (
+      SELECT
+        percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS q1,
+        percentile_cont(0.50) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS q2,
+        percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS q3
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           CAST(CASE WHEN o_totalprice <= q1 THEN 0
+                     WHEN o_totalprice <= q2 THEN 1
+                     WHEN o_totalprice <= q3 THEN 2
+                     ELSE 3 END AS BIGINT) AS bucket
+    FROM orders CROSS JOIN q
+    """,
+)
+def qcut_order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``qcut(x, 4)`` equivalent: per-row quartile labels from the
+    EXACT global quantile boundaries (percentile_cont linear interpolation
+    — identical doubles in both engines, so the <= comparisons match
+    bitwise).
+
+    Scale: the boundary frame is a 1-row GLOBAL aggregate — bounded
+    forever, broadcast back (exempt from the unbounded-aggregate hint
+    ban); the labeling pass is pure map-side.  Exact global quantiles
+    sort-aggregate the full column; ``approx_percentile`` is the
+    documented 100 TB substitution (see approx_distinct_quantiles)."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("q2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    v = F.col("o_totalprice")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(v <= F.col("q1"), 0)
+            .when(v <= F.col("q2"), 1)
+            .when(v <= F.col("q3"), 2)
+            .otherwise(3)
+            .cast("bigint")
+            .alias("bucket"),
+        )
+    )
+
+
+@query(
+    "resample_hourly_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, hr
+    ),
+    bounds AS (
+      SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+      FROM hourly GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    )
+    SELECT s.event_type, s.hr,
+           COALESCE(h.cnt, 0) AS n_events,
+           CASE WHEN h.cnt IS NULL THEN 1 ELSE 0 END AS gap_filled
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hr = h.hr
+    """,
+)
+def resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample: a dense per-type hour spine
+    (``sequence`` between each type's first and last active hour) left-
+    joined to the sparse hourly counts, empty buckets emitted as zero
+    with a fill flag — the timescale-style ``time_bucket_gapfill``
+    behavior that plain ``resample_hourly`` (present-buckets-only) lacks.
+
+    Scale: one (type, hour) shuffle for the counts; the spine is
+    O(types × calendar hours) — bounded by wall-clock time, not data —
+    and the final join is AQE-broadcastable."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    return (
+        spine.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_events"),
+            F.when(F.col("cnt").isNull(), 1).otherwise(0).alias("gap_filled"),
+        )
+    )
+
+
+@query(
     "tok_len_histogram",
     oracle=f"""
     WITH t AS (

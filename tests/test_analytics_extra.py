@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import math
 
-import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -116,3 +115,36 @@ def test_tok_len_histogram_totals(spark):
     got = pdf.groupby("source")["n_docs"].sum().to_dict()
     assert got == want
     assert (pdf["min_tokens"] <= pdf["max_tokens"]).all()
+
+
+def test_qcut_buckets_balanced(spark):
+    """Exact quartile binning puts ~25% of rows in each bucket and the
+    bucket ranges are ordered and non-overlapping."""
+    from dask_ssh_docker_spark.queries.analytics_extra import (
+        qcut_order_price_quartiles,
+    )
+
+    pdf = qcut_order_price_quartiles(spark, SF).toPandas()
+    n = len(pdf)
+    counts = pdf.groupby("bucket")["o_orderkey"].count()
+    assert set(counts.index) == {0, 1, 2, 3}
+    for b in range(4):
+        assert abs(counts[b] / n - 0.25) < 0.02, counts.to_dict()
+    rng = pdf.groupby("bucket")["o_totalprice"].agg(["min", "max"]).sort_index()
+    for b in range(3):
+        assert rng.loc[b, "max"] <= rng.loc[b + 1, "min"]
+
+
+def test_gapfill_spine_dense(spark):
+    """Each event_type's hours form a contiguous hourly spine; filled
+    rows are exactly the zero-count ones."""
+    from dask_ssh_docker_spark.queries.analytics_extra import (
+        resample_hourly_gapfill,
+    )
+
+    pdf = resample_hourly_gapfill(spark, SF).toPandas()
+    assert ((pdf["n_events"] == 0) == (pdf["gap_filled"] == 1)).all()
+    for et, grp in pdf.groupby("event_type"):
+        hrs = grp["hr"].sort_values().reset_index(drop=True)
+        deltas = hrs.diff().dropna().dt.total_seconds()
+        assert (deltas == 3600).all(), et
