@@ -21,6 +21,10 @@ QUERIES = [
     ("window_cumprod", "cumprod scan: one key shuffle, three window sums, no UDF"),
     ("map_overlap_centered_mean", "halo explode + one (key,chunk) shuffle into ArrowEvalPython-free applyInPandas"),
     ("text_gopher_quality", "explode → (doc,token) partial agg → doc agg; map-side combine both hops"),
+    ("funnel_view_click_purchase", "event funnel: chained conditional-min windows over ONE user_id exchange (no self-joins)"),
+    ("text_bigram_logprob", "bigram LM: (w1,w2) count shuffle + w1 re-agg; probability table un-hinted (AQE decides)"),
+    ("window_ewma_bounded", "bounded EWMA: one user_id window exchange, O(frame) state, JVM fold"),
+    ("pack_sequences_greedy", "sequence packing: per-source cumsum window — no global-order single partition"),
 ]
 
 
