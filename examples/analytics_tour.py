@@ -66,8 +66,24 @@ def main(argv: list[str]) -> int:
     }
     overlap = len(ivf_hits & lsh_hits)
 
+    # 4. smoothing, dense resample, retention — the monitoring trio over
+    #    the same events table (all single-exchange or spine-join shapes)
+    from dask_ssh_docker_spark.queries.analytics_extra import (
+        resample_hourly_gapfill,
+        retention_cohorts_weekly,
+        window_ewma_bounded,
+    )
+
+    n_smoothed = window_ewma_bounded(spark, sf_dir).count()
+    n_gaps = (
+        resample_hourly_gapfill(spark, sf_dir).filter("gap_filled = 1").count()
+    )
+    n_cohort_cells = retention_cohorts_weekly(spark, sf_dir).count()
+
     print(
         f"TOUR asof_matched={n_matched} daily_buckets={n_daily} "
-        f"ivf_hits={len(ivf_hits)} lsh_hits={len(lsh_hits)} overlap={overlap}"
+        f"ivf_hits={len(ivf_hits)} lsh_hits={len(lsh_hits)} overlap={overlap} "
+        f"ewma_rows={n_smoothed} gaps_filled={n_gaps} "
+        f"cohort_cells={n_cohort_cells}"
     )
     return 0
