@@ -97,6 +97,7 @@ _PRIORITY = [
     "tok_len_histogram",
     "qcut_order_price_quartiles",
     "resample_hourly_gapfill",
+    "dedup_clusters_transitive",
     # -- rows-only (weaker driver check; all pytest-pinned) --
     "sim_topk_ivf",  # changed this round (localCheckpoint per iteration)
     "approx_distinct_quantiles",

@@ -88,6 +88,63 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.35)
 
 
+@query(
+    "dedup_clusters_transitive",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM base
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS x, id_b AS y FROM pairs
+      UNION ALL
+      SELECT id_b AS x, id_a AS y FROM pairs
+    ),
+    reach(x, lbl) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.x
+    )
+    SELECT x AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY x
+    """,
+)
+def dedup_clusters_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the EXACT Jaccard pair graph:
+    the engine's iterated min-label connected-components loop
+    (``operators/dedup.py:cluster_min_label`` — the identical machinery
+    the xxhash64 MinHash path uses, there untestable by SQL) here runs on
+    a deterministic edge set, so the full CC semantics — label
+    propagation, convergence, singleton handling — are driver-checked
+    against a DuckDB recursive-CTE fixpoint.
+
+    Scale: the pair generation is the documented validation-scale
+    baseline; the CC loop itself is the 100 TB path (one edge-shuffle per
+    round, eager localCheckpoint lineage cuts, convergence early-exit)."""
+    from ..operators.dedup import cluster_min_label
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.35)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    out = cluster_min_label(pairs.select("id_a", "id_b"), ids)
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 @query("dedup_minhash_clusters", oracle=None)
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup clusters (shingle → 32 minhashes → 8 bands →

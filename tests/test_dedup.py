@@ -169,3 +169,30 @@ def test_cluster_min_label_exact_cap_is_not_nonconvergence(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
     out = cluster_min_label(pairs, ids, cc_iters=2).toPandas()
     assert set(out["cluster_id"]) == {0}
+
+
+def test_transitive_clusters_consistent_with_pairs(spark):
+    """Every verified near-dup pair lands in one cluster, and every
+    cluster label is the component's minimum member id."""
+    from dask_ssh_docker_spark.queries.dedup import (
+        dedup_clusters_transitive,
+        dedup_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    lbl = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters_transitive(spark, sf).collect()
+    }
+    pairs = [(r["id_a"], r["id_b"]) for r in dedup_jaccard_pairs(spark, sf).collect()]
+    assert pairs, "fixture should contain near-dup pairs"
+    for a, b in pairs:
+        assert lbl[a] == lbl[b], (a, b)
+    # label = min member id per component
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, c in lbl.items():
+        members[c].append(d)
+    for c, ms in members.items():
+        assert c == min(ms), (c, ms)
