@@ -98,6 +98,7 @@ _PRIORITY = [
     "qcut_order_price_quartiles",
     "resample_hourly_gapfill",
     "dedup_clusters_transitive",
+    "sample_temperature_sqrt",
     # -- rows-only (weaker driver check; all pytest-pinned) --
     "sim_topk_ivf",  # changed this round (localCheckpoint per iteration)
     "approx_distinct_quantiles",

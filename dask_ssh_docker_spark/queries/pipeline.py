@@ -89,6 +89,50 @@ def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_temperature_sqrt",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_s
+      FROM documents
+    )
+    SELECT doc_id, source
+    FROM ranked
+    WHERE rn <= CAST(ceil(sqrt(CAST(n_s AS DOUBLE)) * 4) AS BIGINT)
+    """,
+)
+def sample_temperature_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (τ=0.5): keep ``ceil(sqrt(n_s)·4)``
+    docs per source, so over-represented sources are downsampled toward
+    the sqrt of their size — the standard temperature reweighting used to
+    flatten a web-crawl source distribution before training.  Membership
+    is the first k docs per source in md5(doc_id) hash order (tie-broken
+    on doc_id): fully deterministic, and the k threshold is integral
+    (sqrt is IEEE-exact in both engines, ×4 and ceil exact), so there is
+    no float-boundary membership risk.
+
+    Scale: one window shuffle on source (bounded cardinality).  The rank
+    form is the exact-k oracle; at 100 TB the same mix is approximated
+    map-side by hash-threshold keep probabilities (see
+    sample_stratified_by_source) without the per-source sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_s"),
+    )
+    k = F.ceil(F.sqrt(F.col("n_s").cast("double")) * 4).cast("bigint")
+    return ranked.filter(F.col("rn") <= k).select("doc_id", "source")
+
+
+@query(
     "pack_sequences_greedy",
     oracle=f"""
     WITH t AS (
