@@ -1,8 +1,8 @@
 """Partitioning, bucketing, and skew tools (SURVEY.md §2.D sorted-index
 join row; the "Partitioning & shuffle" scale requirements).
 
-Three shuffle-avoidance/skew techniques, each with a test proving its plan
-property (tests/test_partitioning.py):
+Four layout/skew techniques, each with a test proving its plan or
+file-statistics property (tests/test_partitioning.py):
 
 - **bucketed tables**: persist both sides bucketed by the join key →
   repeat joins are co-located (no Exchange on either side).  The Spark
@@ -16,6 +16,8 @@ property (tests/test_partitioning.py):
 - **range-partitioned sorted write**: ``repartitionByRange +
   sortWithinPartitions`` — the ``set_index`` analog: downstream range
   predicates prune files via min/max statistics.
+- **z-order clustered write**: Morton-interleaved two-column layout so
+  min/max file skipping works on BOTH columns, not just the sort key.
 """
 
 from __future__ import annotations
@@ -96,6 +98,73 @@ def sorted_range_write(
     (
         df.repartitionByRange(num_partitions, F.col(order_col))
         .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _spread_bits16(c: F.Column) -> F.Column:
+    """Spread a 16-bit value's bits to the even positions of a 32-bit
+    lane (Morton encoding half): 4 shift/mask rounds, all JVM bitwise
+    ops inside whole-stage codegen."""
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def z_value(c1: F.Column, c2: F.Column) -> F.Column:
+    """Morton (Z-order) interleave of two 16-bit-quantized columns —
+    rows close in BOTH dimensions get close z-values."""
+    return _spread_bits16(c1.cast("bigint")).bitwiseOR(
+        F.shiftleft(_spread_bits16(c2.cast("bigint")), 1)
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    num_partitions: int = 8,
+) -> None:
+    """Z-order clustered write: quantize two numeric columns to 16-bit
+    lanes by global min/max scaling (one 1-row aggregate, broadcast
+    back), Morton-interleave them, range-partition + sort on the z-value,
+    write parquet.
+
+    Why this matters at 100 TB: a single-column sorted write
+    (``sorted_range_write``) prunes scans on that ONE column only; the
+    z-ordered layout shrinks per-file min/max ranges on BOTH columns
+    (~sqrt(files) shrink per dimension), so selective predicates on
+    either column skip most files — Delta/Iceberg ``OPTIMIZE ZORDER BY``
+    semantics, built from plain repartitionByRange.
+    """
+    lo1, hi1, lo2, hi2 = "__lo1", "__hi1", "__lo2", "__hi2"
+    bounds = df.agg(
+        F.min(F.col(col1).cast("double")).alias(lo1),
+        F.max(F.col(col1).cast("double")).alias(hi1),
+        F.min(F.col(col2).cast("double")).alias(lo2),
+        F.max(F.col(col2).cast("double")).alias(hi2),
+    )
+
+    def q16(col: str, lo: str, hi: str) -> F.Column:
+        span = F.col(hi) - F.col(lo)
+        frac = F.when(span > 0, (F.col(col).cast("double") - F.col(lo)) / span).otherwise(
+            F.lit(0.0)
+        )
+        return F.least(F.floor(frac * 65536).cast("bigint"), F.lit(65535))
+
+    staged = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__z", z_value(q16(col1, lo1, hi1), q16(col2, lo2, hi2)))
+        .drop(lo1, hi1, lo2, hi2)
+    )
+    (
+        staged.repartitionByRange(num_partitions, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
     )

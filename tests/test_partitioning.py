@@ -108,3 +108,60 @@ def test_sorted_range_write_prunes(spark, tmp_path):
     # of files (the property min/max stats prune on)
     touched = filtered.select(F.input_file_name()).distinct().count()
     assert touched < n_files
+
+
+def test_zorder_write_shrinks_both_column_ranges(spark, tmp_path):
+    """Z-order layout: per-file min/max spans shrink on BOTH clustered
+    columns (single-column sort leaves the second column's span at ~100%
+    per file)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dask_ssh_docker_spark.operators.partitioning import (
+        sorted_range_write,
+        zorder_write,
+    )
+    from dask_ssh_docker_spark.sources import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def file_spans(path):
+        spans = {"o_custkey": [], "o_totalprice": []}
+        glo = {}
+        for col in spans:
+            row = orders.agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).collect()[0]
+            glo[col] = (row["lo"], row["hi"])
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            for col in spans:
+                lo, hi = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(cols[col]).statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                g_lo, g_hi = glo[col]
+                spans[col].append((hi - lo) / (g_hi - g_lo))
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "single")
+    zorder_write(orders, zpath, "o_custkey", "o_totalprice", num_partitions=8)
+    sorted_range_write(orders, spath, "o_custkey", num_partitions=8)
+
+    z = file_spans(zpath)
+    s = file_spans(spath)
+    # single-column sort: custkey narrow, totalprice ~full span per file
+    assert s["o_custkey"] < 0.4
+    assert s["o_totalprice"] > 0.85
+    # z-order: BOTH columns substantially narrowed
+    assert z["o_custkey"] < 0.75, z
+    assert z["o_totalprice"] < 0.75, z
+    # round-trip integrity
+    assert spark.read.parquet(zpath).count() == orders.count()
