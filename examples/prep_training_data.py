@@ -7,6 +7,7 @@
       → language filter (marker-based lang-ID)
       → benchmark decontamination (broadcast eval 8-gram set)
       → MinHash-LSH near-dup clustering (keep canonical per cluster)
+      → temperature-scaled source mixing (sqrt reweighting, τ=0.5)
       → 50-token overlap chunking
       → curated chunks written to parquet
 
@@ -96,6 +97,25 @@ def main(argv: list[str]) -> int:
     )
     n5 = docs.count()
 
+    # 4b. temperature-scaled source mixing (τ=0.5): flatten the source
+    # distribution by keeping ceil(sqrt(n_s)·4) docs per source, first-k
+    # in md5(doc_id) order (deterministic across reruns/layouts)
+    from pyspark.sql import Window
+
+    w_mix = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    docs = (
+        docs.withColumn("__rn", F.row_number().over(w_mix))
+        .withColumn("__n_s", F.count("*").over(Window.partitionBy("source")))
+        .filter(
+            F.col("__rn")
+            <= F.ceil(F.sqrt(F.col("__n_s").cast("double")) * 4).cast("bigint")
+        )
+        .drop("__rn", "__n_s")
+    )
+    n5b = docs.count()
+
     # 5. chunk into overlapping context windows
     staged = docs.select("doc_id", "lang_pred", "quality", tokens("text").alias("__t"))
     chunks = staged.select(
@@ -112,6 +132,6 @@ def main(argv: list[str]) -> int:
     print(
         f"PIPELINE docs={n0} after_exact={n1} after_quality={n2} "
         f"after_gopher={n3} after_decontam={n4} after_neardup={n5} "
-        f"chunks={n6} out={out_dir}"
+        f"after_tempmix={n5b} chunks={n6} out={out_dir}"
     )
     return 0
