@@ -272,3 +272,29 @@ def test_funnel_single_exchange(spark, sf_dir, reg):
     df = reg["funnel_view_click_purchase"].fn(spark, sf_dir)
     assert count_exchanges(df) == 1
     assert "Exchange SinglePartition" not in physical_plan(df)
+
+
+def test_ewma_single_exchange_no_python(spark, sf_dir, reg):
+    """Bounded EWMA is one user_id window exchange with the fold entirely
+    in JVM expressions — no Python eval, no global-order window."""
+    from dask_ssh_docker_spark.plans import count_exchanges, physical_plan
+
+    df = reg["window_ewma_bounded"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_qcut_boundary_is_global_aggregate_broadcast(spark, sf_dir, reg):
+    """qcut's only hinted broadcast is the 1-row percentile boundary
+    aggregate (bounded forever); the labeling side never shuffles."""
+    from dask_ssh_docker_spark.plans import (
+        _broadcast_hint_nodes,
+        hinted_unbounded_aggregate_broadcasts,
+    )
+
+    df = reg["qcut_order_price_quartiles"].fn(spark, sf_dir)
+    assert hinted_unbounded_aggregate_broadcasts(df) == []
+    nodes = _broadcast_hint_nodes(df)
+    assert nodes and all("Aggregate" in n.child().toString() for n in nodes)
