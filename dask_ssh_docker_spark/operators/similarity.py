@@ -6,6 +6,9 @@ Two paths, same contract:
   corpus row map-side with JVM ``zip_with``/``aggregate`` vector math, keep
   top-k per query with a ranking window.  Cost O(|corpus|·|Q|·dim) compute,
   shuffle of |corpus|·|Q| scored rows.  The oracle baseline.
+- **brute_force_topk_arrow** — exact, vectorized: numpy/BLAS matmul per
+  Arrow batch + per-partition partial top-k, shuffling only
+  |partitions|·|Q|·k rows.  The high-dim / large-|Q| exact path.
 - **lsh_topk** — approximate scale path: random-hyperplane (sign) LSH.
   T tables × b hyperplane bits per vector (planes are seeded,
   deterministic, shipped as literal arrays — no fitting step); candidates
@@ -51,6 +54,66 @@ def brute_force_topk(
     return (
         scored.withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def brute_force_topk_arrow(
+    query_rows: list[tuple[int, list[float]]],
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized exact top-k — the scale variant of
+    ``brute_force_topk``: per Arrow batch, one numpy/BLAS matmul scores
+    the whole batch against all queries, ``argpartition`` keeps a k-row
+    partial per query, and only |partitions|·|Q|·k partial rows reach the
+    final ranking shuffle (vs |corpus|·|Q| scored rows on the JVM path).
+
+    ``query_rows`` is driver-side data ``[(id, vector), ...]`` — bounded
+    by contract (same as the LSH hyperplane literals), so plan
+    construction stays job-free and nothing is collected inside the
+    operator.  Results match ``brute_force_topk`` exactly up to float
+    tie-breaks (pinned in tests/test_similarity.py)."""
+    import pandas as pd
+
+    qids = np.array([q[0] for q in query_rows], dtype=np.int64)
+    qmat = np.array([q[1] for q in query_rows], dtype=np.float64)
+    qn = qmat / np.maximum(
+        np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            sims = xn @ qn.T  # (batch, q)
+            kk = min(k, len(pdf))
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            ids = pdf[corpus_id].to_numpy()
+            frames = [
+                pd.DataFrame(
+                    {
+                        query_id: qids[j],
+                        corpus_id: ids[part[:, j]],
+                        "sim": sims[part[:, j], j],
+                    }
+                )
+                for j in range(len(qids))
+            ]
+            yield pd.concat(frames, ignore_index=True)
+
+    partials = corpus.select(corpus_id, vec_col).mapInPandas(
+        score, schema=f"{query_id} long, {corpus_id} long, sim double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, F.round("sim", 6).alias("sim"), "rank")
     )

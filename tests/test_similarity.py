@@ -234,3 +234,39 @@ def test_lsh_plan_construction_is_job_free(spark):
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert list(jobs) == [], f"LSH plan construction launched jobs: {jobs}"
+
+
+def test_arrow_bruteforce_matches_jvm_bruteforce(spark):
+    """The numpy/BLAS partial-top-k path returns the same neighbors and
+    cosines as the JVM zip_with path (up to float tie-order)."""
+    from dask_ssh_docker_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+    from dask_ssh_docker_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+
+    jvm = brute_force_topk(queries, corpus, k=10).collect()
+    qrows = [(r["query_id"], r["embedding"]) for r in queries.collect()]
+    arr = brute_force_topk_arrow(qrows, corpus, k=10).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append((r["vec_id"], r["sim"]))
+        return {q: sorted(v) for q, v in out.items()}
+
+    j, a = by_query(jvm), by_query(arr)
+    assert set(j) == set(a)
+    for q in j:
+        jd, ad = dict(j[q]), dict(a[q])
+        # same neighbor sets (ties aside) ...
+        assert set(jd) == set(ad), (q, jd, ad)
+        # ... with matching cosines at the rounded precision
+        for vid in jd:
+            assert abs(jd[vid] - ad[vid]) <= 1e-6, (q, vid, jd[vid], ad[vid])
