@@ -46,3 +46,39 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ewma(stream: DataFrame, alpha: float = 0.1) -> DataFrame:
+    """Per-user streaming EWMA (recursive ``s ← (1-α)s + αx``), state =
+    one double per key — the O(1)-state online form of the batch
+    ``window_ewma_bounded`` query.  Events are folded in event-time order
+    WITHIN each micro-batch (sorted on ts, then event_id); cross-batch
+    order is the stream's arrival order, the standard online-EWMA
+    semantics.  Emits the post-batch smoothed value per user.
+
+    Pinned in tests/test_stateful.py: feeding the whole table in one
+    batch reproduces the exact batch-side recursive fold per user.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        (s, n) = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"].astype(float):
+                s = x if s is None else (1.0 - alpha) * s + alpha * x
+                n += 1
+        state.update((s, n))
+        yield pd.DataFrame({"user_id": [user_id], "ewma": [s], "n_seen": [n]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, ewma double, n_seen long",
+        stateStructType="ewma double, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

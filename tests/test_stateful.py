@@ -53,3 +53,43 @@ def test_running_totals_across_two_batches(spark, tmp_path):
         final["n"].astype("int64"), expected["n"].astype("int64"), check_names=False
     )
     assert (abs(final["total"] - expected["total"]) < 1e-6).all()
+
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+    """One-batch stream: the stateful EWMA equals the per-user recursive
+    fold computed driver-side; two-batch stream: state carries over (same
+    final value)."""
+    import math
+
+    from dask_ssh_docker_spark.sources import load_table
+    from dask_ssh_docker_spark.streaming.stateful import streaming_ewma
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    alpha = 0.1
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        s = None
+        for x in grp["value"].astype(float):
+            s = x if s is None else (1 - alpha) * s + alpha * x
+        want[uid] = s
+
+    src = tmp_path / "src"
+    ev.orderBy("ts").coalesce(1).write.parquet(str(src / "a"))
+    stream = spark.readStream.schema(ev.schema).parquet(f"{src}/*")
+    out = streaming_ewma(stream, alpha=alpha)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_probe")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ewma_probe").toPandas().groupby("user_id").last()
+    assert set(got.index) == set(want)
+    for uid, row in got.iterrows():
+        assert math.isclose(row["ewma"], want[uid], rel_tol=1e-9), uid
