@@ -99,6 +99,7 @@ _PRIORITY = [
     "resample_hourly_gapfill",
     "dedup_clusters_transitive",
     "sample_temperature_sqrt",
+    "window_rolling_corr",
     # -- rows-only (weaker driver check; all pytest-pinned) --
     "sim_topk_ivf",  # changed this round (localCheckpoint per iteration)
     "approx_distinct_quantiles",

@@ -86,6 +86,52 @@ def window_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_rolling_corr",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+             LAG(value) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS prev_v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round(corr(value, prev_v) OVER (
+             PARTITION BY user_id ORDER BY tus, event_id
+             ROWS BETWEEN {_FRAME - 1} PRECEDING AND CURRENT ROW), 6)
+             AS roll_corr
+    FROM lagged
+    """,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson autocorrelation (pandas ``rolling(20).corr`` of a
+    series with its lag-1): the mean-reversion / momentum diagnostic.
+    Both engines run their native ``corr`` window aggregate over the
+    identical ROWS frame; sub-1e-9 accumulation differences are absorbed
+    by the 6-decimal rounding.  Same single user_id window exchange as
+    the other rolling queries."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.unix_micros("ts"), F.col("event_id")]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_frame = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(-(_FRAME - 1), 0)
+    )
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w_lag).alias("prev_v"),
+    )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        F.round(F.corr("value", "prev_v").over(w_frame), 6).alias("roll_corr"),
+    )
+
+
+@query(
     "text_bigram_logprob",
     oracle=f"""
     WITH base AS (
