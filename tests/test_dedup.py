@@ -196,3 +196,26 @@ def test_transitive_clusters_consistent_with_pairs(spark):
         members[c].append(d)
     for c, ms in members.items():
         assert c == min(ms), (c, ms)
+
+
+def test_connected_components_public_api(spark):
+    """graph.connected_components: chain + triangle + isolated vertex."""
+    import pandas as pd
+
+    from dask_ssh_docker_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 10, 11, 10], "dst": [2, 3, 11, 12, 12]})
+    )
+    nodes = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3, 10, 11, 12, 99]}))
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+    # nodes derived from edges when omitted (no isolated 99)
+    got2 = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
