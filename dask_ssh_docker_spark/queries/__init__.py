@@ -100,6 +100,8 @@ _PRIORITY = [
     "dedup_clusters_transitive",
     "sample_temperature_sqrt",
     "window_rolling_corr",
+    "text_dup_sentence_fraction",
+    "anomaly_zscore_ewma",
     # -- rows-only (weaker driver check; all pytest-pinned) --
     "sim_topk_ivf",  # changed this round (localCheckpoint per iteration)
     "approx_distinct_quantiles",

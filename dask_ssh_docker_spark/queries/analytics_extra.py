@@ -193,6 +193,107 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_dup_sentence_fraction",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array({_NORM}, '\\.\\s+')))
+               AS sent
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (SELECT doc_id, sent FROM s0 WHERE length(sent) >= 20),
+    cnt AS (SELECT sent, COUNT(*) AS n_docs FROM s GROUP BY sent)
+    SELECT doc_id, COUNT(*) AS n_sents,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_frac
+    FROM s JOIN cnt USING (sent)
+    GROUP BY doc_id
+    """,
+)
+def text_dup_sentence_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-duplication audit: fraction of a document's distinct
+    sentences (≥20 chars) that appear in at least one other document —
+    the signal behind removing boilerplate/templated spans from web
+    crawl.  Distinct (doc, sentence) rows shuffle once on sentence for
+    the corpus counts and join back un-hinted (sentence cardinality grows
+    with the corpus)."""
+    from ..functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    s = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(normalize_text("text"), r"\.\s+"))
+            ).alias("sent"),
+        )
+        .filter(F.length("sent") >= 20)
+    )
+    cnt = s.groupBy("sent").agg(F.count("*").alias("n_docs"))
+    return (
+        s.join(cnt, "sent")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sents"),
+            (
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "anomaly_zscore_ewma",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN {_FRAME} PRECEDING AND 1 PRECEDING) AS prev_vals,
+             stddev_samp(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN {_FRAME} PRECEDING AND 1 PRECEDING) AS prev_std
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CASE WHEN len(prev_vals) >= 2 AND prev_std > 0 THEN
+             round((value
+                    - list_reduce(prev_vals, (acc, x) -> acc * {_DECAY} + x)
+                      / ((1 - power({_DECAY}, len(prev_vals))) / {1 - _DECAY:.1f}))
+                   / prev_std, 6)
+           END AS zscore
+    FROM base
+    """,
+)
+def anomaly_zscore_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-residual anomaly score: each event's deviation from the EWMA
+    of its PRECEDING frame, scaled by the preceding frame's stddev — the
+    monitoring-pipeline outlier signal (emitted as a continuous score;
+    thresholding is the caller's policy, keeping the oracle free of
+    boundary-sensitive booleans).  Same single user_id window exchange;
+    the fold arithmetic is the proven EWMA left fold."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.unix_micros("ts"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(-_FRAME, -1)
+    )
+    prev_vals = F.collect_list(F.col("value").cast("double")).over(w_prev)
+    prev_std = F.stddev_samp(F.col("value")).over(w_prev)
+    n = F.size(prev_vals)
+    ewma_prev = F.aggregate(
+        prev_vals, F.lit(0.0), lambda acc, x: acc * F.lit(_DECAY) + x
+    ) / ((F.lit(1.0) - F.pow(F.lit(_DECAY), n)) / F.lit(1 - _DECAY))
+    score = F.when(
+        (n >= 2) & (prev_std > 0),
+        F.round((F.col("value") - ewma_prev) / prev_std, 6),
+    )
+    return ev.select("user_id", "event_id", score.alias("zscore"))
+
+
+@query(
     "retention_cohorts_weekly",
     oracle="""
     WITH uw AS (
