@@ -440,6 +440,42 @@ def resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "resample_hourly_ohlc",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS hr,
+           arg_min(value, ts) AS open,
+           MAX(value)         AS high,
+           MIN(value)         AS low,
+           arg_max(value, ts) AS close,
+           COUNT(*)           AS n_events
+    FROM events
+    GROUP BY event_type, hr
+    """,
+)
+def resample_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (pandas ``resample('1h').ohlc()``): per type and
+    hour, the first/last value by event time plus the extremes — the
+    financial-bar / metrics-rollup shape.  ``min_by``/``max_by`` keep it
+    one partial-agg'd shuffle; deterministic because ``ts`` is unique in
+    the testdata (and at 100 TB the tie-break is a composite order
+    column)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr"), "ts", "value"
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
     "tok_len_histogram",
     oracle=f"""
     WITH t AS (
