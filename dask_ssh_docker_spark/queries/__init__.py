@@ -103,6 +103,7 @@ _PRIORITY = [
     "text_dup_sentence_fraction",
     "anomaly_zscore_ewma",
     "resample_hourly_ohlc",
+    "stream_hourly_ohlc",
     # -- rows-only (weaker driver check; all pytest-pinned) --
     "sim_topk_ivf",  # changed this round (localCheckpoint per iteration)
     "approx_distinct_quantiles",

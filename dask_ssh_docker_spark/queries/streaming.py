@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming import (
+    ohlc_bars,
     run_to_completion,
     sessionized,
     stream_events,
@@ -75,6 +76,28 @@ def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.ts").alias("purchase_ts"),
     )
     return run_to_completion(joined, output_mode="append")
+
+
+@query(
+    "stream_hourly_ohlc",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+           event_type,
+           arg_min(value, ts) AS open,
+           MAX(value)         AS high,
+           MIN(value)         AS low,
+           arg_max(value, ts) AS close,
+           COUNT(*)           AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars computed by an ACTUAL streaming job (watermarked
+    tumbling window, min_by/max_by state, availableNow) — the
+    materialized result must equal the batch OHLC resample
+    bit-for-bit."""
+    return run_to_completion(ohlc_bars(stream_events(spark, sf_dir)))
 
 
 @query("stream_sessionize", oracle=None)

@@ -85,6 +85,35 @@ def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def ohlc_bars(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling OHLC bars (streaming twin of the batch
+    ``resample_hourly_ohlc`` query): first/last value by event time via
+    ``min_by``/``max_by`` inside the windowed aggregate — per-window
+    state is one (value, ts) pair per extreme, O(1)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("hr"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def sessionized(stream: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours") -> DataFrame:
     """Watermarked session-window aggregation (streaming twin of batch
     ``sessionize_10m``)."""
