@@ -154,6 +154,10 @@ def zorder_write(
         frac = F.when(span > 0, (F.col(col).cast("double") - F.col(lo)) / span).otherwise(
             F.lit(0.0)
         )
+        # NULL column values make frac NULL and Spark's least(NULL, 65535)
+        # would silently park them in the TOP lane; pin NULLs to lane 0 so
+        # they cluster together at the bottom of the z-curve instead.
+        frac = F.coalesce(frac, F.lit(0.0))
         return F.least(F.floor(frac * 65536).cast("bigint"), F.lit(65535))
 
     staged = (

@@ -155,17 +155,18 @@ def lsh_bucketed(
 ) -> DataFrame:
     """(id, vec, table_idx, bucket) — one row per table per input row.
 
-    Pass ``dim`` explicitly to avoid the inference job (a ``first()`` —
-    one eager driver round-trip; also the only way to handle an empty
-    frame, which has no row to infer from)."""
+    ``dim`` is REQUIRED: the hyperplanes are generated driver-side from
+    it, and inferring it from data would launch an eager ``first()`` job
+    at plan-construction time (and could not handle an empty frame at
+    all).  Query construction must stay job-free —
+    ``tests/test_similarity.py`` asserts zero jobs run while building
+    this plan."""
     if dim is None:
-        head = df.select(vec_col).first()
-        if head is None or head[0] is None:
-            raise ValueError(
-                f"cannot infer embedding dim from an empty frame / null "
-                f"{vec_col!r}; pass dim= explicitly"
-            )
-        dim = len(head[0])
+        raise ValueError(
+            f"lsh_bucketed requires dim= (the length of the {vec_col!r} "
+            "arrays): inferring it from data would run an eager job at "
+            "plan-construction time and fails on an empty frame"
+        )
     planes = _hyperplanes(dim, bits, tables, seed)
     buckets = _bucket_exprs(vec_col, planes)
     return df.select(
@@ -188,12 +189,14 @@ def lsh_topk(
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: join query and corpus rows sharing any LSH
-    bucket, exact-score only those candidates, rank per query."""
+    bucket, exact-score only those candidates, rank per query.
+
+    ``dim`` is REQUIRED (see ``lsh_bucketed`` — no plan-time jobs)."""
     if dim is None:
-        head = queries.select(vec_col).first()
-        if head is None or head[0] is None:
-            raise ValueError("empty queries frame; pass dim= explicitly")
-        dim = len(head[0])
+        raise ValueError(
+            f"lsh_topk requires dim= (the length of the {vec_col!r} "
+            "arrays); plan construction must not run jobs"
+        )
     qb = lsh_bucketed(queries, query_id, vec_col, bits, tables, seed, dim=dim).select(
         query_id, F.col(vec_col).alias("__qvec"), "table_idx", "bucket"
     )

@@ -35,6 +35,11 @@ _TOKS = f"string_split({_NORM}, ' ')"
 
 # EWMA smoothing factor α=0.1 → decay 0.9, over a 20-row trailing frame.
 _DECAY = 0.9
+# Bitwise-identical divisor on BOTH engines: Python's 1-0.9 is
+# 0.09999999999999998 (not 0.1); interpolating repr() into the oracle SQL
+# makes DuckDB parse the exact same double Spark's F.lit carries, so the
+# 6-decimal rounding boundary can never diverge by 1 ulp.
+_ONE_MINUS_DECAY = 1 - _DECAY
 _FRAME = 20
 
 
@@ -50,7 +55,7 @@ _FRAME = 20
     )
     SELECT user_id, event_id,
            round(list_reduce(vals, (acc, x) -> acc * {_DECAY} + x)
-                 / ((1 - power({_DECAY}, len(vals))) / {1 - _DECAY:.1f}), 6)
+                 / ((1 - power({_DECAY}, len(vals))) / {_ONE_MINUS_DECAY!r}), 6)
              AS ewma
     FROM v
     """,
@@ -77,7 +82,9 @@ def window_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.aggregate(
         vals, F.lit(0.0), lambda acc, x: acc * F.lit(_DECAY) + x
     )
-    den = (F.lit(1.0) - F.pow(F.lit(_DECAY), F.size(vals))) / F.lit(1 - _DECAY)
+    den = (F.lit(1.0) - F.pow(F.lit(_DECAY), F.size(vals))) / F.lit(
+        _ONE_MINUS_DECAY
+    )
     return ev.select(
         "user_id",
         "event_id",
@@ -93,13 +100,17 @@ def window_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
              LAG(value) OVER (PARTITION BY user_id
                               ORDER BY epoch_us(ts), event_id) AS prev_v
       FROM events
+    ),
+    rc AS (
+      SELECT user_id, event_id,
+             corr(value, prev_v) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN {_FRAME - 1} PRECEDING AND CURRENT ROW) AS c
+      FROM lagged
     )
     SELECT user_id, event_id,
-           round(corr(value, prev_v) OVER (
-             PARTITION BY user_id ORDER BY tus, event_id
-             ROWS BETWEEN {_FRAME - 1} PRECEDING AND CURRENT ROW), 6)
-             AS roll_corr
-    FROM lagged
+           round(CASE WHEN isnan(c) THEN NULL ELSE c END, 6) AS roll_corr
+    FROM rc
     """,
 )
 def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,8 +118,10 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     series with its lag-1): the mean-reversion / momentum diagnostic.
     Both engines run their native ``corr`` window aggregate over the
     identical ROWS frame; sub-1e-9 accumulation differences are absorbed
-    by the 6-decimal rounding.  Same single user_id window exchange as
-    the other rolling queries."""
+    by the 6-decimal rounding.  Zero-variance frames (constant values)
+    yield 0/0: Spark emits NaN where DuckDB emits NULL, so BOTH sides
+    normalize NaN→NULL explicitly.  Same single user_id window exchange
+    as the other rolling queries."""
     ev = load_table(spark, sf_dir, "events")
     order = [F.unix_micros("ts"), F.col("event_id")]
     w_lag = Window.partitionBy("user_id").orderBy(*order)
@@ -124,10 +137,12 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lag("value").over(w_lag).alias("prev_v"),
     )
+    rc = F.corr("value", "prev_v").over(w_frame)
+    rc_null = F.when(F.isnan(rc), F.lit(None).cast("double")).otherwise(rc)
     return lagged.select(
         "user_id",
         "event_id",
-        F.round(F.corr("value", "prev_v").over(w_frame), 6).alias("roll_corr"),
+        F.round(rc_null, 6).alias("roll_corr"),
     )
 
 
@@ -260,7 +275,7 @@ def text_dup_sentence_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN len(prev_vals) >= 2 AND prev_std > 0 THEN
              round((value
                     - list_reduce(prev_vals, (acc, x) -> acc * {_DECAY} + x)
-                      / ((1 - power({_DECAY}, len(prev_vals))) / {1 - _DECAY:.1f}))
+                      / ((1 - power({_DECAY}, len(prev_vals))) / {_ONE_MINUS_DECAY!r}))
                    / prev_std, 6)
            END AS zscore
     FROM base
@@ -285,7 +300,7 @@ def anomaly_zscore_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(prev_vals)
     ewma_prev = F.aggregate(
         prev_vals, F.lit(0.0), lambda acc, x: acc * F.lit(_DECAY) + x
-    ) / ((F.lit(1.0) - F.pow(F.lit(_DECAY), n)) / F.lit(1 - _DECAY))
+    ) / ((F.lit(1.0) - F.pow(F.lit(_DECAY), n)) / F.lit(_ONE_MINUS_DECAY))
     score = F.when(
         (n >= 2) & (prev_std > 0),
         F.round((F.col("value") - ewma_prev) / prev_std, 6),

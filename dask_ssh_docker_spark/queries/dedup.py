@@ -145,6 +145,44 @@ def dedup_clusters_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+@query("dedup_clusters_minhash_cc", oracle=None)
+def dedup_clusters_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of ``dedup_clusters_transitive``: the SAME
+    (doc_id, cluster_id) output, but the connected-components edge set
+    comes from the PRODUCTION pipeline — MinHash bands → bucket join →
+    exact-Jaccard verify on candidates only — instead of the O(n²)
+    all-pairs inverted-index join.  This driver-checks (rows-only; the
+    xxhash64 signatures have no DuckDB twin) the full bands → verify → CC
+    composition end-to-end; ``tests/test_dedup.py`` pins its clusters
+    equal to the all-pairs CC clusters on the test corpus.
+
+    Scale: every stage is the 100 TB shape — |docs|×bands (band_hash, id)
+    tuples shuffle, exact Jaccard touches candidates only, and the CC loop
+    shuffles one edge set per round with eager checkpoint lineage cuts."""
+    from ..operators.dedup import (
+        _staged_shingles,
+        cluster_min_label,
+        jaccard_verify,
+        minhash_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh_arr = (
+        _staged_shingles(docs, "text", "doc_id", 3)
+        .withColumnRenamed("id", "__id")
+        .persist()
+    )
+    sig = minhash_signatures(docs, "text", "doc_id", 32, 3, shingle_arrays=sh_arr)
+    cands = minhash_candidates(docs, "text", "doc_id", 32, 8, 3, sig_df=sig)
+    verified = jaccard_verify(
+        docs, cands, "text", "doc_id", 0.35, 3, shingle_df=sh_arr
+    ).persist()
+    ids = docs.select(F.col("doc_id").alias("id"))
+    out = cluster_min_label(verified.select("id_a", "id_b"), ids)
+    return out.select(F.col("id").alias("doc_id"), "cluster_id").orderBy("doc_id")
+
+
 @query("dedup_minhash_clusters", oracle=None)
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup clusters (shingle → 32 minhashes → 8 bands →

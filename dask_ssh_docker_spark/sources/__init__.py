@@ -255,6 +255,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TimestampType under a UTC session zone, so ``unix_micros``/window
     arithmetic downstream sees identical epoch values either way — and the
     DuckDB oracles' naive ``epoch_us(ts)`` matches bitwise.
+
+    .. warning:: Loading ``events`` SETS SESSION-WIDE SQL CONFS as a side
+       effect: ``spark.sql.session.timeZone=UTC`` and
+       ``spark.sql.legacy.parquet.nanosAsLong=true``.  These persist on
+       the shared session, changing zone-sensitive semantics
+       (``date_trunc``, string↔timestamp casts) for ALL subsequent code.
+       This is deliberate — every query/oracle pair in this engine is
+       defined under a UTC session zone and the driver supplies its own
+       session, so the conf must follow the data — but callers embedding
+       the library in a session with a different zone policy should load
+       ``events`` on a dedicated session or restore the conf afterwards.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -206,10 +206,20 @@ def run_to_completion(
     stream_df: DataFrame,
     output_mode: str = "complete",
     table_prefix: str = "stream_out",
+    max_rows: int = 10_000_000,
 ) -> DataFrame:
     """Execute a finite stream with availableNow into a memory sink and
-    return the materialized result as a batch DataFrame (demo/oracle
-    path — see module docstring for why production uses append mode)."""
+    return the materialized result as a batch DataFrame.
+
+    **Validation/demo/oracle path only**: the memory sink materializes the
+    ENTIRE result in driver memory.  ``max_rows`` (default 10M) is the
+    guard rail — if the finished result exceeds it, the sink table is
+    dropped and ``ValueError`` raised instead of silently holding an
+    unbounded result on the driver.  For anything larger, use the
+    production sinks: ``foreach_batch_parquet`` (idempotent per-epoch
+    parquet, exactly-once under retry) or a plain append-mode
+    ``writeStream`` — both keep results executor-side (see module
+    docstring)."""
     name = f"{table_prefix}_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -222,6 +232,15 @@ def run_to_completion(
         )
         q.awaitTermination()
     spark = stream_df.sparkSession
+    n = spark.table(name).count()
+    if n > max_rows:
+        spark.catalog.dropTempView(name)
+        raise ValueError(
+            f"run_to_completion result has {n} rows > max_rows={max_rows}; "
+            "this memory-sink path is for validation-scale runs only — use "
+            "foreach_batch_parquet / an append-mode writeStream sink for "
+            "large results (or raise max_rows deliberately)"
+        )
     # detach from the memory sink (checkpointed copy) and drop the sink
     # table — otherwise every call leaks its full result set in driver
     # memory for the session lifetime

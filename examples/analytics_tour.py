@@ -62,7 +62,7 @@ def main(argv: list[str]) -> int:
     }
     lsh_hits = {
         (r.query_id, r.vec_id)
-        for r in lsh_topk(queries, corpus, k=10, bits=6, tables=16).collect()
+        for r in lsh_topk(queries, corpus, k=10, bits=6, tables=16, dim=64).collect()
     }
     overlap = len(ivf_hits & lsh_hits)
 

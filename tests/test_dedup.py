@@ -198,6 +198,31 @@ def test_transitive_clusters_consistent_with_pairs(spark):
         assert c == min(ms), (c, ms)
 
 
+def test_minhash_cc_clusters_equal_allpairs_cc(spark):
+    """Scale-path pin (VERDICT r3 item 2): the bands → verify → CC
+    composition (``dedup_clusters_minhash_cc``) yields EXACTLY the same
+    (doc_id, cluster_id) labeling as the all-pairs exact-Jaccard CC oracle
+    (``dedup_clusters_transitive``) on the test corpus — i.e. at a 0.35
+    verify threshold the LSH candidate stage loses no qualifying edge
+    that changes any component."""
+    from dask_ssh_docker_spark.queries.dedup import (
+        dedup_clusters_minhash_cc,
+        dedup_clusters_transitive,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    scale = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters_minhash_cc(spark, sf).collect()
+    }
+    exact = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters_transitive(spark, sf).collect()
+    }
+    assert scale == exact
+    assert len(set(scale.values())) < len(scale)  # corpus really has dups
+
+
 def test_connected_components_public_api(spark):
     """graph.connected_components: chain + triangle + isolated vertex."""
     import pandas as pd

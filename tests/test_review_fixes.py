@@ -65,6 +65,7 @@ def test_lsh_empty_frame_clear_error(spark):
     from dask_ssh_docker_spark.operators.similarity import lsh_bucketed
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    # dim is required — omitting it raises immediately (no inference job)
     with pytest.raises(ValueError, match="dim"):
         lsh_bucketed(empty, "vec_id", "embedding")
     # with explicit dim an empty frame is fine
@@ -158,4 +159,19 @@ def test_run_to_completion_no_view_leak(spark):
     before = {t.name for t in spark.catalog.listTables()}
     out = run_to_completion(tumbling_counts(stream_events(spark, SF)))
     assert out.count() > 0
+    assert {t.name for t in spark.catalog.listTables()} == before
+
+
+def test_run_to_completion_max_rows_guard(spark):
+    """The memory-sink path refuses to hold more than max_rows on the
+    driver — and cleans up its sink table when it refuses."""
+    from dask_ssh_docker_spark.streaming import (
+        run_to_completion,
+        stream_events,
+        tumbling_counts,
+    )
+
+    before = {t.name for t in spark.catalog.listTables()}
+    with pytest.raises(ValueError, match="max_rows"):
+        run_to_completion(tumbling_counts(stream_events(spark, SF)), max_rows=1)
     assert {t.name for t in spark.catalog.listTables()} == before

@@ -49,7 +49,7 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     # random noise - the hardest case for hyperplane LSH
     approx = {
         (r.query_id, r.vec_id)
-        for r in lsh_topk(queries, corpus, k=10, bits=6, tables=16).collect()
+        for r in lsh_topk(queries, corpus, k=10, bits=6, tables=16, dim=64).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall@10 = {recall}"
@@ -67,7 +67,8 @@ def test_lsh_neardup_subset_of_exact(spark):
         (r.id_a, r.id_b) for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
     }
     approx = {
-        (r.id_a, r.id_b) for r in lsh_neardup_pairs(emb, threshold=0.4).collect()
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(emb, threshold=0.4, dim=64).collect()
     }
     assert approx <= exact  # candidates are exact-verified
     assert len(approx) > 0
