@@ -78,9 +78,50 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "mode": "steady_state_best_of_3",
+                "duckdb_floor": duckdb_floor(sf_dir),
             }
         )
     )
+
+
+#: fixed control queries for the sandbox-variance floor (never change these
+#: names — cross-round comparability is the point)
+FLOOR = ["q1_pricing_summary", "q5_region_revenue", "text_quality"]
+
+
+def duckdb_floor(sf_dir: str) -> dict[str, float]:
+    """Time 3 FIXED DuckDB oracle queries in the same process window.
+
+    Why (VERDICT r3 item 4): the driver's wall-times swing with sandbox
+    load/page-cache state; the DuckDB floor measured in the SAME window is
+    the control that separates environment variance from code regressions
+    — if Spark times drift while the floor holds, suspect the code; if
+    both drift together, it's the window.  Best-of-3 after one warm-up,
+    mirroring the Spark measurement mode."""
+    import duckdb
+
+    from dask_ssh_docker_spark.queries import REGISTRY
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    floor: dict[str, float] = {}
+    for name in FLOOR:
+        sql = REGISTRY[name].oracle
+        con.execute(sql).fetchall()  # warm-up (page cache, plan)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        floor[name] = round(best, 3)
+    floor["total"] = round(sum(floor.values()), 3)
+    return floor
 
 
 if __name__ == "__main__":
