@@ -18,7 +18,12 @@ Arrow batches only:
   silent.
 - ``sample_frame_offsets``: pure-plumbing frame sampler (uniform offsets
   from declared duration — no codec needed).
-Audio/video codecs remain stubbed (not in this container).
+- ``decode_audio`` / ``synthesize_wav_blobs``: REAL audio path via
+  stdlib ``wave`` + PCM frame math — spec-valid RIFF/WAVE bytes
+  generated executor-side, decoded back to (sample_rate, channels,
+  duration, RMS energy) with the samples actually read and folded, not
+  header-sniffed.
+Video codecs remain stubbed (no container support).
 
 At 100 TB: blobs ride in their own parquet column (column pruning keeps
 metadata-only queries from touching bytes); decode runs per-partition with
@@ -354,6 +359,154 @@ def decode_image(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
 
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, {REAL_DECODE_SCHEMA}"
+    return df.select(id_col, blob_col).mapInArrow(decode, schema)
+
+
+AUDIO_DECODE_SCHEMA = (
+    "sample_rate int, channels int, n_frames bigint, duration_s double, "
+    "rms double, decode_ok boolean, decoder string"
+)
+
+
+def _wav_codec():
+    """stdlib WAV encode/decode pair as CLOSURES (cloudpickle by-value —
+    same worker-import constraint as ``_png_codec``)."""
+
+    def encode_wav(
+        freq_hz: float, duration_s: float, sample_rate: int = 8000, amp: float = 0.5
+    ) -> bytes:
+        """A REAL RIFF/WAVE file: 16-bit mono PCM sine at ``freq_hz``,
+        written through the stdlib ``wave`` module (valid for any WAV
+        reader)."""
+        import io
+        import math
+        import struct
+        import wave
+
+        n = int(duration_s * sample_rate)
+        frames = b"".join(
+            struct.pack(
+                "<h",
+                int(32767 * amp * math.sin(2 * math.pi * freq_hz * i / sample_rate)),
+            )
+            for i in range(n)
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    def decode_wav_meta(blob: bytes) -> tuple[int, int, int, float, float]:
+        """REAL WAV decode: parse the RIFF container via stdlib ``wave``,
+        READ every PCM frame and fold RMS energy over the samples —
+        feature extraction, not header sniffing.  Returns (sample_rate,
+        channels, n_frames, duration_s, rms in [0,1])."""
+        import io
+        import math
+        import struct
+        import wave
+
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            rate, chans, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            n = w.getnframes()
+            raw = w.readframes(n)
+        if width != 2:
+            raise ValueError(f"only 16-bit PCM supported, got width={width}")
+        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+        if len(samples) != n * chans:
+            raise ValueError("frame count does not match data chunk")
+        acc = 0.0
+        for s in samples:
+            acc += (s / 32768.0) ** 2
+        rms = math.sqrt(acc / len(samples)) if samples else 0.0
+        return rate, chans, n, n / rate if rate else 0.0, rms
+
+    return encode_wav, decode_wav_meta
+
+
+encode_wav, decode_wav_meta = _wav_codec()
+
+
+def synthesize_wav_blobs(
+    df: DataFrame, id_col: str, sample_rate: int = 8000
+) -> DataFrame:
+    """(id, blob) — REAL WAV bytes per row: 16-bit mono PCM sine tones
+    whose frequency (100 + id % 900 Hz) and duration (0.05 + (id % 20)/100
+    s) derive deterministically from the id.  Arrow-batched executor-side
+    generation, mirroring ``synthesize_png_blobs``."""
+    enc = encode_wav  # closure capture → cloudpickle ships it by value
+
+    def gen(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in batches:
+            blobs = []
+            for rid in batch.column(0).to_pylist():
+                freq = 100.0 + int(rid) % 900
+                dur = 0.05 + (int(rid) % 20) / 100.0
+                blobs.append(enc(freq, dur, sample_rate))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(blobs, type=pa.binary())],
+                names=[id_col, "blob"],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col).mapInArrow(gen, f"{id_col} {id_type}, blob binary")
+
+
+def decode_audio(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
+    """REAL audio decode + feature extraction over Arrow batches:
+    (id, sample_rate, channels, n_frames, duration_s, rms, decode_ok,
+    decoder).  stdlib ``wave`` PCM decode — every frame is read and
+    folded into the RMS energy, so a truncated/corrupt data chunk fails
+    decode rather than passing on a pretty header.  Same ``mapInArrow``
+    scale shape as ``decode_image``: map-side only, no shuffle, batch
+    size bounded by Arrow conf."""
+    dec = decode_wav_meta  # closure capture → by-value pickle
+
+    def decode(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in batches:
+            rates, chans, frames, durs, rmss, oks = [], [], [], [], [], []
+            for blob in batch.column(1).to_pylist():
+                try:
+                    rate, ch, n, dur, rms = dec(blob or b"")
+                    rates.append(rate)
+                    chans.append(ch)
+                    frames.append(n)
+                    durs.append(dur)
+                    rmss.append(rms)
+                    oks.append(True)
+                except Exception:  # noqa: BLE001 — any codec error = bad blob
+                    rates.append(None)
+                    chans.append(None)
+                    frames.append(None)
+                    durs.append(None)
+                    rmss.append(None)
+                    oks.append(False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(rates, type=pa.int32()),
+                    pa.array(chans, type=pa.int32()),
+                    pa.array(frames, type=pa.int64()),
+                    pa.array(durs, type=pa.float64()),
+                    pa.array(rmss, type=pa.float64()),
+                    pa.array(oks, type=pa.bool_()),
+                    pa.array(["wave-stdlib"] * len(oks), type=pa.string()),
+                ],
+                names=[
+                    id_col, "sample_rate", "channels", "n_frames",
+                    "duration_s", "rms", "decode_ok", "decoder",
+                ],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {AUDIO_DECODE_SCHEMA}"
     return df.select(id_col, blob_col).mapInArrow(decode, schema)
 
 

@@ -55,12 +55,14 @@ from . import analytics_extra  # noqa: E402,F401
 #      divisor), window_rolling_corr (NaN→NULL normalization),
 #   2. queries NEW this round (scale-path dedup CC, real PNG decode, HLL
 #      rollup cascade — rows-only by nature),
-#   3. the r1 cohort: 44 of the 46 names whose newest driver row is from
+#   3. the r1 cohort: 43 of the 46 names whose newest driver row is from
 #      round 1 (stalest evidence; re-proved by the r3 judge's HEAD sweep
 #      but a judge run is not a driver row).
-# Two r1 names don't fit the 50-slot window and lead the r5 rotation:
-# smoke_delayed_sum (constant-output smoke) and join_cross_nation_region
-# (25×5 fixed-dim cross join) — the two with the least regression surface.
+# Three r1 names don't fit the 50-slot window and lead the r5 rotation:
+# smoke_delayed_sum (constant-output smoke), join_cross_nation_region
+# (25×5 fixed-dim cross join), and asof_backward_tolerance (same
+# merge_asof machinery as the retained asof_backward) — the three with
+# the least regression surface.
 # Names not listed keep their import order after the listed ones.
 # ---------------------------------------------------------------------------
 
@@ -72,6 +74,7 @@ _PRIORITY = [
     # -- new this round --
     "dedup_clusters_minhash_cc",
     "multimodal_decode_image",
+    "multimodal_decode_audio",
     "rollup_cascade_daily_hll",
     # -- r1 cohort (newest driver row = round 1), 44 of 46 --
     "q1_pricing_summary",
@@ -117,7 +120,6 @@ _PRIORITY = [
     "rollup_cascade_daily",
     "window_rank_fractions",
     "asof_backward",
-    "asof_backward_tolerance",
 ]
 
 

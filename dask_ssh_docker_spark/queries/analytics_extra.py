@@ -116,12 +116,18 @@ def window_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling Pearson autocorrelation (pandas ``rolling(20).corr`` of a
     series with its lag-1): the mean-reversion / momentum diagnostic.
-    Both engines run their native ``corr`` window aggregate over the
-    identical ROWS frame; sub-1e-9 accumulation differences are absorbed
-    by the 6-decimal rounding.  Zero-variance frames (constant values)
-    yield 0/0: Spark emits NaN where DuckDB emits NULL, so BOTH sides
-    normalize NaN→NULL explicitly.  Same single user_id window exchange
-    as the other rolling queries."""
+    Zero-variance frames are the hazard here: Spark 4's native ``corr``
+    runs ``ck / sqrt(xMk*yMk)`` under ANSI mode and THROWS
+    DIVIDE_BY_ZERO the moment any frame's x or y values are all equal —
+    a 2-row early frame with one adjacent tied value suffices (measured:
+    fires at sf1 where ties occur; small-sf testdata just never tied).
+    So the Spark side computes Pearson explicitly as
+    ``try_divide(covar_samp, stddev·stddev)`` — algebraically identical
+    (both reduce to ck/√(xMk·yMk); the extra (n-1) divisions cancel and
+    are absorbed by the 6-decimal rounding) and NULL, not an exception,
+    on degenerate frames.  DuckDB's corr returns NULL there natively;
+    both sides also normalize NaN→NULL (n=1 frames).  Same single
+    user_id window exchange as the other rolling queries."""
     ev = load_table(spark, sf_dir, "events")
     order = [F.unix_micros("ts"), F.col("event_id")]
     w_lag = Window.partitionBy("user_id").orderBy(*order)
@@ -137,7 +143,14 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lag("value").over(w_lag).alias("prev_v"),
     )
-    rc = F.corr("value", "prev_v").over(w_frame)
+    # pairwise-complete discipline: the frame's first-of-user row carries
+    # prev_v=NULL and is excluded from corr's pairs, so the x-stddev must
+    # exclude that row's value too (mask value where prev_v is NULL)
+    x = F.when(F.col("prev_v").isNotNull(), F.col("value"))
+    rc = F.try_divide(
+        F.covar_samp(x, "prev_v").over(w_frame),
+        F.stddev_samp(x).over(w_frame) * F.stddev_samp("prev_v").over(w_frame),
+    )
     rc_null = F.when(F.isnan(rc), F.lit(None).cast("double")).otherwise(rc)
     return lagged.select(
         "user_id",

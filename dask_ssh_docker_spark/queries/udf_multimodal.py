@@ -151,6 +151,34 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(blobs, "blob", "doc_id").orderBy("doc_id")
 
 
+@query("multimodal_decode_audio", oracle=None)
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + feature extraction end-to-end: spec-valid
+    RIFF/WAVE bytes (16-bit mono PCM sine tones, frequency/duration
+    deterministic in doc_id) synthesized executor-side, then decoded by
+    stdlib ``wave`` with every PCM frame read and folded into an RMS
+    energy feature — the audio twin of ``multimodal_decode_image``.
+    Rows-only (WAV encoding has no DuckDB twin); pytest pins known tones
+    → exact (rate, channels, frames, duration) and RMS ≈ amp/√2.
+
+    Scale shape: two chained map-side Arrow stages, zero shuffles."""
+    from ..operators.multimodal import decode_audio, synthesize_wav_blobs
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = synthesize_wav_blobs(docs, "doc_id")
+    out = decode_audio(blobs, "blob", "doc_id")
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "decode_ok",
+        "decoder",
+    ).orderBy("doc_id")
+
+
 @query(
     "map_overlap_centered_mean",
     oracle="""

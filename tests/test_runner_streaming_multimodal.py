@@ -184,6 +184,44 @@ def test_decode_image_known_png_mapinarrow(spark):
     assert set(r["decoder"] for r in got.values()) <= {"pil", "png-stdlib"}
 
 
+def test_wav_codec_roundtrip_and_features():
+    """Real WAV codec pin: encode → decode returns the exact format
+    parameters, RMS of a sine = amp/√2, and corrupt/truncated bytes
+    raise rather than decode."""
+    import pytest
+
+    from dask_ssh_docker_spark.operators.multimodal import (
+        decode_wav_meta,
+        encode_wav,
+    )
+
+    blob = encode_wav(440.0, 0.25, sample_rate=8000, amp=0.5)
+    rate, chans, n, dur, rms = decode_wav_meta(blob)
+    assert (rate, chans, n) == (8000, 1, 2000)
+    assert abs(dur - 0.25) < 1e-9
+    assert abs(rms - 0.5 / 2**0.5) < 0.01  # sine RMS = amp/sqrt(2)
+    with pytest.raises(Exception):
+        decode_wav_meta(b"RIFFgarbage")
+    with pytest.raises(Exception):
+        decode_wav_meta(blob[:60])  # truncated data chunk
+
+
+def test_decode_audio_query_roundtrip(spark):
+    """Registered audio query: synthesized tones decode to the formula's
+    (frequency-independent) frame counts and sane RMS."""
+    from dask_ssh_docker_spark.queries.udf_multimodal import (
+        multimodal_decode_audio,
+    )
+
+    out = multimodal_decode_audio(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) == 500 and out["decode_ok"].all()
+    assert set(out["sample_rate"]) == {8000} and set(out["channels"]) == {1}
+    exp_frames = (8000 * (0.05 + (out["doc_id"] % 20) / 100.0)).astype(int)
+    assert (out["n_frames"] == exp_frames).all()
+    assert ((out["rms"] > 0.2) & (out["rms"] < 0.5)).all()
+    assert set(out["decoder"]) == {"wave-stdlib"}
+
+
 def test_decode_image_pil_parity_when_present(spark):
     """When PIL is installed, it must agree with the stdlib codec on our
     encoder's output (spec-validity cross-check)."""

@@ -57,9 +57,82 @@ def frame_hash(pdf: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
+def ulp_match(sdf: pd.DataFrame, odf: pd.DataFrame, max_ulp: int) -> tuple[bool, float, str]:
+    """Fallback comparison for scales the driver never checks (sf ≥ 1):
+    align rows, require non-float cells exactly equal and float cells
+    within ``max_ulp`` units-in-the-last-place.
+
+    Why it exists: the engines' DECIMAL→DOUBLE casts round differently in
+    the final bit (Spark via BigDecimal.doubleValue is correctly rounded;
+    DuckDB's int128·10⁻ᵏ path can be 1 ulp off).  At sf ≤ 0.1 the sums
+    are small enough that both land on the same double and the driver's
+    exact 6-dp hash holds; at sf1 a ~10¹⁰-magnitude sum exposes the last
+    bit.  A ≤2-ulp float match with exact non-float cells is the
+    strongest cross-engine equality that EXISTS at that magnitude.
+
+    Returns (ok, worst_ulp_seen, detail)."""
+    import math
+
+    if sorted(sdf.columns) != sorted(odf.columns) or len(sdf) != len(odf):
+        return False, math.inf, "shape mismatch"
+    cols = sorted(sdf.columns)
+    sdf, odf = sdf[cols], odf[cols]
+    fcols = [c for c in cols if sdf[c].dtype.kind == "f" or odf[c].dtype.kind == "f"]
+    kcols = [c for c in cols if c not in fcols]
+    # align: sort by non-float key columns when they uniquely identify
+    # rows in both frames, else by the full 6-sig-digit canonical string
+    if kcols and sdf[kcols].drop_duplicates().shape[0] == len(sdf) \
+            and odf[kcols].drop_duplicates().shape[0] == len(odf):
+        skey = sdf[kcols].astype(str).agg("|".join, axis=1)
+        okey = odf[kcols].astype(str).agg("|".join, axis=1)
+        sdf = sdf.iloc[skey.argsort(kind="stable").to_numpy()].reset_index(drop=True)
+        odf = odf.iloc[okey.argsort(kind="stable").to_numpy()].reset_index(drop=True)
+        if not sdf[kcols].astype(str).equals(odf[kcols].astype(str)):
+            return False, math.inf, "key columns differ"
+    else:
+        def canon(df):
+            key = df.apply(
+                lambda row: ",".join(
+                    f"{v:.6g}" if isinstance(v, float) else norm_cell(v) for v in row
+                ),
+                axis=1,
+            )
+            return df.iloc[key.argsort(kind="stable").to_numpy()].reset_index(drop=True)
+
+        sdf, odf = canon(sdf), canon(odf)
+        for c in kcols:
+            if list(sdf[c].map(norm_cell)) != list(odf[c].map(norm_cell)):
+                return False, math.inf, f"non-float column {c} differs"
+    worst = 0.0
+    for c in fcols:
+        for a, b in zip(sdf[c], odf[c]):
+            a_nan = a is None or a != a
+            b_nan = b is None or b != b
+            if a_nan or b_nan:
+                if a_nan != b_nan:
+                    return False, math.inf, f"{c}: null/NaN mismatch"
+                continue
+            if a == b:
+                continue
+            u = math.ulp(max(abs(float(a)), abs(float(b))))
+            d = abs(float(a) - float(b)) / u if u else math.inf
+            worst = max(worst, d)
+            if d > max_ulp:
+                return False, worst, f"{c}: {a!r} vs {b!r} = {d:.1f} ulp"
+    return True, worst, ""
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--plain"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     plain = "--plain" in sys.argv[1:]
+    # --ulp N: on hash mismatch, accept aligned rows whose float cells are
+    # within N ulp (exact non-floats required) — for sf≥1 sweeps where the
+    # engines' decimal→double casts differ in the last bit; the driver's
+    # sf0.01 gate never uses this
+    ulp_tol = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--ulp"):
+            ulp_tol = int(a.split("=")[1]) if "=" in a else 2
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -118,15 +191,23 @@ def main() -> int:
             problems.append(f"rows {len(sdf)} != {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        ulp_note = ""
         if not problems:
             hs, ho = frame_hash(sdf), frame_hash(odf)
             if hs != ho:
-                problems.append(f"hash {hs} != {ho}")
+                if ulp_tol:
+                    ok, worst, detail = ulp_match(sdf, odf, ulp_tol)
+                    if ok:
+                        ulp_note = f" (floats within {worst:.1f} ulp)"
+                    else:
+                        problems.append(f"hash {hs} != {ho}; ulp check: {detail}")
+                else:
+                    problems.append(f"hash {hs} != {ho}")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}  [{dt:.1f}s]")
         else:
-            print(f"PASS  {name}: rows={len(sdf)}  [{dt:.1f}s]")
+            print(f"PASS  {name}: rows={len(sdf)}{ulp_note}  [{dt:.1f}s]")
 
     print(f"\n{len(failures)} failures" if failures else "\nall green")
     return 1 if failures else 0
