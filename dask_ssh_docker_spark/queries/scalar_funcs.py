@@ -361,30 +361,61 @@ def str_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fuzzy_levenshtein_pairs",
     oracle="""
-    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-           a.p_name AS name_a, b.p_name AS name_b,
-           levenshtein(a.p_name, b.p_name) AS dist
-    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-    WHERE a.p_name <> b.p_name
-      AND abs(length(a.p_name) - length(b.p_name)) <= 2
-      AND levenshtein(a.p_name, b.p_name) <= 2
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    name_pairs AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM names a JOIN names b
+        ON a.p_name <> b.p_name
+       AND abs(length(a.p_name) - length(b.p_name)) <= 2
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    )
+    SELECT pa.p_partkey AS id_a, pb.p_partkey AS id_b,
+           np.name_a, np.name_b, np.dist
+    FROM name_pairs np
+    JOIN part pa ON pa.p_name = np.name_a
+    JOIN part pb ON pb.p_name = np.name_b
+    WHERE pa.p_partkey < pb.p_partkey
     """,
 )
 def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy near-duplicate names: edit distance ≤ 2 with a length-delta
-    pre-filter (the cheap bound that prunes the pair space before the
-    quadratic-cost distance; at scale, band by length + first character
-    before the join)."""
+    """Fuzzy near-duplicate names (edit distance ≤ 2, length-delta ≤ 2
+    pre-filter), SCALE PATH: names repeat heavily, so the quadratic
+    levenshtein comparison runs over DISTINCT names only (|names|² ≪
+    |part|²), then expands back to id pairs through two hash equijoins.
+    Semantics identical to the naive all-pairs self-join (verified: the
+    r1-r3 registered form was exactly that, and both forms hash-match at
+    sf0.01); wall-time at sf1 drops from a 2×10¹⁰-pair nested loop that
+    never finishes to seconds.  For high-cardinality names compose this
+    with length/prefix banding on the distinct-name join.
+
+    Emission discipline: both orientations (n1,n2)/(n2,n1) survive the
+    distinct-name join, so filtering the expansion on id_a<id_b keeps
+    each unordered id pair exactly once with name_a = name(min id) —
+    byte-identical to the naive form's `a.p_partkey < b.p_partkey`
+    output."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
-    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(F.col("name_a") != F.col("name_b"))
-        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+    names = p.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    name_pairs = (
+        a.join(
+            b,
+            (F.col("name_a") != F.col("name_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 2),
+        )
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 2)
-        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
+    pa = p.select(F.col("p_partkey").alias("__ka"), F.col("p_name").alias("name_a"))
+    pb = p.select(F.col("p_partkey").alias("__kb"), F.col("p_name").alias("name_b"))
+    expanded = name_pairs.join(pa, "name_a").join(pb, "name_b")
+    return expanded.filter(F.col("__ka") < F.col("__kb")).select(
+        F.col("__ka").alias("id_a"),
+        F.col("__kb").alias("id_b"),
+        "name_a",
+        "name_b",
+        "dist",
     )
 
 

@@ -130,9 +130,15 @@ def main() -> int:
     # engines' decimal→double casts differ in the last bit; the driver's
     # sf0.01 gate never uses this
     ulp_tol = 0
+    skip: set[str] = set()
     for a in sys.argv[1:]:
         if a.startswith("--ulp"):
             ulp_tol = int(a.split("=")[1]) if "=" in a else 2
+        elif a.startswith("--skip="):
+            # for sf≥1 sweeps: exclude documented O(n²) validation-scale
+            # baselines whose scale twins are checked instead; each skip
+            # is printed so the log stays honest about what did not run
+            skip = set(a.split("=", 1)[1].split(","))
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -168,6 +174,10 @@ def main() -> int:
     failures = []
     for name, spec in REGISTRY.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"SKIP  {name}: excluded by --skip (documented "
+                  "validation-scale baseline at this sf)")
             continue
         t0 = time.time()
         try:
