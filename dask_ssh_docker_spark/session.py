@@ -57,7 +57,15 @@ def default_conf(parallelism: int | None = None, master: str | None = None) -> d
     if p is None:
         p = _default_parallelism()
     shuffle_parts = max(p, 8) if local else max(p, 400)
-    return {
+    out = {}
+    if local:
+        # In local mode the ONE JVM is driver + all executors; Spark's 1g
+        # default heap starves a local[32] run (measured: a 110M-row hash
+        # aggregation at sf1 OOMs).  Size it for the machine, overridable
+        # via SPARK_GRAFT_DRIVER_MEM.  Cluster masters leave this to the
+        # deployment (spark-submit / cluster manager owns JVM sizing).
+        out["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    out.update({
         # --- optimizer / runtime re-planning ---
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -75,7 +83,8 @@ def default_conf(parallelism: int | None = None, master: str | None = None) -> d
         "spark.sql.parquet.filterPushdown": "true",
         # quieter local runs
         "spark.ui.enabled": "false",
-    }
+    })
+    return out
 
 
 def get_session(
