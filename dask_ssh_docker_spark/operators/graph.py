@@ -45,3 +45,94 @@ def connected_components(
         )
     out = cluster_min_label(pairs, nodes, cc_iters=max_iters, strict=strict)
     return out.select(F.col("id").alias("node"), F.col("cluster_id").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank): weighted PageRank with uniform teleport, a fixed
+    iteration count, and exact dangling-mass redistribution.
+
+    Per iteration (the textbook Spark shape — one bounded shuffle):
+
+    - contributions ``rank(i) · w_ij / W_i`` flow along edges and are
+      summed per destination (shuffle keyed on ``dst``);
+    - the dangling mass (rank parked on nodes with no out-edges) is a
+      1-row aggregate, broadcast back and spread uniformly;
+    - ``rank'(j) = (1−d)/N + d·(in(j) + dangling/N)``.
+
+    Lineage is cut with an eager ``localCheckpoint`` per iteration
+    (same discipline as ``cluster_min_label``) so the plan never grows
+    with ``iters``.  At 100 TB scale the per-iteration cost is one
+    edge-sized shuffle; ranks (|V| rows) stay partitioned by node id.
+    The edge ratio table is computed once and persisted across
+    iterations.
+
+    Correctness is driver-checked end-to-end by ``pagerank_nation_trade``
+    (``queries/graph_analytics.py``) against a DuckDB oracle that unrolls
+    the same recurrence as chained CTEs.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
+    )
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("id"))
+
+    n_nodes = nodes.count()  # one job up front; N is needed as a literal
+    if n_nodes == 0:
+        return nodes.select(F.col("id").alias("node"), F.lit(0.0).alias("rank"))
+
+    out_w = e.groupBy("src").agg(F.sum("w").alias("w_out"))
+    ratio = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("w_out")).alias("ratio"))
+        .persist()
+    )
+    ratio.count()  # materialize once; reused every iteration
+
+    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
+    src_nodes = out_w.select(F.col("src").alias("id")).distinct()
+
+    for _ in range(iters):
+        dangling = (
+            ranks.join(src_nodes, "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        contrib = (
+            ratio.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("ratio")).alias("in_rank"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_rank"), F.lit(0.0))
+                        + F.col("dangling") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    ratio.unpersist()
+    return ranks.select(F.col("id").alias("node"), "rank")

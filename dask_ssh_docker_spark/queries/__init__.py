@@ -41,6 +41,8 @@ from . import pipeline  # noqa: E402,F401
 from . import tpch_full  # noqa: E402,F401
 from . import embeddings  # noqa: E402,F401
 from . import analytics_extra  # noqa: E402,F401
+from . import graph_analytics  # noqa: E402,F401
+from . import semistructured  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -53,16 +55,22 @@ from . import analytics_extra  # noqa: E402,F401
 #   1. queries CHANGED this round (must re-prove green):
 #      window_ewma_bounded / anomaly_zscore_ewma (bitwise-identical EWMA
 #      divisor), window_rolling_corr (NaN→NULL normalization),
-#   2. queries NEW this round (scale-path dedup CC, real PNG decode, HLL
-#      rollup cascade — rows-only by nature),
-#   3. the r1 cohort: 43 of the 46 names whose newest driver row is from
+#   2. queries NEW this round (scale-path dedup CC, real PNG/audio
+#      decode, HLL rollup cascade — rows-only by nature — plus PageRank,
+#      two-pass heavy hitters, the VARIANT surface, the XML round trip,
+#      and streaming watermark dedup, all oracle-bearing),
+#   3. the r1 cohort: 37 of the 46 names whose newest driver row is from
 #      round 1 (stalest evidence; re-proved by the r3 judge's HEAD sweep
 #      but a judge run is not a driver row).
-# Three r1 names don't fit the 50-slot window and lead the r5 rotation:
+# Nine r1 names don't fit the 50-slot window and lead the r5 rotation:
 # smoke_delayed_sum (constant-output smoke), join_cross_nation_region
-# (25×5 fixed-dim cross join), and asof_backward_tolerance (same
-# merge_asof machinery as the retained asof_backward) — the three with
-# the least regression surface.
+# (25×5 fixed-dim cross join), asof_backward_tolerance + asof_backward
+# (merge_asof machinery untouched for two rounds), and five whose
+# operator families keep an in-window kin: sliding_window_30m
+# (resample_hourly), window_rank_fractions (window_ranking),
+# window_forward_fill (interpolate family), rollup_cascade_daily
+# (rollup_cascade_daily_hll — same operator, new this round),
+# sessionize_10m (session_window machinery also in stream_sessionize).
 # Names not listed keep their import order after the listed ones.
 # ---------------------------------------------------------------------------
 
@@ -76,6 +84,12 @@ _PRIORITY = [
     "multimodal_decode_image",
     "multimodal_decode_audio",
     "rollup_cascade_daily_hll",
+    "pagerank_nation_trade",
+    "heavy_hitter_tokens",
+    "variant_props_extract",
+    "variant_shred_roundtrip",
+    "read_xml_roundtrip",
+    "stream_dedup_watermark",
     # -- r1 cohort (newest driver row = round 1), 44 of 46 --
     "q1_pricing_summary",
     "join_semi_orders",
@@ -114,12 +128,6 @@ _PRIORITY = [
     "window_rolling_rows",
     "window_rolling_range_1h",
     "resample_hourly",
-    "sliding_window_30m",
-    "sessionize_10m",
-    "window_forward_fill",
-    "rollup_cascade_daily",
-    "window_rank_fractions",
-    "asof_backward",
 ]
 
 

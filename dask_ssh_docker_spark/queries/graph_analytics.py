@@ -1,0 +1,141 @@
+"""Graph + sketch analytics queries: PageRank over a derived trade graph
+and two-pass exact heavy hitters over document tokens.
+
+Both are iterative/sketch-backed operators whose *final outputs* are
+nevertheless exactly SQL-expressible, so they carry full DuckDB oracles:
+
+- PageRank with a fixed iteration count unrolls to a chain of CTEs
+  computing the identical recurrence (both engines do the same IEEE
+  double ops on the same operands; the result is rounded to 6 decimals
+  to absorb last-ulp accumulation-order slack in the per-node sums).
+- Misra–Gries two-pass heavy hitters returns *exactly* the keys with
+  frequency > n/(k+1) plus exact counts (the sketch only prunes the
+  candidate space — see ``operators/sketches.py``), so the oracle is the
+  naive full-domain GROUP BY / HAVING the two-pass plan avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..operators.graph import pagerank
+from ..operators.sketches import heavy_hitters
+from ..sources import load_table
+from .registry import query
+from .text import _TOKS
+
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unroll the PageRank recurrence as chained CTEs (fixed 5 iterations).
+
+    Every constant is forced to DOUBLE before arithmetic so DuckDB's
+    DECIMAL literal typing can't diverge from Spark's float literals
+    (e.g. DECIMAL ``1 - 0.85`` is exactly 0.15; DOUBLE ``1 - 0.85`` is
+    0.15000000000000002 — Spark computes the latter).
+    """
+    parts = [
+        """
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT n_nationkey AS id FROM nation),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS w_out FROM e GROUP BY src),
+    ratio AS (
+      SELECT e.src, e.dst, e.w / outw.w_out AS ratio
+      FROM e JOIN outw ON e.src = outw.src
+    ),
+    pr0 AS (
+      SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+    )"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        p = i - 1
+        parts.append(f""",
+    d{i} AS (
+      SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dangling
+      FROM pr{p} WHERE id NOT IN (SELECT src FROM outw)
+    ),
+    c{i} AS (
+      SELECT r.dst, SUM(pr.rank * r.ratio) AS in_rank
+      FROM ratio r JOIN pr{p} pr ON r.src = pr.id GROUP BY r.dst
+    ),
+    pr{i} AS (
+      SELECT nodes.id,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE)
+               * (COALESCE(c.in_rank, CAST(0 AS DOUBLE))
+                  + (SELECT dangling FROM d{i}) / (SELECT n FROM nn)) AS rank
+      FROM nodes LEFT JOIN c{i} c ON nodes.id = c.dst
+    )""")
+    parts.append(f"""
+    SELECT id AS node, round(rank, 6) AS rank FROM pr{_PR_ITERS}
+    """)
+    return "".join(parts)
+
+
+@query("pagerank_nation_trade", oracle=_pagerank_oracle())
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the customer-nation → supplier-nation trade
+    graph (edge weight = lineitem count), 5 iterations, damping 0.85,
+    dangling mass redistributed uniformly.  Exercises the iterative graph
+    operator (``operators/graph.py:pagerank``) end-to-end against an
+    unrolled-CTE oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(
+        edges,
+        nodes=nation.select(F.col("n_nationkey").alias("id")),
+        weight="w",
+        iters=_PR_ITERS,
+        damping=_PR_DAMPING,
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+_HH_K = 50
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    cnt AS (SELECT tok, COUNT(*) AS n_key FROM toks GROUP BY tok)
+    SELECT tok, n_key FROM cnt, tot WHERE n_key * {_HH_K + 1} > n
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens (frequency > n/{k+1}, k=50) over the
+    corpus vocabulary via the two-pass Misra–Gries plan — identical
+    output to the full-domain GROUP BY the oracle runs, without ever
+    shuffling the distinct-token domain (``operators/sketches.py``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    return heavy_hitters(toks, "tok", _HH_K)

@@ -108,3 +108,33 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         sessionized(stream_events(spark, sf_dir)), output_mode="append"
     )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('minute', ts) AS TIMESTAMP) AS ts_min
+    FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` (state
+    evicted past the watermark → bounded memory on an unbounded stream),
+    executed as a real streaming job.  Dedup key = (user_id, event_type,
+    minute bucket); only key columns are emitted, so the materialized
+    append-mode result must equal the batch DISTINCT exactly — the
+    bounded-state streaming plan and the global batch plan agree whenever
+    duplicates arrive within the watermark delay (here: single
+    availableNow batch)."""
+    from ..streaming import dedup_within_watermark
+
+    stream = stream_events(spark, sf_dir).withColumn(
+        "ts_min", F.date_trunc("minute", F.col("ts"))
+    )
+    deduped = dedup_within_watermark(
+        stream, ["user_id", "event_type", "ts_min"], watermark="2 hours"
+    )
+    return run_to_completion(
+        deduped.select("user_id", "event_type", "ts_min"), output_mode="append"
+    )

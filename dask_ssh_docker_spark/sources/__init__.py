@@ -127,6 +127,42 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: str | None = None,
+) -> DataFrame:
+    """XML source (Spark 4 built-in ``xml`` format — no external package).
+
+    ``schema`` (DDL string) should be passed for deterministic types;
+    inference costs an extra pass and guesses numerics.  Splittable and
+    distributed like any file source: one task per file split, rows
+    delimited by ``row_tag`` elements."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+):
+    """XML sink (Spark 4 built-in): one ``row_tag`` element per row,
+    values XML-escaped; partitioned output like every Spark file sink."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )
+
+
 def read_hdf(spark: SparkSession, path: str, key: str, **kwargs) -> DataFrame:
     """``dd.read_hdf`` equivalent (driver-side load → distribute).
 

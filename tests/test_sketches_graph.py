@@ -1,0 +1,96 @@
+"""Tests for the Misra–Gries two-pass heavy hitters and PageRank."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dask_ssh_docker_spark.operators.graph import pagerank
+from dask_ssh_docker_spark.operators.sketches import (
+    _mg_trim,
+    heavy_hitters,
+    misra_gries_candidates,
+)
+
+
+def test_mg_trim_bounds_and_survivors():
+    # 6 counters, k=3 → subtract the 3rd-smallest (3), keep counts > 3
+    counters = {"a": 10, "b": 8, "c": 5, "d": 3, "e": 2, "f": 1}
+    _mg_trim(counters, 3)
+    assert counters == {"a": 7, "b": 5, "c": 2}
+    # already within k → untouched
+    counters = {"a": 4, "b": 2}
+    _mg_trim(counters, 5)
+    assert counters == {"a": 4, "b": 2}
+
+
+def test_candidates_superset_and_bounded(spark):
+    # Zipf-ish skew: key i appears 1000//(i+1) times; many singletons
+    rows = []
+    for i in range(50):
+        rows += [(f"hot{i}",)] * (1000 // (i + 1))
+    rows += [(f"cold{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["k"]).repartition(8)
+    n = df.count()
+    k = 20
+    cands = set(r.k for r in misra_gries_candidates(df, "k", k).collect())
+    assert len(cands) <= k * 8 + 8
+    exact = {
+        r.k
+        for r in df.groupBy("k").count().filter(F.col("count") * (k + 1) > n).collect()
+    }
+    assert exact <= cands  # superset guarantee
+
+
+def test_heavy_hitters_equals_naive(spark):
+    rows = [("a",)] * 500 + [("b",)] * 200 + [("c",)] * 90 + [
+        (f"x{i}",) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["k"]).repartition(6)
+    n = df.count()
+    k = 7  # threshold n/8 ≈ 136 → {a, b}
+    got = {(r.k, r.n_key) for r in heavy_hitters(df, "k", k).collect()}
+    want = {
+        (r.k, r["count"])
+        for r in df.groupBy("k").count().filter(F.col("count") * (k + 1) > n).collect()
+    }
+    assert got == want == {("a", 500), ("b", 200)}
+
+
+def test_heavy_hitters_plan_no_python_rowudf_and_broadcast(spark):
+    rows = [("a",)] * 50 + [(f"x{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, ["k"]).repartition(4)
+    plan = heavy_hitters(df, "k", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # Arrow path only
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pagerank_two_node_cycle(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 0)], ["src", "dst"])
+    ranks = {r.node: r["rank"] for r in pagerank(edges, iters=10).collect()}
+    assert math.isclose(ranks[0], 0.5, abs_tol=1e-12)
+    assert math.isclose(ranks[1], 0.5, abs_tol=1e-12)
+
+
+def test_pagerank_mass_conserved_with_dangling(spark):
+    # 2 -> dangling (no out-edges); mass must still sum to 1
+    edges = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], ["src", "dst"])
+    ranks = pagerank(edges, iters=8).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert math.isclose(total, 1.0, rel_tol=1e-9)
+    by_node = {r.node: r["rank"] for r in ranks}
+    # 2 receives from both 0 and 1 → highest rank
+    assert by_node[2] == max(by_node.values())
+
+
+def test_pagerank_isolated_node_gets_teleport_share(spark):
+    edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
+    by_node = {
+        r.node: r["rank"] for r in pagerank(edges, nodes=nodes, iters=6).collect()
+    }
+    assert set(by_node) == {0, 1, 2}
+    assert sum(by_node.values()) > 0.99  # mass conserved incl. dangling 1, 2
+    assert by_node[1] > by_node[0] > 0  # 1 receives 0's rank; 0 only teleports
