@@ -136,3 +136,53 @@ def pagerank(
 
     ratio.unpersist()
     return ranks.select(F.col("id").alias("node"), "rank")
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_iters: int = 10,
+) -> DataFrame:
+    """(node, dist): single-source (or multi-source) shortest path
+    distances by iterative relaxation (Bellman–Ford over DataFrames),
+    bounded at ``max_iters`` hops.
+
+    Per iteration one edge-sized shuffle: tentative distances flow along
+    edges (``dist(u) + w``), then ``min`` per destination merges them
+    with the previous frontier.  ``min`` is order-insensitive, so unlike
+    sum-based iterative algorithms the result is bit-deterministic —
+    the driver oracle (``sssp_nation_trade``) matches without rounding.
+    Eager ``localCheckpoint`` per iteration keeps the plan O(1) in
+    ``iters``; nodes farther than ``max_iters`` hops are absent from the
+    output (callers outer-join their node frame for NULL = unreachable).
+
+    ``sources``: one-column DataFrame of start nodes (distance 0).
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
+    ).persist()
+    e.count()  # materialize once; reused every iteration
+
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("id"), F.lit(0.0).alias("dist")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        relaxed = (
+            e.join(dist.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+
+    e.unpersist()
+    return dist.select(F.col("id").alias("node"), "dist")

@@ -59,15 +59,16 @@ from . import semistructured  # noqa: E402,F401
 #      decode, HLL rollup cascade — rows-only by nature — plus PageRank,
 #      two-pass heavy hitters, the VARIANT surface, the XML round trip,
 #      and streaming watermark dedup, all oracle-bearing),
-#   3. the r1 cohort: 37 of the 46 names whose newest driver row is from
+#   3. the r1 cohort: 36 of the 46 names whose newest driver row is from
 #      round 1 (stalest evidence; re-proved by the r3 judge's HEAD sweep
 #      but a judge run is not a driver row).
-# Nine r1 names don't fit the 50-slot window and lead the r5 rotation:
+# Ten r1 names don't fit the 50-slot window and lead the r5 rotation:
 # smoke_delayed_sum (constant-output smoke), join_cross_nation_region
 # (25×5 fixed-dim cross join), asof_backward_tolerance + asof_backward
-# (merge_asof machinery untouched for two rounds), and five whose
+# (merge_asof machinery untouched for two rounds), and six whose
 # operator families keep an in-window kin: sliding_window_30m
 # (resample_hourly), window_rank_fractions (window_ranking),
+# window_rolling_range_1h (window_rolling_rows),
 # window_forward_fill (interpolate family), rollup_cascade_daily
 # (rollup_cascade_daily_hll — same operator, new this round),
 # sessionize_10m (session_window machinery also in stream_sessionize).
@@ -90,7 +91,8 @@ _PRIORITY = [
     "variant_shred_roundtrip",
     "read_xml_roundtrip",
     "stream_dedup_watermark",
-    # -- r1 cohort (newest driver row = round 1), 44 of 46 --
+    "sssp_nation_trade",
+    # -- r1 cohort (newest driver row = round 1), 36 of 46 --
     "q1_pricing_summary",
     "join_semi_orders",
     "join_anti_customers",
@@ -126,7 +128,6 @@ _PRIORITY = [
     "window_lag_lead",
     "window_cumsum",
     "window_rolling_rows",
-    "window_rolling_range_1h",
     "resample_hourly",
 ]
 

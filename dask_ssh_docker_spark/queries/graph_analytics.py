@@ -139,3 +139,73 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
     return heavy_hitters(toks, "tok", _HH_K)
+
+
+_SSSP_ITERS = 6
+
+
+def _sssp_oracle() -> str:
+    """Unroll the Bellman–Ford relaxation (6 bounded hops).  ``min`` is
+    order-insensitive, so — unlike PageRank's sums — no rounding is
+    needed: both engines compute identical doubles at every step."""
+    parts = [
+        """
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS DOUBLE) AS dist)"""
+    ]
+    for i in range(1, _SSSP_ITERS + 1):
+        p = i - 1
+        parts.append(f""",
+    d{i} AS (
+      SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM d{p}
+        UNION ALL
+        SELECT e.dst AS id, d.dist + e.w AS dist
+        FROM e JOIN d{p} d ON e.src = d.id
+      ) GROUP BY id
+    )""")
+    parts.append(f"""
+    SELECT n.n_nationkey AS node, d.dist
+    FROM nation n LEFT JOIN d{_SSSP_ITERS} d ON n.n_nationkey = d.id
+    """)
+    return "".join(parts)
+
+
+@query("sssp_nation_trade", oracle=_sssp_oracle())
+def sssp_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest trade distance from nation 0 over the
+    customer-nation → supplier-nation graph (edge length = 1/trade
+    volume, 6 bounded hops) via the iterative Bellman–Ford operator
+    (``operators/graph.py:shortest_paths``); unreachable nations surface
+    as NULL.  Bit-exact vs the unrolled-CTE oracle — min-based DP needs
+    no rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg((F.lit(1.0) / F.count(F.lit(1)).cast("double")).alias("w"))
+    )
+    from ..operators.graph import shortest_paths
+
+    sources = spark.range(1).select(F.lit(0).cast("bigint").alias("id"))
+    dist = shortest_paths(edges, sources, weight="w", max_iters=_SSSP_ITERS)
+    return nation.join(
+        dist, nation.n_nationkey == dist.node, "left"
+    ).select(F.col("n_nationkey").alias("node"), "dist")

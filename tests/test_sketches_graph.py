@@ -94,3 +94,40 @@ def test_pagerank_isolated_node_gets_teleport_share(spark):
     assert set(by_node) == {0, 1, 2}
     assert sum(by_node.values()) > 0.99  # mass conserved incl. dangling 1, 2
     assert by_node[1] > by_node[0] > 0  # 1 receives 0's rank; 0 only teleports
+
+
+def test_shortest_paths_line_graph(spark):
+    from dask_ssh_docker_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    sources = spark.createDataFrame([(0,)], ["id"])
+    d = {r.node: r.dist for r in shortest_paths(edges, sources, max_iters=5).collect()}
+    assert d == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_shortest_paths_weighted_prefers_cheap_detour(spark):
+    from dask_ssh_docker_spark.operators.graph import shortest_paths
+
+    # direct 0->2 costs 10; detour 0->1->2 costs 3
+    edges = spark.createDataFrame(
+        [(0, 2, 10.0), (0, 1, 1.0), (1, 2, 2.0)], ["src", "dst", "w"]
+    )
+    sources = spark.createDataFrame([(0,)], ["id"])
+    d = {
+        r.node: r.dist
+        for r in shortest_paths(edges, sources, weight="w", max_iters=4).collect()
+    }
+    assert d[2] == 3.0
+
+
+def test_shortest_paths_hop_bound_and_unreachable(spark):
+    from dask_ssh_docker_spark.operators.graph import shortest_paths
+
+    # chain longer than max_iters; node 9 disconnected
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(8, 9)], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([(0,)], ["id"])
+    d = {r.node: r.dist for r in shortest_paths(edges, sources, max_iters=2).collect()}
+    assert set(d) == {0, 1, 2}  # only nodes within 2 hops appear
+    assert 9 not in d
