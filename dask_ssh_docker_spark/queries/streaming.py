@@ -138,3 +138,27 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         deduped.select("user_id", "event_type", "ts_min"), output_mode="append"
     )
+
+
+@query(
+    "stream_rate_cap_user",
+    oracle="""
+    SELECT user_id, event_id, ts FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def stream_rate_cap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user quota cap (≤ 5 events, event-time order) as a REAL
+    stateful streaming job (``applyInPandasWithState``, one counter per
+    key).  With the single availableNow batch the emitted set must equal
+    the batch row_number() filter row-for-row — the curation primitive
+    'keep at most N per key' in its bounded-state streaming form."""
+    from ..streaming.stateful import rate_cap_per_key
+
+    return run_to_completion(
+        rate_cap_per_key(stream_events(spark, sf_dir), n=5), output_mode="append"
+    )

@@ -82,3 +82,50 @@ def streaming_ewma(stream: DataFrame, alpha: float = 0.1) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rate_cap_per_key(
+    stream: DataFrame,
+    n: int,
+    key: str = "user_id",
+) -> DataFrame:
+    """Per-key quota cap: emit at most ``n`` events per key across the
+    stream's lifetime (events ranked by event time, ties on event_id) —
+    the streaming form of the curation primitive "keep at most N
+    documents per domain / events per user".
+
+    State = one counter per key (O(1)); within each micro-batch rows are
+    folded in (ts, event_id) order, so with a single availableNow batch
+    the emitted set equals the batch ``row_number() OVER (PARTITION BY
+    key ORDER BY ts, event_id) <= n`` exactly (the driver oracle for
+    ``stream_rate_cap_user``).  Across multiple batches the cap applies
+    in arrival order — the documented online semantics.
+
+    NB ``transformWithStateInPandas`` (the Spark 4 successor API) needs
+    the protobuf Python package at runtime; this implementation stays on
+    ``applyInPandasWithState``, which is dependency-free.
+    """
+
+    def update(
+        key_tuple: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # executor-side import (plain-session safe)
+
+        (seen,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            take = pdf.head(max(0, n - seen))
+            seen += len(pdf)
+            if len(take):
+                yield take[["user_id", "event_id", "ts"]]
+        state.update((seen,))
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_id long, ts timestamp",
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

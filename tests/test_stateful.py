@@ -93,3 +93,49 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
     assert set(got.index) == set(want)
     for uid, row in got.iterrows():
         assert math.isclose(row["ewma"], want[uid], rel_tol=1e-9), uid
+
+
+def test_rate_cap_across_two_batches(spark, tmp_path):
+    """Cap persists across micro-batches: a user capped in batch 1 emits
+    nothing in batch 2; a user under quota tops up to exactly n."""
+    from dask_ssh_docker_spark.streaming.stateful import rate_cap_per_key
+
+    rows = []
+    # user 1: 4 events in batch a, 3 in batch b → cap 5 = 4 + 1
+    # user 2: 2 events in batch a, 1 in batch b → all 3 pass
+    for i in range(4):
+        rows.append((1, 100 + i, f"2024-01-01 00:00:{i:02d}", "a"))
+    for i in range(3):
+        rows.append((1, 200 + i, f"2024-01-01 01:00:{i:02d}", "b"))
+    for i in range(2):
+        rows.append((2, 300 + i, f"2024-01-01 00:00:{i:02d}", "a"))
+    rows.append((2, 400, "2024-01-01 01:00:00", "b"))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "batch"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    df = spark.createDataFrame(pdf)
+
+    src = tmp_path / "src"
+    df.filter("batch = 'a'").drop("batch").coalesce(1).write.parquet(str(src / "a"))
+    df.filter("batch = 'b'").drop("batch").coalesce(1).write.parquet(str(src / "b"))
+    schema = df.drop("batch").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = rate_cap_per_key(stream, n=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rate_cap_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("rate_cap_probe").toPandas()
+    by_user = got.groupby("user_id")["event_id"].apply(set).to_dict()
+    assert len(by_user[1]) == 5 and {100, 101, 102, 103} <= by_user[1]
+    # the 5th slot goes to exactly one batch-b event for user 1
+    assert len(by_user[1] & {200, 201, 202}) == 1
+    assert by_user[2] == {300, 301, 400}

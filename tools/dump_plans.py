@@ -25,6 +25,8 @@ QUERIES = [
     ("text_bigram_logprob", "bigram LM: (w1,w2) count shuffle + w1 re-agg; probability table un-hinted (AQE decides)"),
     ("window_ewma_bounded", "bounded EWMA: one user_id window exchange, O(frame) state, JVM fold"),
     ("pack_sequences_greedy", "sequence packing: per-source cumsum window — no global-order single partition"),
+    ("heavy_hitter_tokens", "two-pass heavy hitters: MapInPandas MG candidates (map-only) → broadcast semi-join recount; distinct-key domain never shuffles"),
+    ("variant_props_extract", "VARIANT: parse once, JVM path extraction — no Python eval, map-side only"),
 ]
 
 
