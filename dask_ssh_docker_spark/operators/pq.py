@@ -1,0 +1,250 @@
+"""Product quantization (PQ) approximate nearest neighbor — the
+memory-compression ANN path (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011), completing the similarity triad
+next to LSH (``operators/similarity.py``) and IVF (``operators/ivf.py``).
+
+The 100 TB story is **memory**, not scan fraction: a 64-dim float vector
+(256 B) compresses to ``m`` sub-codes (8 bytes at m=8) — a 32× smaller
+index that fits in RAM where the raw vectors cannot.  Scoring never
+touches the original vectors: per query one small lookup table (LUT) of
+query↔sub-centroid distances is built, and each corpus item's
+approximate distance is ``Σ_sub LUT[sub, code_sub]`` — m array lookups.
+
+DataFrame shapes (all JVM higher-order functions, no Python in any
+per-row path):
+
+- **train**: vectors explode into (sub, subvector) rows ONCE; every
+  Lloyd iteration is a single broadcast cross-score against the m·ks
+  sub-centroids + one (sub, cid) groupBy-mean shuffle — all subspaces
+  train together in one pipeline, not m separate jobs.
+- **encode**: broadcast cross-score → min-distance code per (vec, sub)
+  via one window on (vec, sub), then codes collected per vec — two
+  bounded shuffles of (vec, sub) rows; output is one code-array row per
+  vector (the compressed index).
+- **search (ADC)**: LUT rows are bounded (|Q|·m·ks) → built as a
+  DataFrame and crossed BROADCAST against the code index; the score is
+  a map-side ``aggregate`` over the code array into the LUT array —
+  zero shuffle until the final per-query top-k rank window.
+
+Determinism: seeded/ordered init (first ks subvectors by id), ties in
+assignment broken on centroid id, ties in top-k broken on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sub_sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _explode_subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, subdim: int) -> DataFrame:
+    """(id, sub, subvec): slice each vector into m contiguous subvectors.
+    ``slice`` is 1-indexed; pure map-side."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"),
+                    F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("subvec"),
+                ),
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.sub").alias("sub"), F.col("e.subvec").alias("subvec"))
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    iters: int = 3,
+) -> DataFrame:
+    """(sub, cid, centroid: array<double>) — m per-subspace codebooks of
+    ks centroids each, trained jointly (one shuffle per Lloyd iteration
+    for ALL subspaces).  Deterministic init: the first ks subvectors by
+    vec_id in each subspace."""
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    subdim = dim // m
+    subs = _explode_subvectors(corpus, id_col, vec_col, m, subdim).persist()
+    subs.count()
+
+    w_init = Window.partitionBy("sub").orderBy("vec_id")
+    cents = (
+        subs.withColumn("rn", F.row_number().over(w_init))
+        .filter(F.col("rn") <= ks)
+        .select(
+            "sub",
+            (F.col("rn") - 1).alias("cid"),
+            F.transform("subvec", lambda x: x.cast("double")).alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(iters):
+        assigned = (
+            subs.join(F.broadcast(cents), "sub")
+            .withColumn("d", _sub_sq_dist("subvec", "centroid"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        # mean per (sub, cid): posexplode partial sums (same shape as the
+        # embedding-centroid query) — one shuffle of (sub, cid, pos) cells
+        cents = (
+            assigned.select(
+                "sub", "cid", F.posexplode(F.col("subvec")).alias("pos", "x")
+            )
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("mean_x"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean_x"))),
+                    lambda s: s["mean_x"],
+                ).alias("centroid")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    subs.unpersist()
+    return cents
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, codes: array<int>[m]) — the compressed index: nearest
+    sub-centroid id per subspace.  Two bounded shuffles of (vec, sub)
+    rows; the original vectors are NOT carried forward."""
+    subdim = dim // m
+    subs = _explode_subvectors(corpus, id_col, vec_col, m, subdim)
+    w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
+    return (
+        subs.join(F.broadcast(codebooks), "sub")
+        .withColumn("d", _sub_sq_dist("subvec", "centroid"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                lambda s: s["cid"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    ks: int = 16,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, vec_id, approx_dist, rank) — asymmetric-distance (ADC)
+    top-k: LUT per query (|Q|·m·ks rows, bounded → broadcast), score =
+    map-side fold of the code array into the flattened LUT array; the
+    only shuffle is the final per-query rank window."""
+    subdim = dim // m
+    luts = (
+        _explode_subvectors(queries, query_id, query_vec, m, subdim)
+        .withColumnRenamed("vec_id", "qid")
+        .join(F.broadcast(codebooks), "sub")
+        .withColumn("d", _sub_sq_dist("subvec", "centroid"))
+        .groupBy("qid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((F.col("sub") * ks + F.col("cid")).alias("slot"), "d")
+                    )
+                ),
+                lambda s: s["d"],
+            ).alias("lut")
+        )
+    )
+    scored = index.crossJoin(F.broadcast(luts)).withColumn(
+        "approx_dist",
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.col("codes"),
+                lambda s, c: F.col("lut")[s * ks + c],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy("approx_dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "vec_id", "approx_dist", "rank")
+    )
+
+
+def pq_topk_rerank(
+    queries: DataFrame,
+    index: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    expand: int = 5,
+    ks: int = 16,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, vec_id, dist, rank) — the production PQ shape: ADC
+    shortlist of ``k·expand`` candidates from the compressed index, then
+    EXACT re-rank of only those candidates against their raw vectors.
+
+    At 100 TB the raw vectors never fully scan: the ADC pass touches only
+    the code index (32× smaller), and the re-rank fetches ``|Q|·k·expand``
+    vectors by id (broadcast semi-join).  Measured on the 64-dim testdata:
+    shortlist recall@10-in-50 ≈ 0.85 vs exact L2 (pinned in
+    tests/test_pq.py)."""
+    shortlist = pq_topk(
+        queries, index, codebooks, k=k * expand, ks=ks,
+        query_id=query_id, query_vec=query_vec, m=m, dim=dim,
+    ).select("query_id", F.col("vec_id").alias("cand_id"))
+    cand = corpus.join(
+        F.broadcast(shortlist), corpus[id_col] == shortlist["cand_id"]
+    ).select("query_id", "cand_id", F.col(vec_col).alias("cand_vec"))
+    exact = (
+        cand.join(F.broadcast(queries), "query_id")
+        .withColumn("dist", _sub_sq_dist("cand_vec", query_vec))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "cand_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("vec_id"), "dist", "rank")
+    )

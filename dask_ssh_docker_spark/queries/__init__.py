@@ -62,14 +62,15 @@ from . import semistructured  # noqa: E402,F401
 #   3. the r1 cohort: 36 of the 46 names whose newest driver row is from
 #      round 1 (stalest evidence; re-proved by the r3 judge's HEAD sweep
 #      but a judge run is not a driver row).
-# Eleven r1 names don't fit the 50-slot window and lead the r5 rotation:
+# Twelve r1 names don't fit the 50-slot window and lead the r5 rotation:
 # smoke_delayed_sum (constant-output smoke), join_cross_nation_region
 # (25×5 fixed-dim cross join), asof_backward_tolerance + asof_backward
-# (merge_asof machinery untouched for two rounds), and seven whose
+# (merge_asof machinery untouched for two rounds), and eight whose
 # operator families keep an in-window kin: sliding_window_30m
 # (resample_hourly), window_rank_fractions (window_ranking),
 # math_functions (str_functions / date_functions — same map-side
-# scalar-function machinery),
+# scalar-function machinery), json_map_schema (json_extract_props +
+# the new variant_props_extract subsume the JSON surface),
 # window_rolling_range_1h (window_rolling_rows),
 # window_forward_fill (interpolate family), rollup_cascade_daily
 # (rollup_cascade_daily_hll — same operator, new this round),
@@ -95,7 +96,8 @@ _PRIORITY = [
     "stream_dedup_watermark",
     "sssp_nation_trade",
     "stream_rate_cap_user",
-    # -- r1 cohort (newest driver row = round 1), 35 of 46 --
+    "sim_topk_pq",
+    # -- r1 cohort (newest driver row = round 1), 34 of 46 --
     "q1_pricing_summary",
     "join_semi_orders",
     "join_anti_customers",
@@ -121,7 +123,6 @@ _PRIORITY = [
     "str_split_explode",
     "date_functions",
     "json_extract_props",
-    "json_map_schema",
     "cast_surface",
     "str_functions_extended",
     "fuzzy_levenshtein_pairs",
