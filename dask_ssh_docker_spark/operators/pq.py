@@ -187,6 +187,12 @@ def pq_topk(
             ).alias("lut")
         )
     )
+    # Materialize the LUT before hinting: one row per query (bounded by
+    # the caller's query set, like the IVF centroid frame), so the
+    # broadcast side is a known-small concrete RDD rather than a lazy
+    # grouped aggregate (which the broadcast-policy sweep rightly bans —
+    # it cannot see that the grouping key here is the bounded side).
+    luts = luts.localCheckpoint(eager=True)
     scored = index.crossJoin(F.broadcast(luts)).withColumn(
         "approx_dist",
         F.aggregate(
@@ -231,10 +237,13 @@ def pq_topk_rerank(
     vectors by id (broadcast semi-join).  Measured on the 64-dim testdata:
     shortlist recall@10-in-50 ≈ 0.85 vs exact L2 (pinned in
     tests/test_pq.py)."""
+    # |Q|·k·expand rows by the rank filter — bounded, but behind a window
+    # the broadcast-policy sweep cannot bound; materialize before hinting
+    # (same rationale as the LUT above).
     shortlist = pq_topk(
         queries, index, codebooks, k=k * expand, ks=ks,
         query_id=query_id, query_vec=query_vec, m=m, dim=dim,
-    ).select("query_id", F.col("vec_id").alias("cand_id"))
+    ).select("query_id", F.col("vec_id").alias("cand_id")).localCheckpoint(eager=True)
     cand = corpus.join(
         F.broadcast(shortlist), corpus[id_col] == shortlist["cand_id"]
     ).select("query_id", "cand_id", F.col(vec_col).alias("cand_vec"))
