@@ -80,10 +80,50 @@ def main(argv: list[str]) -> int:
     )
     n_cohort_cells = retention_cohorts_weekly(spark, sf_dir).count()
 
+    # 5. round-4 surface: PQ ANN (compressed codes + exact rerank),
+    #    two-pass heavy hitters, PageRank + shortest paths on the same
+    #    derived graph
+    from dask_ssh_docker_spark.operators.graph import pagerank, shortest_paths
+    from dask_ssh_docker_spark.operators.pq import (
+        pq_encode,
+        pq_topk_rerank,
+        train_pq_codebooks,
+    )
+    from dask_ssh_docker_spark.operators.sketches import heavy_hitters
+    from dask_ssh_docker_spark.functions.text import tokens
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq_corpus = emb.filter("vec_id >= 5").select("vec_id", "embedding")
+    pq_queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cb = train_pq_codebooks(pq_corpus, m=16, ks=16, dim=64, iters=1)
+    pq_hits = pq_topk_rerank(
+        pq_queries, pq_encode(pq_corpus, cb, m=16, dim=64), cb, pq_corpus,
+        k=10, expand=5, ks=16, m=16, dim=64,
+    ).count()
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    n_heavy = heavy_hitters(toks, "tok", 50).count()
+
+    edges = (
+        ev.filter("event_type in ('view', 'purchase')")
+        .groupBy(
+            (F.col("user_id") % 25).alias("src"), (F.col("event_id") % 25).alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr_rows = pagerank(edges, weight="w", iters=3).count()
+    sp_rows = shortest_paths(
+        edges, edges.select("src").limit(1), weight="w", max_iters=3
+    ).count()
+
     print(
         f"TOUR asof_matched={n_matched} daily_buckets={n_daily} "
         f"ivf_hits={len(ivf_hits)} lsh_hits={len(lsh_hits)} overlap={overlap} "
         f"ewma_rows={n_smoothed} gaps_filled={n_gaps} "
-        f"cohort_cells={n_cohort_cells}"
+        f"cohort_cells={n_cohort_cells} pq_hits={pq_hits} "
+        f"heavy_tokens={n_heavy} pr_rows={pr_rows} sp_rows={sp_rows}"
     )
     return 0
