@@ -43,6 +43,7 @@ from . import embeddings  # noqa: E402,F401
 from . import analytics_extra  # noqa: E402,F401
 from . import graph_analytics  # noqa: E402,F401
 from . import semistructured  # noqa: E402,F401
+from . import cdc  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -58,11 +59,16 @@ from . import semistructured  # noqa: E402,F401
 #   2. queries NEW this round (scale-path dedup CC, real PNG/audio
 #      decode, HLL rollup cascade — rows-only by nature — plus PageRank,
 #      two-pass heavy hitters, the VARIANT surface, the XML round trip,
-#      and streaming watermark dedup, all oracle-bearing),
-#   3. the r1 cohort: 36 of the 46 names whose newest driver row is from
+#      streaming watermark dedup + rate cap, SSSP, PQ ANN, the CDC
+#      merge/SCD2 pair, triangle counts, and the robust-stats audits —
+#      all oracle-bearing except the rows-only-by-nature ones),
+#   3. the r1 cohort: 29 of the 46 names whose newest driver row is from
 #      round 1 (stalest evidence; re-proved by the r3 judge's HEAD sweep
 #      but a judge run is not a driver row).
-# Twelve r1 names don't fit the 50-slot window and lead the r5 rotation:
+# Seventeen r1 names don't fit the 50-slot window and lead the r5
+# rotation — the twelve listed below plus whichever five of the trailing
+# cohort entries the new-query block displaced (the driver records the
+# FIRST 50 registered names; everything past slot 50 keeps import order):
 # smoke_delayed_sum (constant-output smoke), join_cross_nation_region
 # (25×5 fixed-dim cross join), asof_backward_tolerance + asof_backward
 # (merge_asof machinery untouched for two rounds), and eight whose
@@ -97,6 +103,11 @@ _PRIORITY = [
     "sssp_nation_trade",
     "stream_rate_cap_user",
     "sim_topk_pq",
+    "cdc_merge_upsert",
+    "scd2_priority_history",
+    "triangle_count_trade",
+    "robust_outliers_mad",
+    "winsorize_bounds_audit",
     # -- r1 cohort (newest driver row = round 1), 34 of 46 --
     "q1_pricing_summary",
     "join_semi_orders",

@@ -535,3 +535,135 @@ def tok_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+# Robust z-score: 3.5 · 1.4826 pre-multiplied into ONE literal so both
+# engines parse the identical double (Spark's 3.5*1.4826 double product
+# and DuckDB's DECIMAL 5.18910 → DOUBLE cast could differ in the last
+# bit; a shared literal can't).
+_MAD_K = "5.1891"
+
+
+@query(
+    "robust_outliers_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT user_id, median(CAST(value AS DOUBLE)) AS med
+      FROM events GROUP BY user_id
+    ),
+    mad AS (
+      SELECT e.user_id,
+             median(abs(CAST(e.value AS DOUBLE) - m.med)) AS mad
+      FROM events e JOIN med m USING (user_id) GROUP BY e.user_id
+    )
+    SELECT e.user_id,
+           round(m.med, 6) AS med,
+           round(d.mad, 6) AS mad,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (
+             WHERE abs(CAST(e.value AS DOUBLE) - m.med)
+                   > CAST({_MAD_K} AS DOUBLE) * d.mad
+           ) AS n_outliers
+    FROM events e
+    JOIN med m USING (user_id)
+    JOIN mad d USING (user_id)
+    GROUP BY e.user_id, m.med, d.mad
+    """,
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier audit per user (the heavy-tail-safe
+    alternative to mean/stddev z-scores): flag |x − med| > 3.5 · 1.4826
+    · MAD.  The threshold multiplies instead of dividing, so zero-MAD
+    groups need no NaN handling.
+
+    Scale shape: two exact-median grouped aggregations + two
+    co-partitioned joins — every exchange keyed on user_id, so after the
+    first shuffle the rest are co-located.  At 100 TB you'd swap
+    ``median`` for ``approx_percentile`` (sketch-mergeable, map-side
+    partials) — the driver-checked exact form pins the semantics."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double")
+    )
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    thresh = F.lit(float(_MAD_K)) * F.col("mad")
+    return (
+        ev.join(med, "user_id")
+        .join(mad, "user_id")
+        .groupBy("user_id", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > thresh, 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "user_id",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n",
+            "n_outliers",
+        )
+    )
+
+
+@query(
+    "winsorize_bounds_audit",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)) AS p05,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(b.p05, 6) AS p05,
+           round(b.p95, 6) AS p95,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE CAST(e.value AS DOUBLE) < b.p05) AS n_clip_low,
+           COUNT(*) FILTER (WHERE CAST(e.value AS DOUBLE) > b.p95) AS n_clip_high
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type, b.p05, b.p95
+    """,
+)
+def winsorize_bounds_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit per event type: exact p05/p95 clip bounds and
+    how many rows each tail would clip — the pre-flight check before
+    capping a reward/score column in a training pipeline.
+
+    Scale shape: one exact-percentile aggregation per group + one
+    co-partitioned join back; both exchanges keyed on event_type.  The
+    clip itself (``least(greatest(value, p05), p95)``) is a free map-side
+    expression once the bounds are joined in."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double")
+    )
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    return (
+        ev.join(b, "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0)).alias(
+                "n_clip_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0)).alias(
+                "n_clip_high"
+            ),
+        )
+        .select(
+            "event_type",
+            F.round("p05", 6).alias("p05"),
+            F.round("p95", 6).alias("p95"),
+            "n",
+            "n_clip_low",
+            "n_clip_high",
+        )
+    )

@@ -1,0 +1,148 @@
+"""CDC / snapshot-maintenance queries: MERGE-INTO upsert and SCD Type-2
+dimension history, driver-checked against DuckDB oracles.
+
+Reference parity: Dask users maintain mutable snapshots with
+``DataFrame.update`` / ``combine_first`` / indexed assignment (the
+collection API the reference deploys); the warehouse-native equivalents
+are ``MERGE INTO`` and slowly-changing-dimension builds.  Implemented in
+``operators/cdc.py`` as single-shuffle DataFrame plans.
+
+Determinism: the updated account balance is computed in exact DECIMAL on
+both engines and cast to DOUBLE once at the end (see ``_util``); the
+magnitudes stay far below 2^53 so the final cast is exact in both.
+
+Scale notes (100 TB):
+
+- ``cdc_merge_upsert``: one full-outer sort-merge join on the key —
+  both sides shuffle once; no broadcast hint (a CDC batch can be huge;
+  AQE broadcasts small ones on its own).
+- ``scd2_priority_history``: two stacked windows over the same
+  (key, time) ordering — Catalyst plans ONE hash exchange; per-key state
+  is a single lag/lead row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.cdc import merge_upsert, scd2_from_changelog
+from ..sources import load_table
+from .registry import query
+
+# Target snapshot: customers whose key isn't divisible by 3 (a stale copy
+# missing one third of the universe). Source batch: the fresh image of
+# every customer with at least one order — balance bumped by 0.1% of
+# lifetime spend. The merge must update matched rows, insert the missing
+# ones, and pass untouched rows through.
+_MERGE_ORACLE = """
+WITH target AS (
+  SELECT c_custkey, c_name, c_nationkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s
+  FROM orders GROUP BY o_custkey
+),
+src AS (
+  SELECT c.c_custkey, c.c_name, c.c_nationkey,
+         CAST(CAST(c.c_acctbal AS DECIMAL(12,2))
+              + sp.s * CAST(0.001 AS DECIMAL(4,3)) AS DOUBLE) AS acctbal,
+         c.c_mktsegment
+  FROM customer c JOIN spend sp ON c.c_custkey = sp.o_custkey
+)
+SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.acctbal ELSE t.acctbal END AS acctbal,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+FROM target t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+"""
+
+
+@query("cdc_merge_upsert", oracle=_MERGE_ORACLE)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO a stale customer snapshot from a fresh CDC batch
+    (updated balances for every customer with orders): matched rows take
+    the source image, unmatched source rows insert, unmatched target rows
+    pass through (``operators/cdc.py:merge_upsert``)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    shape = [
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        "c_mktsegment",
+    ]
+    target = cust.filter(F.col("c_custkey") % 3 != 0).select(*shape)
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("s")
+    )
+    source = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (
+                F.col("c_acctbal").cast("decimal(12,2)")
+                + F.col("s") * F.lit("0.001").cast("decimal(4,3)")
+            )
+            .cast("double")
+            .alias("acctbal"),
+            "c_mktsegment",
+        )
+    )
+    return merge_upsert(target, source, ["c_custkey"])
+
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         lag(o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev
+  FROM orders
+),
+changes AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+  FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey, o_orderkey, o_orderpriority,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS valid_to,
+       lead(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) IS NULL AS is_current
+FROM changes
+"""
+
+
+@query("scd2_priority_history", oracle=_SCD2_ORACLE)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of each customer's order-priority "attribute":
+    change events (priority differs from the previous order, ordered by
+    date with orderkey tiebreak) become versions with
+    valid_from/valid_to/is_current via one lead window per key
+    (``operators/cdc.py:scd2_from_changelog``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        orders.withColumn("prev", F.lag("o_orderpriority").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    out = scd2_from_changelog(
+        changes, key="o_custkey", ts_col="o_orderdate", order_extra=("o_orderkey",)
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "o_orderpriority", "valid_from", "valid_to", "is_current"
+    )
