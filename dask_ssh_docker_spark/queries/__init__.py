@@ -108,6 +108,7 @@ _PRIORITY = [
     "triangle_count_trade",
     "robust_outliers_mad",
     "winsorize_bounds_audit",
+    "stream_mv_user_totals",
     # -- r1 cohort (newest driver row = round 1), 34 of 46 --
     "q1_pricing_summary",
     "join_semi_orders",

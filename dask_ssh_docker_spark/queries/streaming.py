@@ -162,3 +162,99 @@ def stream_rate_cap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         rate_cap_per_key(stream_events(spark, sf_dir), n=5), output_mode="append"
     )
+
+
+def _staged_event_slices(spark: SparkSession, sf_dir: str, n_slices: int = 3) -> str:
+    """Stage the events table as ``n_slices`` single-file parquet slices
+    (deterministic split on event_id % n) so a file-source stream with
+    ``maxFilesPerTrigger=1`` replays it as n REAL micro-batches."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{n_slices}".encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_mv_slices_{key}"
+    done = os.path.join(base, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base)
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # raw schema, no ts conversion
+        for i in range(n_slices):
+            tmp = os.path.join(base, f"tmp{i}")
+            (
+                raw.filter(F.col("event_id") % n_slices == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(base, f"slice{i}.parquet"))
+            shutil.rmtree(tmp)
+        with open(done, "w") as f:
+            f.write("ok")
+    return base
+
+
+@query(
+    "stream_mv_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           MAX(ts) AS max_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_mv_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view maintained across THREE real
+    micro-batches (events split into 3 file slices, maxFilesPerTrigger=1):
+    each batch's per-user partials (count / exact-decimal sum / max ts)
+    merge into a versioned parquet snapshot via ``streaming/mv.py`` —
+    the lakehouse streaming-upsert-MV pattern.  The final snapshot must
+    equal the one-shot batch aggregate exactly, proving the algebraic
+    merge is lossless across arbitrary batch boundaries."""
+    import tempfile
+
+    from ..streaming.mv import incremental_agg_mv, read_mv
+
+    base = _staged_event_slices(spark, sf_dir, 3)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    dt = dict(stream.dtypes).get("ts")
+    if dt == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_dec"),
+            F.max("ts").alias("max_ts"),
+        )
+
+    snap_dir = tempfile.mkdtemp(prefix="spark_graft_mv_snap_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_mv_ckpt_")
+    q = incremental_agg_mv(
+        stream,
+        partial,
+        keys=["user_id"],
+        kinds={"n_events": "sum", "total_dec": "sum", "max_ts": "max"},
+        snapshot_dir=snap_dir,
+        checkpoint=ckpt,
+    )
+    q.awaitTermination()
+    return read_mv(spark, snap_dir).select(
+        "user_id",
+        "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+        "max_ts",
+    )

@@ -298,3 +298,21 @@ def test_qcut_boundary_is_global_aggregate_broadcast(spark, sf_dir, reg):
     assert hinted_unbounded_aggregate_broadcasts(df) == []
     nodes = _broadcast_hint_nodes(df)
     assert nodes and all("Aggregate" in n.child().toString() for n in nodes)
+
+
+def test_scd2_single_exchange(spark, sf_dir, reg):
+    """Both SCD2 windows (change-detect lag + interval lead) share one
+    (key, time) ordering -> Catalyst must plan exactly ONE hash exchange."""
+    from dask_ssh_docker_spark.plans import count_exchanges
+
+    df = reg["scd2_priority_history"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1
+
+
+def test_merge_upsert_full_outer_not_broadcast(spark, sf_dir, reg):
+    """The CDC merge join must stay a shuffle join: a broadcast full-outer
+    is impossible, and a CDC batch can be arbitrarily large."""
+    df = reg["cdc_merge_upsert"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    assert "BroadcastHashJoin FullOuter" not in plan
