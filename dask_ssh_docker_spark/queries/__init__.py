@@ -44,6 +44,7 @@ from . import analytics_extra  # noqa: E402,F401
 from . import graph_analytics  # noqa: E402,F401
 from . import semistructured  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
+from . import profiling  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -109,6 +110,8 @@ _PRIORITY = [
     "robust_outliers_mad",
     "winsorize_bounds_audit",
     "stream_mv_user_totals",
+    "profile_orders_columns",
+    "join_skew_audit",
     # -- r1 cohort (newest driver row = round 1), 34 of 46 --
     "q1_pricing_summary",
     "join_semi_orders",

@@ -1,0 +1,159 @@
+"""Data-profiling and skew-diagnosis queries — the operational tooling a
+100 TB engine user runs BEFORE committing to a plan:
+
+- ``profile_orders_columns``: one-pass per-column profile (counts, nulls,
+  exact distincts, typed min/max) in long format — the pre-ingest schema
+  audit (Dask-era ``df.describe(include='all')`` flavor).
+- ``join_skew_audit``: key-frequency diagnosis for a join key with a
+  derived salt factor — the measurement that decides between a plain
+  shuffle join, AQE skew handling, and explicit salting
+  (``operators/partitioning.py:salted_join``).
+
+Determinism: counts are integers; shares are one IEEE division on
+identical integers; min/max of doubles are order-insensitive; date
+min/max surface as ISO-formatted strings (identical formatting in both
+engines); salt factors use pure integer ceil-division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+# (column, kind) — kind picks which min/max slot is populated so no
+# engine-specific double→string formatting ever enters the result.
+_ORDERS_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _ORDERS_COLS:
+        if kind == "num":
+            mn = f"CAST(MIN({c}) AS DOUBLE)"
+            mx = f"CAST(MAX({c}) AS DOUBLE)"
+            mns = "CAST(NULL AS VARCHAR)"
+            mxs = "CAST(NULL AS VARCHAR)"
+        else:  # str and date both render as strings (ISO dates match)
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+            mns = f"CAST(MIN({c}) AS VARCHAR)"
+            mxs = f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(f"""
+    SELECT '{c}' AS column_name,
+           COUNT(*) AS n,
+           COUNT(*) - COUNT({c}) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num,
+           {mns} AS min_str, {mxs} AS max_str
+    FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_orders_columns", oracle=_profile_oracle())
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of ``orders`` in long format: row count,
+    null count, EXACT distinct count, and typed min/max per column.
+
+    Plan shape: a single global aggregate computes every column's
+    statistics in one scan (the multi-count-distinct expands the input
+    ~|cols|× inside the aggregate — the price of exactness; the 100 TB
+    variant swaps in ``approx_count_distinct`` sketches, same plan
+    otherwise), then the 1-row result explodes into one row per column —
+    no second scan, no driver loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, kind in _ORDERS_COLS:
+        aggs.append(F.count(c).alias(f"__cnt_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+    row = orders.agg(*aggs)
+    structs = []
+    for c, kind in _ORDERS_COLS:
+        num = kind == "num"
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("n"),
+                (F.col("__n") - F.col(f"__cnt_{c}")).alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                (F.col(f"__min_{c}") if num else F.lit(None).cast("double")).alias(
+                    "min_num"
+                ),
+                (F.col(f"__max_{c}") if num else F.lit(None).cast("double")).alias(
+                    "max_num"
+                ),
+                (F.lit(None).cast("string") if num else F.col(f"__min_{c}")).alias(
+                    "min_str"
+                ),
+                (F.lit(None).cast("string") if num else F.col(f"__max_{c}")).alias(
+                    "max_str"
+                ),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+_SKEW_TOPK = 20
+_SKEW_PARTS = 32  # target shuffle parallelism the salt factor is sized for
+
+
+@query(
+    "join_skew_audit",
+    oracle=f"""
+    WITH freq AS (
+      SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT SUM(cnt) AS tot FROM freq)
+    SELECT key, cnt,
+           round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+           CAST((cnt * {_SKEW_PARTS} + tot - 1) // tot AS BIGINT) AS salt_factor
+    FROM freq, tot
+    ORDER BY cnt DESC, key ASC
+    LIMIT {_SKEW_TOPK}
+    """,
+)
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for ``lineitem.l_suppkey``: the 20
+    heaviest keys with their frequency share and an integer salt factor
+    (how many sub-keys spread this key across {_SKEW_PARTS} target
+    partitions).  ``salt_factor == 1`` everywhere → plain shuffle join is
+    safe; a key with factor k → pre-split it k ways
+    (``operators/partitioning.py:salted_join``) or rely on AQE skew-join.
+
+    Plan shape: one partial-agg'd key-count shuffle + a 1-row total
+    broadcast join + TakeOrderedAndProject — the whole audit is one scan
+    of the fact table.  Integer ceil-division keeps the salt factor
+    bit-exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = freq.agg(F.sum("cnt").alias("tot"))
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("tot").cast("double"), 6).alias(
+                "share"
+            ),
+            F.expr(f"(cnt * {_SKEW_PARTS} + tot - 1) div tot").alias("salt_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(_SKEW_TOPK)
+    )

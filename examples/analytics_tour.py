@@ -119,11 +119,29 @@ def main(argv: list[str]) -> int:
         edges, edges.select("src").limit(1), weight="w", max_iters=3
     ).count()
 
+    # 6. round-4 third wave: snapshot maintenance (MERGE upsert + SCD2
+    #    history) and the profiling/skew audits
+    from dask_ssh_docker_spark.operators.cdc import merge_upsert, scd2_from_changelog
+
+    snap = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    updates = snap.filter(F.col("user_id") % 2 == 0).withColumn(
+        "n_events", F.col("n_events") + 1
+    )
+    n_merged = merge_upsert(snap, updates, ["user_id"]).count()
+    hist = scd2_from_changelog(
+        ev.select("user_id", "ts", "event_type"),
+        key="user_id",
+        ts_col="ts",
+        order_extra=("event_type",),
+    )
+    n_current = hist.filter("is_current").count()
+
     print(
         f"TOUR asof_matched={n_matched} daily_buckets={n_daily} "
         f"ivf_hits={len(ivf_hits)} lsh_hits={len(lsh_hits)} overlap={overlap} "
         f"ewma_rows={n_smoothed} gaps_filled={n_gaps} "
         f"cohort_cells={n_cohort_cells} pq_hits={pq_hits} "
-        f"heavy_tokens={n_heavy} pr_rows={pr_rows} sp_rows={sp_rows}"
+        f"heavy_tokens={n_heavy} pr_rows={pr_rows} sp_rows={sp_rows} "
+        f"merged_rows={n_merged} current_versions={n_current}"
     )
     return 0
