@@ -1,0 +1,86 @@
+"""Bloom-filter semi-join reduction (runtime-filter pattern as an
+explicit operator).
+
+At 100 TB the dominant cost of ``fact SEMI JOIN dim_subset`` is shuffling
+the fact table; when the key subset is small-ish but too big (or too
+late-bound) to broadcast as a plain hash set, engines inject a *bloom
+filter*: a fixed-size bitmap of the build keys, broadcast to every
+scanner, that discards most non-matching fact rows MAP-SIDE before any
+exchange.  Spark's own ``InjectRuntimeFilter`` does this internally for
+some shapes; this operator makes the plan explicit and composable:
+
+1. build side → k=3 hash positions per key → ``(word, bit)`` pairs →
+   ``bit_or`` per word: a bitmap frame of AT MOST ``m_bits/64`` rows
+   (1024 for the default 64 Ki bits) — bounded regardless of build
+   cardinality, hence always legitimately broadcastable;
+2. probe side → the same 3 positions → 3 broadcast inner joins +
+   bit-mask tests, all map-side (zero exchanges added);
+3. the surviving superset (bloom false positives included) flows into
+   the EXACT semi join — the final result is identical to the plain
+   semi join; the bloom only cuts shuffle volume.
+
+Hash discipline: position_i = pmod(xxhash64(key, i), m_bits) — the same
+JVM xxhash64 family the dedup operators use; no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_K = 3  # hash probes
+
+
+def bloom_bitmap(build_keys: DataFrame, key: str, m_bits: int = 65536) -> DataFrame:
+    """(word, bits): the bloom bitmap of the build side's ``key`` column
+    as a ≤ ``m_bits/64``-row frame.  One partial-agg'd shuffle on word id
+    (≤1024 groups)."""
+    pairs = []
+    for i in range(_K):
+        pos = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+        pairs.append(F.struct(
+            (pos / 64).cast("bigint").alias("word"),
+            F.expr(f"shiftleft(1L, cast(pmod(xxhash64({key}, {i}), {m_bits}) % 64 as int))").alias("bit"),
+        ))
+    return (
+        build_keys.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.word", "p.bit")
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_prefilter(probe: DataFrame, bitmap: DataFrame, key: str, m_bits: int = 65536) -> DataFrame:
+    """Map-side bloom membership prefilter: keeps a superset of the rows
+    whose ``key`` is in the build set (false positives possible, false
+    negatives impossible).  Three broadcast inner joins — no exchange on
+    the probe side."""
+    out = probe
+    for i in range(_K):
+        pos = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+        w, b, m = f"__w{i}", f"__bits{i}", f"__mask{i}"
+        out = (
+            out.withColumn(w, (pos / 64).cast("bigint"))
+            .withColumn(m, F.expr(f"shiftleft(1L, cast(pmod(xxhash64({key}, {i}), {m_bits}) % 64 as int))"))
+            .join(
+                F.broadcast(bitmap.select(F.col("word").alias(w), F.col("bits").alias(b))),
+                on=w,
+                how="inner",  # absent word ⇒ definitely not a member ⇒ drop
+            )
+            .filter((F.col(b).bitwiseAND(F.col(m))) == F.col(m))
+            .drop(w, b, m)
+        )
+    return out
+
+
+def bloom_semi_join(
+    probe: DataFrame, build: DataFrame, probe_key: str, build_key: str,
+    m_bits: int = 65536,
+) -> DataFrame:
+    """``probe LEFT SEMI JOIN build`` with a bloom prefilter ahead of the
+    exchange.  Result rows are EXACTLY the plain semi join's (the exact
+    join clears bloom false positives); only the shuffle volume differs."""
+    keys = build.select(F.col(build_key).alias(probe_key)).distinct()
+    bitmap = bloom_bitmap(keys, probe_key, m_bits)
+    pref = bloom_prefilter(probe, bitmap, probe_key, m_bits)
+    return pref.join(keys, on=probe_key, how="left_semi")

@@ -112,6 +112,7 @@ _PRIORITY = [
     "stream_mv_user_totals",
     "profile_orders_columns",
     "join_skew_audit",
+    "bloom_semi_join_revenue",
     # -- r1 cohort (newest driver row = round 1), 34 of 46 --
     "q1_pricing_summary",
     "join_semi_orders",

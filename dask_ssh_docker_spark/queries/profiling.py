@@ -157,3 +157,35 @@ def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("key").asc())
         .limit(_SKEW_TOPK)
     )
+
+
+@query(
+    "bloom_semi_join_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag for lineitems from suppliers in nations
+    0–4, computed through the bloom semi-join reduction
+    (``operators/bloomjoin.py``): a ≤1024-row bitmap of the build keys is
+    broadcast and three map-side bit-tests discard non-matching fact rows
+    BEFORE the exact semi join — the runtime-filter pattern that cuts the
+    fact-side shuffle at 100 TB.  The bloom only prunes; the exact semi
+    join makes the result identical to the plain IN-subquery oracle."""
+    from ..operators.bloomjoin import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    matched = bloom_semi_join(li, supp, "l_suppkey", "s_suppkey")
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -1,0 +1,52 @@
+"""Bloom semi-join reduction (operators/bloomjoin.py): no false
+negatives, bounded bitmap, exactness of the final join, and the map-side
+plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_ssh_docker_spark.operators.bloomjoin import (
+    bloom_bitmap,
+    bloom_prefilter,
+    bloom_semi_join,
+)
+
+
+def test_bitmap_bounded_and_prefilter_superset(spark):
+    build = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+    bm = bloom_bitmap(build, "k", m_bits=4096)
+    assert bm.count() <= 4096 // 64
+    kept = {r["k"] for r in bloom_prefilter(probe, bm, "k", m_bits=4096).collect()}
+    members = {r["k"] for r in build.collect() if r["k"] < 5000}
+    # no false negatives: every true member survives the prefilter
+    assert members <= kept
+
+
+def test_semi_join_exact_vs_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").filter("s_nationkey < 5")
+    got = bloom_semi_join(li, supp, "l_suppkey", "s_suppkey")
+    want = li.join(
+        supp.select(F.col("s_suppkey").alias("l_suppkey")).distinct(),
+        "l_suppkey",
+        "left_semi",
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_prefilter_is_map_side(spark):
+    """The bloom prefilter must add ONLY broadcast hash joins — zero
+    exchanges on the probe side (that's its entire point)."""
+    build = spark.range(0, 100).select(F.col("id").alias("k"))
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    bm = bloom_bitmap(build, "k").localCheckpoint(eager=True)  # isolate probe plan
+    pref = bloom_prefilter(probe, bm, "k")
+    plan = pref._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3
+    import re
+
+    # only broadcast exchanges allowed; no shuffle exchange in the probe path
+    assert not re.search(r"Exchange (hashpartitioning|rangepartitioning)", plan)
