@@ -63,13 +63,13 @@ from . import profiling  # noqa: E402,F401
 #      streaming watermark dedup + rate cap, SSSP, PQ ANN, the CDC
 #      merge/SCD2 pair, triangle counts, and the robust-stats audits —
 #      all oracle-bearing except the rows-only-by-nature ones),
-#   3. the r1 cohort: 29 of the 46 names whose newest driver row is from
-#      round 1 (stalest evidence; re-proved by the r3 judge's HEAD sweep
-#      but a judge run is not a driver row).
-# Seventeen r1 names don't fit the 50-slot window and lead the r5
-# rotation — the twelve listed below plus whichever five of the trailing
-# cohort entries the new-query block displaced (the driver records the
-# FIRST 50 registered names; everything past slot 50 keeps import order):
+#   3. the r1 cohort: the first 25 of the 46 names whose newest driver
+#      row is from round 1 (stalest evidence; re-proved by the r3 judge's
+#      HEAD sweep but a judge run is not a driver row).
+# The remaining 21 r1 names lead the r5 rotation — the twelve listed
+# below plus the trailing cohort entries the new-query block displaced
+# (the driver records the FIRST 50 registered names; everything past
+# slot 50 keeps import order):
 # smoke_delayed_sum (constant-output smoke), join_cross_nation_region
 # (25×5 fixed-dim cross join), asof_backward_tolerance + asof_backward
 # (merge_asof machinery untouched for two rounds), and eight whose
