@@ -71,8 +71,20 @@ def _read_pointer(snapshot_dir: str) -> tuple[int, str] | None:
     return int(epoch_s), vdir
 
 
-def read_mv(spark: SparkSession, snapshot_dir: str) -> DataFrame:
-    """Load the current snapshot version (follows the ``_LATEST`` pointer)."""
+def read_mv(
+    spark: SparkSession, snapshot_dir: str, version: int | None = None
+) -> DataFrame:
+    """Load a snapshot: the current one (follows the ``_LATEST`` pointer)
+    or, with ``version=``, a specific retained epoch — Delta-style time
+    travel (``VERSION AS OF``); old version directories are retained, so
+    any committed epoch stays readable until the caller prunes them."""
+    if version is not None:
+        vdir = os.path.join(snapshot_dir, f"v{version}")
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(
+                f"snapshot version {version} not found under {snapshot_dir}"
+            )
+        return spark.read.parquet(vdir)
     ptr = _read_pointer(snapshot_dir)
     if ptr is None:
         raise FileNotFoundError(f"no committed snapshot under {snapshot_dir}")

@@ -107,3 +107,37 @@ def test_mv_replayed_epoch_is_skipped(spark, sf_dir):
     expect = {r["user_id"]: r["n"] for r in
               ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert after == expect
+
+
+def test_mv_time_travel_versions(spark, sf_dir):
+    """Every committed epoch stays readable (VERSION AS OF); each version's
+    running totals are a prefix-merge of the final snapshot."""
+    from dask_ssh_docker_spark.queries.streaming import _staged_event_slices
+
+    base = _staged_event_slices(spark, sf_dir, 3)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+
+    def partial(b):
+        return b.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+    snap = tempfile.mkdtemp(prefix="mv_tt_snap_")
+    q = incremental_agg_mv(
+        stream, partial, ["user_id"], {"n": "sum"}, snap,
+        tempfile.mkdtemp(prefix="mv_tt_ckpt_"),
+    )
+    q.awaitTermination()
+    totals = [
+        sum(r["n"] for r in read_mv(spark, snap, version=v).collect())
+        for v in range(3)
+    ]
+    assert totals == sorted(totals) and totals[0] > 0  # monotone prefix sums
+    n_total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert totals[2] == n_total
+    assert sum(r["n"] for r in read_mv(spark, snap).collect()) == n_total
+    with pytest.raises(FileNotFoundError, match="version 9 not found"):
+        read_mv(spark, snap, version=9)

@@ -27,6 +27,11 @@ QUERIES = [
     ("pack_sequences_greedy", "sequence packing: per-source cumsum window — no global-order single partition"),
     ("heavy_hitter_tokens", "two-pass heavy hitters: MapInPandas MG candidates (map-only) → broadcast semi-join recount; distinct-key domain never shuffles"),
     ("variant_props_extract", "VARIANT: parse once, JVM path extraction — no Python eval, map-side only"),
+    ("scd2_priority_history", "SCD2 build: lag change-detect + lead intervals over ONE (key,time) exchange"),
+    ("cdc_merge_upsert", "MERGE upsert: full-outer SMJ on the key; no broadcast hint (CDC batch unbounded)"),
+    ("bloom_semi_join_revenue", "bloom semi-join: bounded bitmap broadcast + 3 map-side bit-test joins ahead of the exact semi join"),
+    ("join_skew_audit", "skew audit: one key-count shuffle + 1-row total broadcast + TakeOrderedAndProject"),
+    ("profile_orders_columns", "column profile: ONE scan, multi-distinct expand inside the agg, 1-row explode to long format"),
 ]
 
 
