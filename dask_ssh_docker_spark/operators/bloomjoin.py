@@ -81,6 +81,11 @@ def bloom_semi_join(
     exchange.  Result rows are EXACTLY the plain semi join's (the exact
     join clears bloom false positives); only the shuffle volume differs."""
     keys = build.select(F.col(build_key).alias(probe_key)).distinct()
-    bitmap = bloom_bitmap(keys, probe_key, m_bits)
+    # Materialize the bitmap before hinting (IVF/PQ precedent): it is
+    # bounded by construction (≤ m_bits/64 rows, 8 KiB of longs at the
+    # default size) but sits behind a grouped aggregate the
+    # broadcast-policy sweep rightly refuses to bound on its own;
+    # localCheckpoint makes the hinted side a concrete known-small RDD.
+    bitmap = bloom_bitmap(keys, probe_key, m_bits).localCheckpoint(eager=True)
     pref = bloom_prefilter(probe, bitmap, probe_key, m_bits)
     return pref.join(keys, on=probe_key, how="left_semi")
