@@ -82,3 +82,40 @@ def scd2_from_changelog(
         .withColumn("valid_to", F.lead(ts_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshot frames (same schema) into a change set: one row
+    per key present in either side, tagged ``insert`` (new only),
+    ``delete`` (old only), ``update`` (both, any compared column
+    differs — null-safe), or ``unchanged``.  The inverse of
+    :func:`merge_upsert`: ``merge_upsert(old, diff-derived source)``
+    reproduces ``new``.
+
+    Scale shape: one full-outer shuffle join on the key; comparisons are
+    map-side null-safe equality — no hashing, no driver state.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in keys]
+    o, n = old.alias("o"), new.alias("n")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change_type = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    cols = [F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys]
+    return o.join(n, cond, "full_outer").select(*cols, change_type.alias("change_type"))

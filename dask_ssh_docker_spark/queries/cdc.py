@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.cdc import merge_upsert, scd2_from_changelog
+from ..operators.cdc import merge_upsert, scd2_from_changelog, snapshot_diff
 from ..sources import load_table
 from .registry import query
 
@@ -146,3 +146,52 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_custkey", "o_orderkey", "o_orderpriority", "valid_from", "valid_to", "is_current"
     )
+
+
+_DIFF_ORACLE = """
+WITH old AS (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+  FROM customer WHERE c_custkey % 7 <> 0
+),
+new AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 2 = 0
+              THEN CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                        + CAST(100.00 AS DECIMAL(5,2)) AS DOUBLE)
+              ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal
+  FROM customer WHERE c_custkey % 5 <> 0
+)
+SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'insert'
+            WHEN n.c_custkey IS NULL THEN 'delete'
+            WHEN o.c_name IS DISTINCT FROM n.c_name
+                 OR o.acctbal IS DISTINCT FROM n.acctbal THEN 'update'
+            ELSE 'unchanged' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+"""
+
+
+@query("cdc_snapshot_diff", oracle=_DIFF_ORACLE)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-set between two customer snapshots (different key subsets,
+    even keys get a balance bump): each key tagged
+    insert/delete/update/unchanged via ``operators/cdc.py:snapshot_diff``
+    — one full-outer shuffle join, null-safe map-side comparisons."""
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("acctbal")
+    )
+    new = cust.filter(F.col("c_custkey") % 5 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            (
+                F.col("c_acctbal").cast("decimal(12,2)")
+                + F.lit("100.00").cast("decimal(5,2)")
+            ).cast("double"),
+        )
+        .otherwise(F.col("c_acctbal").cast("double"))
+        .alias("acctbal"),
+    )
+    return snapshot_diff(old, new, ["c_custkey"])

@@ -17,7 +17,7 @@ engines); salt factors use pure integer ceil-division.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
@@ -188,4 +188,82 @@ def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
         .cast("double")
         .alias("revenue"),
+    )
+
+
+@query(
+    "sample_k_per_group",
+    oracle="""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k-per-group sampling (k=3 events per user):
+    rank by md5(event_id) inside each group — a seeded shuffle both
+    engines reproduce bit-identically — and keep the first k.  The
+    eval-set construction primitive ("3 examples per source") without
+    ``rand()``'s partition-order nondeterminism.
+
+    Scale shape: ONE hash exchange on the group key + per-group sort;
+    per-row state is a counter.  Unlike reservoir sampling on the driver,
+    the group never materializes anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+_PAIRS_TOPK = 15
+
+
+@query(
+    "copurchase_part_pairs",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, COUNT(*) AS n_orders
+    FROM pairs GROUP BY p1, p2
+    ORDER BY n_orders DESC, p1 ASC, p2 ASC
+    LIMIT {_PAIRS_TOPK}
+    """,
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased part pairs (market-basket pair mining): parts
+    appearing in the same order, counted across orders.
+
+    Scale shape: the self-join is WITHIN the order key — one shuffle of
+    lineitem on l_orderkey, then pair expansion is per-order local and
+    bounded by lines-per-order² (Poisson(4) here, a handful of rows); the
+    pair counts shuffle once on (p1, p2).  This is the a-priori first
+    pass; it never builds the part×part matrix."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.select(
+        F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("p2")
+    ).alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("bo")) & (F.col("a.l_partkey") < F.col("p2")))
+        .select(F.col("a.l_orderkey").alias("ok"), F.col("a.l_partkey").alias("p1"), "p2")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(_PAIRS_TOPK)
     )

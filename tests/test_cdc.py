@@ -87,3 +87,29 @@ def test_triangle_count_known_graph(spark):
     counts = {r["node"]: r["count"] for r in per_node}
     assert counts == {0: 3, 1: 3, 2: 3, 3: 3}
     assert triangle_count_trade is not None  # query registered
+
+
+def test_snapshot_diff_tags_and_roundtrip(spark):
+    from dask_ssh_docker_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c"), Row(k=5, v=None)]
+    )
+    new = spark.createDataFrame(
+        [Row(k=2, v="b"), Row(k=3, v="C"), Row(k=4, v="d"), Row(k=5, v=None)]
+    )
+    diff = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert diff == {
+        1: "delete",
+        2: "unchanged",
+        3: "update",
+        4: "insert",
+        5: "unchanged",  # NULL == NULL under null-safe compare
+    }
+    # inverse property: old + (inserts/updates from new) - deletes == new
+    changed_keys = [k for k, t in diff.items() if t in ("insert", "update")]
+    src = new.filter(F.col("k").isin(changed_keys))
+    merged = merge_upsert(old, src, ["k"]).filter(
+        ~F.col("k").isin([k for k, t in diff.items() if t == "delete"])
+    )
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in new.collect()}
