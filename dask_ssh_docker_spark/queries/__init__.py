@@ -116,6 +116,7 @@ _PRIORITY = [
     "cdc_snapshot_diff",
     "sample_k_per_group",
     "copurchase_part_pairs",
+    "entropy_event_mix",
     # -- r1 cohort (first 19 fit the 50-slot window; rest keep import order) --
     "q1_pricing_summary",
     "join_semi_orders",

@@ -667,3 +667,63 @@ def winsorize_bounds_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clip_high",
         )
     )
+
+
+@query(
+    "entropy_event_mix",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             SUM(COUNT(*)) OVER (PARTITION BY user_id) AS tot
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, tot,
+             -(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) AS term,
+             event_type
+      FROM c
+    )
+    SELECT user_id,
+           CAST(any_value(tot) AS BIGINT) AS n_events,
+           COUNT(*) AS n_types,
+           round(list_reduce(list(term ORDER BY event_type),
+                             (a, b) -> a + b) + 0.0, 6) AS entropy_nats
+    FROM t GROUP BY user_id
+    """,
+)
+def entropy_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix (nats) — the
+    diversity audit run on a training-data source distribution before
+    fixing mixing weights (low entropy = one source dominates).
+
+    Determinism: the per-type terms fold in a FIXED order (sorted by
+    event_type) in both engines — the same left-fold discipline as the
+    EWMA queries — so the double sum is bit-identical; ``+ 0.0``
+    normalizes the −0.0 a single-type group would produce.
+
+    Scale shape: one (user, type) partial-agg'd shuffle, then one user
+    shuffle carrying ≤ |types| rows per user; the fold is a map-side
+    higher-order function over a bounded array."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    wsum = Window.partitionBy("user_id")
+    t = c.withColumn("tot", F.sum("n").over(wsum)).withColumn(
+        "p", F.col("n").cast("double") / F.col("tot").cast("double")
+    )
+    per_user = t.groupBy("user_id").agg(
+        F.max("tot").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.array_sort(
+            F.collect_list(F.struct("event_type", (-F.col("p") * F.log("p")).alias("term")))
+        ).alias("arr"),
+    )
+    ent = F.aggregate(
+        F.transform("arr", lambda x: x["term"]), F.lit(0.0), lambda a, b: a + b
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(ent + F.lit(0.0), 6).alias("entropy_nats"),
+    )
