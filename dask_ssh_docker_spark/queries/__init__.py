@@ -117,6 +117,7 @@ _PRIORITY = [
     "sample_k_per_group",
     "copurchase_part_pairs",
     "entropy_event_mix",
+    "ab_test_welch",
     # -- r1 cohort (first 19 fit the 50-slot window; rest keep import order) --
     "q1_pricing_summary",
     "join_semi_orders",

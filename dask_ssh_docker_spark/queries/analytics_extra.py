@@ -727,3 +727,73 @@ def entropy_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         F.round(ent + F.lit(0.0), 6).alias("entropy_nats"),
     )
+
+
+@query(
+    "ab_test_welch",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) FILTER (WHERE user_id % 2 = 1) AS n1,
+             COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n0,
+             SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE user_id % 2 = 1) AS s1,
+             SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE user_id % 2 = 0) AS s0,
+             SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+               FILTER (WHERE user_id % 2 = 1) AS q1,
+             SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+               FILTER (WHERE user_id % 2 = 0) AS q0
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n1, n0,
+           round(CAST(s1 AS DOUBLE) / n1, 6) AS mean_treat,
+           round(CAST(s0 AS DOUBLE) / n0, 6) AS mean_ctrl,
+           round(
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+             / sqrt(
+                 ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1)) / n1
+                 + ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0) / (n0 - 1)) / n0
+               ), 6) AS t_welch
+    FROM s
+    """,
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-statistic per event type (arms = user_id
+    parity — the deterministic stand-in for an experiment assignment):
+    the A/B readout an experimentation pipeline computes over billions of
+    exposures.
+
+    Determinism: first and second moments accumulate in EXACT decimal
+    (sum, sum-of-squares), so every double that enters the t formula is
+    bit-identical in both engines, and the remaining arithmetic is the
+    same IEEE expression tree — no variance-accumulation-order drift
+    (Spark's ``var_samp`` partials would differ in the last bits).
+
+    Scale shape: one partial-agg'd shuffle on event_type; everything else
+    is a map-side expression over the 1-row-per-group moments — the same
+    plan at 100 TB, and the moments are algebraically mergeable, so this
+    drops into the incremental-MV merge (``streaming/mv.py``) unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(12,2)")
+    treat = F.col("user_id") % 2 == 1
+    s = ev.groupBy("event_type").agg(
+        F.count(F.when(treat, 1)).alias("n1"),
+        F.count(F.when(~treat, 1)).alias("n0"),
+        F.sum(F.when(treat, d)).alias("s1"),
+        F.sum(F.when(~treat, d)).alias("s0"),
+        F.sum(F.when(treat, d * d)).alias("q1"),
+        F.sum(F.when(~treat, d * d)).alias("q0"),
+    )
+    s1d, s0d = F.col("s1").cast("double"), F.col("s0").cast("double")
+    q1d, q0d = F.col("q1").cast("double"), F.col("q0").cast("double")
+    n1, n0 = F.col("n1"), F.col("n0")
+    m1, m0 = s1d / n1, s0d / n0
+    v1 = (q1d - s1d * s1d / n1) / (n1 - 1)
+    v0 = (q0d - s0d * s0d / n0) / (n0 - 1)
+    return s.select(
+        "event_type",
+        "n1",
+        "n0",
+        F.round(m1, 6).alias("mean_treat"),
+        F.round(m0, 6).alias("mean_ctrl"),
+        F.round((m1 - m0) / F.sqrt(v1 / n1 + v0 / n0), 6).alias("t_welch"),
+    )
