@@ -45,6 +45,7 @@ from . import graph_analytics  # noqa: E402,F401
 from . import semistructured  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
+from . import custom_source  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -118,6 +119,7 @@ _PRIORITY = [
     "copurchase_part_pairs",
     "entropy_event_mix",
     "ab_test_welch",
+    "npy_source_norms",
     # -- r1 cohort (first 20 fit the 50-slot window; rest keep import order) --
     "q1_pricing_summary",
     "join_semi_orders",
