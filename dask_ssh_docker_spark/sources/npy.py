@@ -28,7 +28,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
 
 SCHEMA = StructType(
@@ -110,6 +115,9 @@ class NpyDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return NpyDataSourceReader(self.options)
 
+    def streamReader(self, schema):
+        return NpyStreamReader(self.options)
+
 
 def register_npy_source(spark) -> None:
     """Idempotent registration of the ``npy`` format on a session."""
@@ -145,3 +153,53 @@ def write_npy_shards(df, id_col: str, vec_col: str, out_dir: str) -> int:
 
     out = df.select(id_col, vec_col).mapInArrow(_write, "n long")
     return out.count()
+
+
+class NpyStreamReader(DataSourceStreamReader):
+    """Streaming flavor (``spark.readStream.format("npy")``): tail a
+    shard directory — each micro-batch picks up the ``.npy`` files that
+    appeared since the last committed offset.
+
+    Offsets are ``{"files": sorted-list-of-consumed-shard-names}``: the
+    SET is the offset, so a replayed (start, end] range re-reads exactly
+    the same shards — the exactly-once replay contract of the stream
+    reader API.  Rows carry sidecar ids when present; otherwise each
+    shard gets a disjoint crc32-keyed id block (shards arrive
+    independently, so sequential offsets can't be assigned without
+    global coordination).
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("npy stream source requires a path")
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def _current_files(self):
+        return sorted(
+            f
+            for f in os.listdir(self.path)
+            if f.endswith(".npy") and not f.endswith(".ids.npy")
+        )
+
+    def latestOffset(self):
+        return {"files": self._current_files()}
+
+    def partitions(self, start, end):
+        import zlib
+
+        new = [f for f in end["files"] if f not in set(start["files"])]
+        return [
+            _Shard(os.path.join(self.path, f), zlib.crc32(f.encode()) << 21)
+            for f in new
+        ]
+
+    def read(self, partition):
+        return NpyDataSourceReader({"path": os.path.dirname(partition.path)}).read(
+            partition
+        )
+
+    def commit(self, end):
+        pass

@@ -53,3 +53,42 @@ def test_empty_dir_raises(spark):
     empty = tempfile.mkdtemp(prefix="npy_empty_")
     with pytest.raises(Exception, match="no .npy shards"):
         spark.read.format("npy").load(empty).count()
+
+
+def test_stream_reader_tails_new_shards(spark):
+    """readStream.format('npy'): shards appearing after the stream starts
+    arrive in later micro-batches; crc32 id blocks keep ids disjoint."""
+    import time
+
+    register_npy_source(spark)
+    d = tempfile.mkdtemp(prefix="npy_stream_t_")
+    np.save(os.path.join(d, "s0.npy"), np.ones((4, 3), dtype=np.float32))
+    out = tempfile.mkdtemp(prefix="npy_stream_t_out_")
+    ckpt = tempfile.mkdtemp(prefix="npy_stream_t_ckpt_")
+    q = (
+        spark.readStream.format("npy")
+        .load(d)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    def rows_now() -> int:
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:  # sink dir not yet readable (no committed batch)
+            return -1
+
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline and rows_now() < 4:
+            time.sleep(1)
+        np.save(os.path.join(d, "s1.npy"), 2 * np.ones((5, 3), dtype=np.float32))
+        while time.time() < deadline and rows_now() < 9:
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 9
+    assert got.select("vec_id").distinct().count() == 9  # disjoint id blocks
