@@ -631,3 +631,41 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("view"),
         )
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(median(CAST(value AS DOUBLE)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS roll_med
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over a 20-row trailing frame (pandas
+    ``rolling(20).median()`` — the robust smoother that shrugs off the
+    spikes an EWMA chases).  Spark has no native windowed median, so the
+    frame's value list is collected and the percentile_cont(0.5) formula
+    applied explicitly: odd n → middle element, even n → mean of the two
+    middles — the identical selection-then-one-IEEE-op DuckDB's windowed
+    ``median`` performs, so no rounding slack is needed (6 decimals kept
+    for hash normalization only).
+
+    Scale shape: the same single user_id window exchange as every rolling
+    query; per-row state is the O(frame) sorted array."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-19, 0)
+    )
+    vals = F.array_sort(F.collect_list(F.col("value").cast("double")).over(w))
+    n = F.size(vals)
+    mid_hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    med = F.when(n % 2 == 1, mid_lo).otherwise((mid_lo + mid_hi) / F.lit(2.0))
+    return ev.select(
+        "user_id", "event_id", F.round(med, 6).alias("roll_med")
+    )
