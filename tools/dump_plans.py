@@ -32,6 +32,8 @@ QUERIES = [
     ("bloom_semi_join_revenue", "bloom semi-join: bounded bitmap broadcast + 3 map-side bit-test joins ahead of the exact semi join"),
     ("join_skew_audit", "skew audit: one key-count shuffle + 1-row total broadcast + TakeOrderedAndProject"),
     ("profile_orders_columns", "column profile: ONE scan, multi-distinct expand inside the agg, 1-row explode to long format"),
+    ("window_rolling_median", "rolling exact median: ONE user window exchange, frame-list sort + selection, no UDF"),
+    ("entropy_event_mix", "entropy audit: (key,type) partial agg + bounded-array fixed-order fold, all JVM"),
 ]
 
 
