@@ -136,12 +136,43 @@ def main(argv: list[str]) -> int:
     )
     n_current = hist.filter("is_current").count()
 
+    # 7. round-4 fourth wave: bloom semi-join reduction, npy custom
+    #    source round trip, and the incremental-MV merge primitive
+    import tempfile
+
+    from dask_ssh_docker_spark.operators.bloomjoin import bloom_semi_join
+    from dask_ssh_docker_spark.sources.npy import (
+        register_npy_source,
+        write_npy_shards,
+    )
+    from dask_ssh_docker_spark.streaming.mv import combine_snapshots
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter("s_nationkey < 5")
+    n_bloom = bloom_semi_join(li, supp, "l_suppkey", "s_suppkey").count()
+
+    register_npy_source(spark)
+    npy_dir = tempfile.mkdtemp(prefix="tour_npy_")
+    write_npy_shards(emb.select("vec_id", "embedding"), "vec_id", "embedding", npy_dir)
+    n_npy = spark.read.format("npy").load(npy_dir).count()
+
+    halves = [
+        ev.filter(F.col("event_id") % 2 == i)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        for i in (0, 1)
+    ]
+    n_mv_keys = combine_snapshots(
+        halves[0], halves[1], ["user_id"], {"n_events": "sum"}
+    ).count()
+
     print(
         f"TOUR asof_matched={n_matched} daily_buckets={n_daily} "
         f"ivf_hits={len(ivf_hits)} lsh_hits={len(lsh_hits)} overlap={overlap} "
         f"ewma_rows={n_smoothed} gaps_filled={n_gaps} "
         f"cohort_cells={n_cohort_cells} pq_hits={pq_hits} "
         f"heavy_tokens={n_heavy} pr_rows={pr_rows} sp_rows={sp_rows} "
-        f"merged_rows={n_merged} current_versions={n_current}"
+        f"merged_rows={n_merged} current_versions={n_current} "
+        f"bloom_rows={n_bloom} npy_rows={n_npy} mv_keys={n_mv_keys}"
     )
     return 0
