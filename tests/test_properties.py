@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql.functions import col as F_col
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -281,3 +282,62 @@ def test_map_overlap_invariant_to_chunking(spark, n, before, after, chunk_rows):
     )
     want = roll(pdf)["r"].to_numpy()
     assert np.allclose(got, want, atol=1e-12, equal_nan=True), (got, want)
+
+
+_snapshot_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),               # key
+        st.one_of(st.none(), st.integers(-1000, 1000)),       # value
+    ),
+    max_size=20,
+).map(lambda rows: list({k: (k, v) for k, v in rows}.values()))  # unique keys
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_snapshot_rows, _snapshot_rows)
+def test_merge_diff_inverse_property(spark, old_rows, new_rows):
+    """For ANY pair of snapshots: applying snapshot_diff's
+    inserts+updates to `old` via merge_upsert and dropping its deletes
+    reconstructs `new` exactly."""
+    from dask_ssh_docker_spark.operators.cdc import merge_upsert, snapshot_diff
+
+    schema = "k bigint, v bigint"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    diff = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    upserts = [k for k, t in diff.items() if t in ("insert", "update")]
+    deletes = [k for k, t in diff.items() if t == "delete"]
+    rebuilt = merge_upsert(old, new.filter(F_col("k").isin(upserts)), ["k"]).filter(
+        ~F_col("k").isin(deletes)
+    )
+    assert {tuple(r) for r in rebuilt.collect()} == {tuple(r) for r in new.collect()}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_snapshot_rows, _snapshot_rows, _snapshot_rows)
+def test_mv_combine_order_insensitive_property(spark, a_rows, b_rows, c_rows):
+    """combine_snapshots must be commutative and associative (batch
+    arrival order can't change the MV) for sum merges with NULL partials."""
+    from dask_ssh_docker_spark.streaming.mv import combine_snapshots
+
+    schema = "k bigint, v bigint"
+    kinds = {"v": "sum"}
+    a = spark.createDataFrame(a_rows, schema)
+    b = spark.createDataFrame(b_rows, schema)
+    c = spark.createDataFrame(c_rows, schema)
+
+    def rows(df):
+        return {r["k"]: r["v"] for r in df.collect()}
+
+    ab_c = rows(combine_snapshots(combine_snapshots(a, b, ["k"], kinds), c, ["k"], kinds))
+    a_bc = rows(combine_snapshots(a, combine_snapshots(b, c, ["k"], kinds), ["k"], kinds))
+    ba_c = rows(combine_snapshots(combine_snapshots(b, a, ["k"], kinds), c, ["k"], kinds))
+    assert ab_c == a_bc == ba_c
