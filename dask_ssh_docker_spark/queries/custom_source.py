@@ -32,8 +32,12 @@ def _staged_npy_shards(sf_dir: str, n_shards: int = 4) -> str:
     if not os.path.exists(done):
         import shutil
 
+        # stage into a process-private dir, promote atomically (concurrent
+        # driver + engine sessions race here; both must win cleanly)
         shutil.rmtree(base, ignore_errors=True)
-        os.makedirs(base)
+        work = f"{base}.tmp{os.getpid()}"
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
         t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         ids = np.asarray(t["vec_id"], dtype=np.int64)
         order = np.argsort(ids, kind="stable")
@@ -42,10 +46,14 @@ def _staged_npy_shards(sf_dir: str, n_shards: int = 4) -> str:
         for i, (mrows, irows) in enumerate(
             zip(np.array_split(mat, n_shards), np.array_split(ids, n_shards))
         ):
-            np.save(os.path.join(base, f"shard-{i}.npy"), mrows)
-            np.save(os.path.join(base, f"shard-{i}.ids.npy"), irows)
-        with open(done, "w") as f:
+            np.save(os.path.join(work, f"shard-{i}.npy"), mrows)
+            np.save(os.path.join(work, f"shard-{i}.ids.npy"), irows)
+        with open(os.path.join(work, "_STAGED"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(work, base)
+        except OSError:
+            shutil.rmtree(work, ignore_errors=True)
     return base
 
 

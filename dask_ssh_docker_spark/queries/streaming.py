@@ -177,23 +177,39 @@ def _staged_event_slices(spark: SparkSession, sf_dir: str, n_slices: int = 3) ->
     base = f"/tmp/spark_graft_mv_slices_{key}"
     done = os.path.join(base, "_STAGED")
     if not os.path.exists(done):
-        shutil.rmtree(base, ignore_errors=True)
-        os.makedirs(base)
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # raw schema, no ts conversion
-        for i in range(n_slices):
-            tmp = os.path.join(base, f"tmp{i}")
-            (
-                raw.filter(F.col("event_id") % n_slices == i)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            shutil.move(part, os.path.join(base, f"slice{i}.parquet"))
-            shutil.rmtree(tmp)
-        with open(done, "w") as f:
+        # stage into a process-private dir, promote atomically: concurrent
+        # sessions (driver + engine) race here and both must win cleanly
+        shutil.rmtree(base, ignore_errors=True)  # clear any partial leftover
+        work = f"{base}.tmp{os.getpid()}"
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        _stage_into(spark, sf_dir, n_slices, work)
+        with open(os.path.join(work, "_STAGED"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(work, base)  # atomic; loser of the race keeps theirs
+        except OSError:
+            shutil.rmtree(work, ignore_errors=True)
     return base
+
+
+def _stage_into(spark: SparkSession, sf_dir: str, n_slices: int, base: str) -> None:
+    import glob
+    import os
+    import shutil
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # raw schema, no ts conversion
+    for i in range(n_slices):
+        tmp = os.path.join(base, f"tmp{i}")
+        (
+            raw.filter(F.col("event_id") % n_slices == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(base, f"slice{i}.parquet"))
+        shutil.rmtree(tmp)
 
 
 @query(
