@@ -64,10 +64,10 @@ from . import custom_source  # noqa: E402,F401
 #      streaming watermark dedup + rate cap, SSSP, PQ ANN, the CDC
 #      merge/SCD2 pair, triangle counts, and the robust-stats audits —
 #      all oracle-bearing except the rows-only-by-nature ones),
-#   3. the r1 cohort: the first 17 of the 46 names whose newest driver
+#   3. the r1 cohort: the first 16 of the 46 names whose newest driver
 #      row is from round 1 (stalest evidence; re-proved by the r3 judge's
 #      HEAD sweep but a judge run is not a driver row).
-# The remaining 29 r1 names lead the r5 rotation — the twelve listed
+# The remaining 30 r1 names lead the r5 rotation — the twelve listed
 # below plus the trailing cohort entries the new-query block displaced
 # (the driver records the FIRST 50 registered names; everything past
 # slot 50 keeps import order):
@@ -122,7 +122,8 @@ _PRIORITY = [
     "npy_source_norms",
     "window_rolling_median",
     "agg_mode_per_group",
-    # -- r1 cohort (first 17 fit the 50-slot window; rest keep import order) --
+    "feature_minmax_scale",
+    # -- r1 cohort (first 16 fit the 50-slot window; rest keep import order) --
     "q1_pricing_summary",
     "join_semi_orders",
     "join_anti_customers",

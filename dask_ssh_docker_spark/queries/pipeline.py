@@ -293,3 +293,45 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+@query(
+    "feature_minmax_scale",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             MIN(CAST(value AS DOUBLE)) AS lo,
+             MAX(CAST(value AS DOUBLE)) AS hi
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN b.hi > b.lo
+                THEN (CAST(e.value AS DOUBLE) - b.lo) / (b.hi - b.lo)
+                ELSE CAST(0.5 AS DOUBLE) END AS value_scaled
+    FROM events e JOIN b USING (user_id)
+    """,
+)
+def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key min-max feature scaling to [0,1] (the normalization step
+    before a numeric column feeds a model); constant groups pin to 0.5
+    instead of dividing by zero.
+
+    Determinism: min/max are order-insensitive and the per-row rescale is
+    one identical IEEE expression, so the RAW double is emitted unrounded
+    — bit-identical in both engines (rounding to k decimals would
+    actually HURT here: 2-decimal inputs make the quotient an exact
+    rational, so .5 ties at the k-th decimal are common and the engines'
+    tie-breaking differs; measured at sf1).  Scale shape: one grouped aggregate + one co-partitioned join
+    back (both keyed on user_id); at 100 TB the bounds frame is
+    key-cardinality and AQE broadcasts it when small."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double")
+    )
+    b = ev.groupBy("user_id").agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    scaled = F.when(
+        F.col("hi") > F.col("lo"),
+        (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+    ).otherwise(F.lit(0.5))
+    return ev.join(b, "user_id").select(
+        "event_id", "user_id", scaled.alias("value_scaled")
+    )
