@@ -46,6 +46,7 @@ from . import semistructured  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
 from . import custom_source  # noqa: E402,F401
+from . import stats_inference  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
