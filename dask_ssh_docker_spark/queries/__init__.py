@@ -48,6 +48,7 @@ from . import profiling  # noqa: E402,F401
 from . import custom_source  # noqa: E402,F401
 from . import stats_inference  # noqa: E402,F401
 from . import sequences  # noqa: E402,F401
+from . import text_search  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,185 @@
+"""Full-text retrieval primitives (SURVEY.md §2.H text-analysis depth):
+BM25 ranking and inverted-index construction over the ``documents``
+corpus — the retrieval side of a training-data pipeline (dedup against a
+query set, contamination lookup, nearest-document search by keyword).
+
+Tokenization is the corpus-wide normalization shared with the TF-IDF /
+quality queries (``text_rank_binning._TOKS``): lower → trim → collapse
+whitespace → split, identical in Spark (`functions.text.tokens`) and the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens as _tokens
+from ..sources import load_table
+from .registry import query
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# Fixed retrieval query for the registered readout (arbitrary but stable).
+_QUERY_TERMS = ("join", "window", "stream")
+_K1 = 1.2
+_B = 0.75
+
+
+@query(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS cnt,
+             MAX(dl) OVER (PARTITION BY doc_id) AS dl
+      FROM (SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM base)
+      WHERE term IN ('join', 'window', 'stream')
+      GROUP BY doc_id, term, dl
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avgdl
+      FROM base
+    ),
+    df_ AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tf GROUP BY term
+    ),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (CAST(cnt AS DOUBLE) * ({_K1} + 1.0))
+               / (CAST(cnt AS DOUBLE)
+                  + {_K1} * (1.0 - {_B}
+                             + {_B} * CAST(dl AS DOUBLE) / avgdl)) AS s
+      FROM tf JOIN df_ USING (term) CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0.0)
+                   + COALESCE(MAX(CASE WHEN term = 'window' THEN s END), 0.0)
+                   + COALESCE(MAX(CASE WHEN term = 'stream' THEN s END), 0.0),
+                   6) AS bm25
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-20 documents for a fixed 3-term query —
+    the standard probabilistic retrieval ranking, built from the same
+    inverted-index shape as TF-IDF: term frequencies from exploded
+    tokens (term-filtered BEFORE the shuffle, so only query-term
+    postings move), document frequency per term, corpus stats as a
+    broadcast 1-row aggregate.  The per-document score sums its ≤3 term
+    contributions in a FIXED written order (pivot to per-term columns,
+    add left-to-right) so the double addition tree is identical in both
+    engines; 6-decimal rounding absorbs the ln ulp.
+
+    Scale: the term filter makes shuffled volume proportional to the
+    query's posting lists, not the corpus; df and corpus stats are tiny
+    aggregates.  Top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select("doc_id", _tokens("text").alias("t"))
+    exploded = toks.select(
+        "doc_id", F.size("t").alias("dl"), F.explode("t").alias("term")
+    ).filter(F.col("term").isin(*_QUERY_TERMS))
+    tf = exploded.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(F.size("t")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_d = F.col("cnt").cast("double")
+    s = idf * (tf_d * (_K1 + 1.0)) / (
+        tf_d + _K1 * (1.0 - _B + _B * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    # dfreq here is ≤|query terms| rows — bounded by the query, not the
+    # corpus — so broadcasting is safe at any scale (unlike TF-IDF's
+    # corpus-wide vocabulary table, which must stay unhinted).
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", s.alias("s"))
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+        )
+        for t in _QUERY_TERMS
+    ]
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(per_term[0] + per_term[1] + per_term[2], 6).alias("bm25")
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+    ),
+    posting AS (
+      SELECT DISTINCT term, CAST(doc_id AS VARCHAR) AS did
+      FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+    ),
+    tf AS (
+      SELECT term, COUNT(*) AS total_tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+      GROUP BY term
+    ),
+    agg AS (
+      SELECT term, COUNT(*) AS df,
+             string_agg(did, ',' ORDER BY did) AS postings
+      FROM posting GROUP BY term
+    )
+    SELECT agg.term, df, total_tf, postings
+    FROM agg JOIN tf USING (term)
+    ORDER BY df DESC, agg.term LIMIT 50
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: for the 50 highest-df terms, the
+    document frequency, total term frequency, and the full posting list
+    (doc ids, lexicographically sorted, comma-joined — a stable
+    order-insensitive serialization both engines produce identically).
+    The index-build primitive behind contamination checks and keyword
+    dedup.
+
+    Scale: one explode shuffle keyed by term builds all posting lists in
+    a single pass (collect_set per term); at 100 TB postings are written
+    partitioned by term range as arrays (delta-encoded ints), never as
+    one driver-side string — the string join here is the bounded top-50
+    validation readout."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    exploded = docs.select(
+        F.explode(_tokens("text")).alias("term"),
+        F.col("doc_id").cast("string").alias("did"),
+    )
+    agg = exploded.groupBy("term").agg(
+        F.size(F.collect_set("did")).alias("df"),
+        F.count(F.lit(1)).alias("total_tf"),
+        F.array_join(F.sort_array(F.collect_set("did")), ",").alias("postings"),
+    )
+    return agg.orderBy(F.desc("df"), F.asc("term")).limit(50)
