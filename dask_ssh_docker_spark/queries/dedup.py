@@ -198,3 +198,46 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole, hamming ≤ 3)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_dedup_pairs(docs, "text", "doc_id").orderBy("id_a", "id_b")
+
+
+@query(
+    "setsim_prefix_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM base
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.35
+    """,
+)
+def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (PPJoin filter stage): the
+    SCALE path for exact-threshold Jaccard pairs — each doc joins only
+    its ``n − ceil(t·n) + 1`` rarest shingles, candidates are verified
+    exactly — checked against the ALL-PAIRS inverted-index oracle.  A
+    hash-match here is a proof that the prefix filter is lossless: the
+    linear-ish plan and the quadratic baseline emit identical rows.
+
+    Scale: shuffled volume is prefix-bounded posting lists + candidate
+    verification, vs the baseline's full posting-list self-join; the
+    rarity order needs no global dictionary sort (per-doc window over
+    (shingle_df, shingle)).  See ``operators/setsim.py``."""
+    from ..operators.setsim import setsim_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return setsim_pairs_prefix(docs, "text", "doc_id", t_num=7, t_den=20)
