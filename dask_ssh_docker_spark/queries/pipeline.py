@@ -335,3 +335,43 @@ def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(b, "user_id").select(
         "event_id", "user_id", scaled.alias("value_scaled")
     )
+
+
+@query(
+    "sample_weighted_wor",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) + 1 AS DOUBLE) / 4294967297.0)
+               / CAST(n_chars AS DOUBLE) AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars FROM keyed
+    ORDER BY k, doc_id LIMIT 100
+    """,
+)
+def sample_weighted_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    draw 100 docs with probability proportional to length by ranking on
+    the exponential key ``-ln(u)/w`` with the smallest keys winning —
+    but with ``u`` derived from md5(doc_id) instead of ``rand()``, so
+    the sample is deterministic, engine-independent, and stable under
+    re-partitioning (the reproducible-training-mix requirement).  The
+    first 8 md5 hex chars become a uniform on (0,1] via ``(v+1)/2³²⁺¹``
+    — integer hex decode and a power-of-two-free division both engines
+    evaluate identically (ties additionally broken on doc_id).
+
+    Scale: pure map-side key computation + one top-k
+    (TakeOrderedAndProject) — no shuffle of the corpus, no global sort;
+    exactly the A-ES distributed reservoir shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    u = (u32.cast("bigint") + 1).cast("double") / F.lit(4294967297.0)
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
