@@ -267,3 +267,79 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc())
         .limit(_PAIRS_TOPK)
     )
+
+
+@query(
+    "dq_expectations_orders",
+    oracle="""
+    WITH single AS (
+      SELECT COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS nn,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS uq,
+             COUNT(CASE WHEN o_totalprice <= 0
+                          OR o_totalprice > 10000000 THEN 1 END) AS rng,
+             COUNT(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                        THEN 1 END) AS dom,
+             COUNT(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                        THEN 1 END) AS fresh
+      FROM orders
+    ),
+    ri AS (
+      SELECT COUNT(*) AS v FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT 'not_null_orderkey' AS check_name, nn AS violations,
+           nn = 0 AS passed FROM single
+    UNION ALL SELECT 'unique_orderkey', uq, uq = 0 FROM single
+    UNION ALL SELECT 'range_totalprice', rng, rng = 0 FROM single
+    UNION ALL SELECT 'domain_orderstatus', dom, dom = 0 FROM single
+    UNION ALL SELECT 'freshness_orderdate', fresh, fresh = 0 FROM single
+    UNION ALL SELECT 'ri_lineitem_orders', v, v = 0 FROM ri
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite data-quality gate (the Deequ / Great-Expectations
+    pattern): six declared checks — null, uniqueness, numeric range,
+    categorical domain, freshness, and lineitem→orders referential
+    integrity — each emitting (check_name, violations, passed).  ALL
+    single-table checks fold into ONE conditional-count aggregation pass
+    over orders (unpivoted with ``stack``); the RI check is one
+    left-anti count.  Violation counts are exact integers.
+
+    Scale: two scans total regardless of how many single-table checks
+    are declared — the metrics-collection shape that makes expectation
+    suites affordable at 100 TB (never one job per check)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    single = orders.agg(
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("nn"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("uq"),
+        F.count(
+            F.when(
+                (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > 10000000),
+                1,
+            )
+        ).alias("rng"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+        ).alias("dom"),
+        F.count(
+            F.when(F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"), 1)
+        ).alias("fresh"),
+    )
+    unpivoted = single.select(
+        F.expr(
+            "stack(5, 'not_null_orderkey', nn, 'unique_orderkey', uq, "
+            "'range_totalprice', rng, 'domain_orderstatus', dom, "
+            "'freshness_orderdate', fresh) AS (check_name, violations)"
+        )
+    )
+    ri = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("ri_lineitem_orders").alias("check_name"), "violations")
+    )
+    return unpivoted.unionByName(ri).select(
+        "check_name", "violations", (F.col("violations") == 0).alias("passed")
+    )
