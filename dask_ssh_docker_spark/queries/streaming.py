@@ -274,3 +274,38 @@ def stream_mv_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_dec").cast("double").alias("total_value"),
         "max_ts",
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             CASE WHEN COUNT(*) >= 67 THEN 'heavy' ELSE 'light' END AS tier
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS bucket_start,
+           d.tier,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join executed as a real streaming job: each event
+    micro-batch is enriched with a batch-side user dimension (activity
+    tier from historical counts) and rolled into watermarked hourly
+    buckets per tier — the canonical "enrich the stream with a dim
+    table" deployment.  The static side is a plain batch DataFrame
+    (stateless join, re-snapshotted per micro-batch); result must equal
+    the batch join+rollup bit-for-bit."""
+    from ..sources import load_table
+    from ..streaming import static_enriched_counts
+
+    hist = load_table(spark, sf_dir, "events")
+    dim = hist.groupBy("user_id").agg(
+        F.when(F.count(F.lit(1)) >= 67, "heavy").otherwise("light").alias("tier")
+    )
+    out = static_enriched_counts(stream_events(spark, sf_dir), dim)
+    return run_to_completion(out)

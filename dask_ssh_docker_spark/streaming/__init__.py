@@ -247,3 +247,32 @@ def run_to_completion(
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
+
+
+def static_enriched_counts(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join + windowed rollup: enrich each event with a
+    slowly-changing dimension (a BATCH DataFrame — re-read per
+    micro-batch by Structured Streaming, so dim updates between batches
+    are picked up) and aggregate per (window, dim attribute).
+
+    The stream-static join is stateless — no watermark interaction, no
+    join state: each micro-batch joins against the current dim snapshot.
+    Only the windowed aggregation that follows keeps (bounded,
+    watermark-expired) state.  At 100 TB the dim side is the usual join
+    sizing question: broadcast if small, else a shuffle join per
+    micro-batch."""
+    joined = stream.withWatermark("ts", watermark).join(dim, key)
+    return (
+        joined.groupBy(F.window("ts", window).alias("w"), "tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(VAL_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "tier", "n_events", "sum_value")
+    )
