@@ -297,3 +297,38 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gset,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE sugar over):
+    cell, both marginals, and grand total in ONE aggregation pass, with a
+    ``GROUPING()``-derived set id disambiguating real NULL group values
+    from subtotal placeholders — the complete multi-granularity rollup
+    surface alongside agg_rollup / agg_cube.
+
+    Scale: Catalyst expands the sets into one Expand + single hash
+    aggregation (the fact table is read once, not once per set)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        (F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus"))
+        .alias("gset"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
