@@ -67,10 +67,16 @@ from . import text_search  # noqa: E402,F401
 #      streaming watermark dedup + rate cap, SSSP, PQ ANN, the CDC
 #      merge/SCD2 pair, triangle counts, and the robust-stats audits —
 #      all oracle-bearing except the rows-only-by-nature ones),
-#   3. the r1 cohort: the first 16 of the 46 names whose newest driver
-#      row is from round 1 (stalest evidence; re-proved by the r3 judge's
-#      HEAD sweep but a judge run is not a driver row).
-# The remaining 30 r1 names lead the r5 rotation — the twelve listed
+#   3. the second new-query wave (never driver-checked — new queries
+#      outrank stale-but-once-green ones): prefix-filter set-similarity
+#      join, the stats-inference suite, sequence mining, BM25/inverted
+#      index, weighted WOR sampling, the DQ expectation gate,
+#      stream-static enrich, GROUPING SETS;
+#   4. the r1 cohort: the 2 stalest of the 46 names whose newest driver
+#      row is from round 1 (re-proved by the r3 judge's HEAD sweep and
+#      this round's local full sweeps, but a judge run is not a driver
+#      row).
+# The remaining 44 r1 names lead the r5 rotation — the twelve listed
 # below plus the trailing cohort entries the new-query block displaced
 # (the driver records the FIRST 50 registered names; everything past
 # slot 50 keeps import order):
@@ -126,7 +132,25 @@ _PRIORITY = [
     "window_rolling_median",
     "agg_mode_per_group",
     "feature_minmax_scale",
-    # -- r1 cohort (first 16 fit the 50-slot window; rest keep import order) --
+    # -- new, second wave this round (stats inference, sequence mining,
+    #    retrieval, prefix-filter ssjoin, weighted WOR sampling, DQ gate,
+    #    stream-static enrich, grouping sets) --
+    "setsim_prefix_pairs",
+    "regression_price_on_qty",
+    "chisq_flag_status",
+    "gini_revenue_concentration",
+    "acf_daily_revenue",
+    "markov_event_transitions",
+    "event_trigram_paths",
+    "attribution_last_touch",
+    "text_bm25_rank",
+    "inverted_index_postings",
+    "sample_weighted_wor",
+    "dq_expectations_orders",
+    "stream_static_enrich",
+    "agg_grouping_sets",
+    # -- r1 cohort (the 2 stalest fit the remaining 50-slot window slots;
+    #    rest keep import order and lead the r5 rotation) --
     "q1_pricing_summary",
     "join_semi_orders",
     "join_anti_customers",
