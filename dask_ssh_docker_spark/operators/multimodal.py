@@ -526,3 +526,187 @@ def sample_frame_offsets(
         ),
     )
     return df.withColumn("frame_offsets_ms", offsets)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "mean_luma double, std_luma double, ahash bigint, "
+    "thumb_w int, thumb_h int, decode_ok boolean, decoder string"
+)
+
+
+def image_features(
+    df: DataFrame, blob_col: str, id_col: str, thumb: int = 8
+) -> DataFrame:
+    """Decode → grayscale → RESIZE to a ``thumb×thumb`` thumbnail →
+    feature-extract, over Arrow batches: per image the mean/std luma and
+    the 64-bit average-hash (aHash: each thumbnail pixel votes above/below
+    the thumbnail mean, packed row-major MSB-first) — the perceptual
+    fingerprint used for near-duplicate IMAGE dedup, the visual twin of
+    SimHash on text.  Images with identical content hash to the same
+    ahash; near-identical images differ in few bits (hamming distance →
+    the same banded pigeonhole join as ``simhash_dedup_pairs``).
+
+    Decoder selection (same policy as ``decode_image``): PIL when
+    importable (bilinear resize, any format); otherwise a full stdlib
+    PNG PIXEL decoder — chunk walk + zlib + scanline UNFILTERING (all
+    five PNG filter types: none/sub/up/average/paeth), ITU-R 601 integer
+    luma, box-average resize.  Real raster math either way, never a
+    fake.  Bad blobs yield ``decode_ok=false`` rows, never batch
+    failures.
+
+    At 100 TB: pure map-side (``mapInArrow``, bytes cross once, no
+    pandas); the 8×8 thumbnail reduces each image to 64 bytes + 16 bytes
+    of features regardless of source resolution, so downstream dedup
+    shuffles features, never pixels."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import io
+        import struct
+        import zlib
+
+        import pyarrow as pa
+
+        try:
+            from PIL import Image
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        def png_luma_grid(blob: bytes):
+            """Full stdlib PNG pixel decode → h×w luma grid (8-bit,
+            non-interlaced, gray/RGB/gray+A/RGBA)."""
+            if len(blob) < 45 or blob[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG")
+            pos, ihdr, idat = 8, None, []
+            while pos + 8 <= len(blob):
+                (length,) = struct.unpack(">I", blob[pos : pos + 4])
+                tag = blob[pos + 4 : pos + 8]
+                payload = blob[pos + 8 : pos + 8 + length]
+                if len(payload) != length:
+                    raise ValueError("truncated chunk")
+                if tag == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", payload)
+                elif tag == b"IDAT":
+                    idat.append(payload)
+                elif tag == b"IEND":
+                    break
+                pos += 12 + length
+            if ihdr is None or not idat:
+                raise ValueError("missing IHDR/IDAT")
+            w, h, depth, ctype, _c, _f, inter = ihdr
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if nch is None or depth != 8 or inter != 0:
+                raise ValueError("unsupported PNG layout for stdlib path")
+            raw = zlib.decompress(b"".join(idat))
+            stride = w * nch
+            if len(raw) != h * (1 + stride):
+                raise ValueError("IDAT length mismatch")
+            prev = bytearray(stride)
+            grid = []
+            for y in range(h):
+                off = y * (1 + stride)
+                ftype = raw[off]
+                line = bytearray(raw[off + 1 : off + 1 + stride])
+                if ftype == 1:  # Sub
+                    for i in range(nch, stride):
+                        line[i] = (line[i] + line[i - nch]) & 0xFF
+                elif ftype == 2:  # Up
+                    for i in range(stride):
+                        line[i] = (line[i] + prev[i]) & 0xFF
+                elif ftype == 3:  # Average
+                    for i in range(stride):
+                        a = line[i - nch] if i >= nch else 0
+                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    for i in range(stride):
+                        a = line[i - nch] if i >= nch else 0
+                        b = prev[i]
+                        c = prev[i - nch] if i >= nch else 0
+                        p = a + b - c
+                        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa_ <= pb and pa_ <= pc else (b if pb <= pc else c)
+                        line[i] = (line[i] + pred) & 0xFF
+                elif ftype != 0:
+                    raise ValueError(f"bad filter type {ftype}")
+                prev = line
+                if nch >= 3:  # RGB(A) → ITU-R 601 integer luma (PIL's L)
+                    row = [
+                        (299 * line[x * nch] + 587 * line[x * nch + 1]
+                         + 114 * line[x * nch + 2]) // 1000
+                        for x in range(w)
+                    ]
+                else:  # gray(+alpha)
+                    row = [line[x * nch] for x in range(w)]
+                grid.append(row)
+            return grid
+
+        def features_from_px(px):
+            n = len(px)
+            mean = sum(px) / n
+            var = sum((p - mean) ** 2 for p in px) / n
+            bits = 0
+            for p in px:  # row-major, MSB-first
+                bits = (bits << 1) | (1 if p > mean else 0)
+            # two's-complement into a signed 64-bit slot
+            if bits >= 1 << 63:
+                bits -= 1 << 64
+            return mean, var**0.5, bits
+
+        def one(blob: bytes):
+            if have_pil:
+                img = Image.open(io.BytesIO(blob or b""))
+                g = img.convert("L").resize((thumb, thumb), Image.BILINEAR)
+                return features_from_px(list(g.getdata()))
+            grid = png_luma_grid(blob or b"")
+            h, w = len(grid), len(grid[0])
+            px = []
+            for ty in range(thumb):  # box-average resize
+                y0, y1 = ty * h // thumb, max(ty * h // thumb + 1, (ty + 1) * h // thumb)
+                for tx in range(thumb):
+                    x0 = tx * w // thumb
+                    x1 = max(x0 + 1, (tx + 1) * w // thumb)
+                    tot = sum(
+                        grid[y][x] for y in range(y0, y1) for x in range(x0, x1)
+                    )
+                    px.append(tot / ((y1 - y0) * (x1 - x0)))
+            return features_from_px(px)
+
+        for batch in batches:
+            means, stds, hashes, oks = [], [], [], []
+            for blob in batch.column(1).to_pylist():
+                try:
+                    m, s, h = one(blob)
+                    means.append(m)
+                    stds.append(s)
+                    hashes.append(h)
+                    oks.append(True)
+                except Exception:  # noqa: BLE001 — bad blob or no codec
+                    means.append(None)
+                    stds.append(None)
+                    hashes.append(None)
+                    oks.append(False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(means, type=pa.float64()),
+                    pa.array(stds, type=pa.float64()),
+                    pa.array(hashes, type=pa.int64()),
+                    pa.array([thumb] * len(means), type=pa.int32()),
+                    pa.array([thumb] * len(means), type=pa.int32()),
+                    pa.array(oks, type=pa.bool_()),
+                    pa.array(
+                        ["pil" if have_pil else "png-stdlib"] * len(means),
+                        type=pa.string(),
+                    ),
+                ],
+                names=[
+                    id_col, "mean_luma", "std_luma", "ahash",
+                    "thumb_w", "thumb_h", "decode_ok", "decoder",
+                ],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, blob_col).mapInArrow(
+        extract, f"{id_col} {id_type}, {IMAGE_FEATURE_SCHEMA}"
+    )

@@ -240,3 +240,24 @@ def map_overlap_centered_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         by="user_id",
         chunk_rows=64,
     )
+
+
+@query("multimodal_image_features", oracle=None)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature-extraction + RESIZE end-to-end (the remaining
+    multimodal verbs after decode and frame-sample): synthesized
+    spec-valid PNGs are decoded, grayscale-resized to 8×8 thumbnails,
+    and folded into (mean_luma, std_luma, 64-bit average-hash) — the
+    perceptual fingerprint for near-duplicate image dedup.  Rows-only
+    (PIL raster math has no DuckDB twin); ``tests/test_image_features``
+    pins solid-color images to exact luma/ahash values and near-dup
+    pairs to small hamming distances.
+
+    Scale shape: two chained map-side Arrow stages (synthesize →
+    extract), zero shuffles; downstream dedup joins the 64-bit hashes,
+    never pixels."""
+    from ..operators.multimodal import image_features, synthesize_png_blobs
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = synthesize_png_blobs(docs, "doc_id")
+    return image_features(blobs, "blob", "doc_id").orderBy("doc_id")
