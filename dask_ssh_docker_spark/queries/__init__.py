@@ -149,7 +149,8 @@ _PRIORITY = [
     "dq_expectations_orders",
     "stream_static_enrich",
     "agg_grouping_sets",
-    # -- r1 cohort (the 2 stalest fit the remaining 50-slot window slots;
+    "multimodal_image_features",
+    # -- r1 cohort (the stalest name takes the last 50-slot window slot;
     #    rest keep import order and lead the r5 rotation) --
     "q1_pricing_summary",
     "join_semi_orders",
