@@ -45,7 +45,11 @@ def setsim_pairs_prefix(
     """(id_a, id_b, jaccard) pairs with ``J ≥ t_num/t_den`` via prefix
     filtering + exact verify.  Output is identical to
     ``jaccard_pairs_exact(df, ..., threshold=t_num/t_den)``."""
-    sh = shingle_rows(df, text_col, id_col, shingle_k).distinct()
+    # (id, shingle) feeds FOUR consumers (sizes, rarity positions, and
+    # both verify sides) — persist so tokenize+shingle+distinct runs once,
+    # not once per consumer.  MEMORY_AND_DISK: at 100 TB this frame is
+    # corpus-sized; spilling partitions beats recomputing the explode.
+    sh = shingle_rows(df, text_col, id_col, shingle_k).distinct().persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     # Rarity order: ascending document frequency, shingle text tiebreak.

@@ -233,11 +233,15 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN series b ON b.rn = a.rn - ks.k
     ),
     m AS (
+      -- widen one multiplicand to DECIMAL(24,2): DuckDB would otherwise
+      -- attempt the (14,2)x(14,2) product in int64 and overflow at sf1
+      -- daily-revenue magnitudes (~1e7); (24,2)x(14,2) -> (38,4) runs in
+      -- int128 and stays exact (Spark widens to (29,4) natively)
       SELECT k, COUNT(*) AS n,
              CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-             CAST(SUM(x * y) AS DOUBLE) AS sxy,
-             CAST(SUM(x * x) AS DOUBLE) AS sxx,
-             CAST(SUM(y * y) AS DOUBLE) AS syy
+             CAST(SUM(CAST(x AS DECIMAL(24,2)) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(24,2)) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(24,2)) * y) AS DOUBLE) AS syy
       FROM pairs GROUP BY k
     )
     SELECT CAST(k AS INT) AS lag_k, n AS n_pairs,

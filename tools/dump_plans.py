@@ -34,6 +34,11 @@ QUERIES = [
     ("profile_orders_columns", "column profile: ONE scan, multi-distinct expand inside the agg, 1-row explode to long format"),
     ("window_rolling_median", "rolling exact median: ONE user window exchange, frame-list sort + selection, no UDF"),
     ("entropy_event_mix", "entropy audit: (key,type) partial agg + bounded-array fixed-order fold, all JVM"),
+    ("setsim_prefix_pairs", "prefix-filter ssjoin: persisted shingles, rarity window per doc (no global sort), prefix×prefix equijoin, candidates-only verify"),
+    ("regression_price_on_qty", "grouped OLS: ONE partial/final moment aggregation, closed-form doubles map-side"),
+    ("attribution_last_touch", "last-touch attribution: forward-fill carry over ONE user window exchange — no touches×purchases self-join"),
+    ("text_bm25_rank", "BM25: term filter BEFORE the explode shuffle; bounded df/stats broadcasts; TakeOrderedAndProject top-k"),
+    ("dq_expectations_orders", "DQ suite: ALL single-table checks in ONE conditional-count scan + one left-anti RI count"),
 ]
 
 
