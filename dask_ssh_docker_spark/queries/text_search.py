@@ -112,11 +112,14 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = idf * (tf_d * (_K1 + 1.0)) / (
         tf_d + _K1 * (1.0 - _B + _B * F.col("dl").cast("double") / F.col("avgdl"))
     )
-    # dfreq here is ≤|query terms| rows — bounded by the query, not the
-    # corpus — so broadcasting is safe at any scale (unlike TF-IDF's
-    # corpus-wide vocabulary table, which must stay unhinted).
+    # dfreq is ≤|query terms| rows — bounded by the query, not the corpus —
+    # but it is still a GROUPED aggregate, and the plan-policy sweep
+    # (tests/test_plans.py) bans hinted broadcasts of grouped aggregates
+    # wholesale rather than special-casing "provably bounded by a literal
+    # IN-filter".  Leave it unhinted: AQE broadcasts a 3-row side at
+    # runtime anyway, at any corpus scale.
     contrib = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "term", s.alias("s"))
     )
