@@ -270,3 +270,97 @@ def lsh_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98):
+    fetch an exact top-``pool`` candidate set per query, then greedily
+    pick ``k`` results maximizing ``λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)``
+    — the standard diversity-aware final stage of a retrieval/RAG
+    pipeline (plain top-k returns near-duplicate passages; MMR trades a
+    little relevance for coverage).
+
+    Execution shape: the candidate fetch is ``brute_force_topk`` (or any
+    ANN path producing the same (query_id, vec_id, sim) contract); the
+    greedy selection is inherently sequential *within* a query but
+    embarrassingly parallel *across* queries, so it runs as one
+    ``applyInPandas`` over ``pool``-row groups — O(k·pool·dim) numpy work
+    per query, never a driver loop.
+
+    Determinism: candidates arrive sorted by (sim desc, id); ties in the
+    greedy objective break on (score desc, id asc); float64 numpy
+    arithmetic on identical inputs.
+    """
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    cands = brute_force_topk(
+        queries, corpus, k=pool, query_id=query_id,
+        corpus_id=corpus_id, vec_col=vec_col,
+    )
+    withvec = cands.join(
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cvec")),
+        corpus_id,
+    )
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
+    grouped = withvec.join(F.broadcast(q), query_id).select(
+        query_id, corpus_id, "sim", "__cvec"
+    )
+
+    out_schema = (
+        f"{query_id} long, rank int, {corpus_id} long, "
+        "relevance double, mmr_score double"
+    )
+
+    def _mmr(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["sim", corpus_id], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.array(pdf["__cvec"].tolist(), dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+        vn = vecs / norms
+        rel = pdf["sim"].to_numpy(dtype=np.float64)
+        ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+        n = len(pdf)
+        sims = vn @ vn.T  # pool×pool candidate-candidate cosine
+        selected: list[int] = []
+        remaining = list(range(n))
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            if not selected:
+                scores = rel.copy()
+            else:
+                max_sim = sims[:, selected].max(axis=1)
+                scores = lam * rel - (1.0 - lam) * max_sim
+            best, best_key = None, None
+            for i in remaining:
+                key = (-scores[i], ids[i])
+                if best is None or key < best_key:
+                    best, best_key = i, key
+            rows.append(
+                (
+                    int(pdf[query_id].iloc[0]),
+                    rank,
+                    int(ids[best]),
+                    round(float(rel[best]), 6),
+                    round(float(scores[best]), 6),
+                )
+            )
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            rows,
+            columns=[query_id, "rank", corpus_id, "relevance", "mmr_score"],
+        )
+
+    return grouped.groupBy(query_id).applyInPandas(_mmr, out_schema)

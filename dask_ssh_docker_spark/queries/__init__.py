@@ -49,6 +49,8 @@ from . import custom_source  # noqa: E402,F401
 from . import stats_inference  # noqa: E402,F401
 from . import sequences  # noqa: E402,F401
 from . import text_search  # noqa: E402,F401
+from . import stats_tests  # noqa: E402,F401
+from . import mlprep  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -103,27 +105,21 @@ _PRIORITY = [
     # -- new this round --
     "dedup_clusters_minhash_cc",
     "multimodal_decode_image",
-    "multimodal_decode_audio",
     "rollup_cascade_daily_hll",
     "pagerank_nation_trade",
     "heavy_hitter_tokens",
     "variant_props_extract",
-    "variant_shred_roundtrip",
     "read_xml_roundtrip",
     "stream_dedup_watermark",
-    "sssp_nation_trade",
     "stream_rate_cap_user",
     "sim_topk_pq",
     "cdc_merge_upsert",
-    "scd2_priority_history",
     "triangle_count_trade",
     "robust_outliers_mad",
-    "winsorize_bounds_audit",
     "stream_mv_user_totals",
     "profile_orders_columns",
     "join_skew_audit",
     "bloom_semi_join_revenue",
-    "cdc_snapshot_diff",
     "sample_k_per_group",
     "copurchase_part_pairs",
     "entropy_event_mix",
@@ -141,17 +137,29 @@ _PRIORITY = [
     "gini_revenue_concentration",
     "acf_daily_revenue",
     "markov_event_transitions",
-    "event_trigram_paths",
     "attribution_last_touch",
     "text_bm25_rank",
-    "inverted_index_postings",
     "sample_weighted_wor",
     "dq_expectations_orders",
     "stream_static_enrich",
     "agg_grouping_sets",
     "multimodal_image_features",
-    # -- r1 cohort (the stalest name takes the last 50-slot window slot;
-    #    rest keep import order and lead the r5 rotation) --
+    # -- new, third wave this round (two-sample tests, drift/anomaly
+    #    audits, feature engineering, trend smoothing, MMR re-rank) --
+    "ks_binned_click_view",
+    "mannwhitney_click_view",
+    "psi_price_drift",
+    "benford_price_digits",
+    "target_encode_loo",
+    "feature_hash_signed",
+    "decayed_user_activity",
+    "holt_brown_forecast",
+    "sim_mmr_rerank",
+    # -- displaced to the r5 window (each keeps an in-window kin sharing
+    #    its machinery: decode_audio↔decode_image, variant_shred↔
+    #    variant_props, sssp↔pagerank/triangles, trigram↔markov,
+    #    inverted_index↔bm25, snapshot_diff/scd2↔cdc_merge,
+    #    winsorize↔robust_mad) plus the r1 cohort, keeping import order --
     "q1_pricing_summary",
     "join_semi_orders",
     "join_anti_customers",

@@ -155,3 +155,24 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_rerank(
         queries_df, idx, cb, corpus, k=10, expand=5, ks=16, m=16, dim=64
     ).orderBy("query_id", "rank")
+
+
+@query("sim_mmr_rerank", oracle=None)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 (λ=0.7) from an exact top-20 candidate pool
+    per query — the diversity-aware final stage of a retrieval/RAG
+    pipeline.  Greedy selection runs as one ``applyInPandas`` per
+    pool-row group (parallel across queries, O(k·pool·dim) numpy per
+    group); parity with a pure-Python reference implementation and the
+    rank-1 = top-relevance invariant are pinned in
+    tests/test_wave5.py."""
+    from ..operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding")
+    return mmr_rerank(queries_df, corpus, k=5, pool=20, lam=0.7).orderBy(
+        "query_id", "rank"
+    )
