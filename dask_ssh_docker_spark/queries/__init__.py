@@ -51,6 +51,7 @@ from . import sequences  # noqa: E402,F401
 from . import text_search  # noqa: E402,F401
 from . import stats_tests  # noqa: E402,F401
 from . import mlprep  # noqa: E402,F401
+from . import advanced_analytics  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -107,7 +108,6 @@ _PRIORITY = [
     "multimodal_decode_image",
     "rollup_cascade_daily_hll",
     "pagerank_nation_trade",
-    "heavy_hitter_tokens",
     "variant_props_extract",
     "read_xml_roundtrip",
     "stream_dedup_watermark",
@@ -116,17 +116,11 @@ _PRIORITY = [
     "cdc_merge_upsert",
     "triangle_count_trade",
     "robust_outliers_mad",
-    "stream_mv_user_totals",
-    "profile_orders_columns",
     "join_skew_audit",
     "bloom_semi_join_revenue",
-    "sample_k_per_group",
     "copurchase_part_pairs",
     "entropy_event_mix",
     "ab_test_welch",
-    "npy_source_norms",
-    "window_rolling_median",
-    "agg_mode_per_group",
     "feature_minmax_scale",
     # -- new, second wave this round (stats inference, sequence mining,
     #    retrieval, prefix-filter ssjoin, weighted WOR sampling, DQ gate,
@@ -136,7 +130,6 @@ _PRIORITY = [
     "chisq_flag_status",
     "gini_revenue_concentration",
     "acf_daily_revenue",
-    "markov_event_transitions",
     "attribution_last_touch",
     "text_bm25_rank",
     "sample_weighted_wor",
@@ -155,11 +148,23 @@ _PRIORITY = [
     "decayed_user_activity",
     "holt_brown_forecast",
     "sim_mmr_rerank",
+    # -- new, fourth wave this round (changepoint, seasonality, bitmap
+    #    exact-distinct, Poisson-bootstrap CI, Gopher repetition metric,
+    #    robust scaling) --
+    "cusum_changepoint_daily",
+    "seasonality_dow_index",
+    "wow_growth_weekly",
+    "bitmap_distinct_users",
+    "bootstrap_ci_revenue",
+    "text_top_bigram_coverage",
+    "feature_robust_scale",
     # -- displaced to the r5 window (each keeps an in-window kin sharing
     #    its machinery: decode_audio↔decode_image, variant_shred↔
-    #    variant_props, sssp↔pagerank/triangles, trigram↔markov,
-    #    inverted_index↔bm25, snapshot_diff/scd2↔cdc_merge,
-    #    winsorize↔robust_mad) plus the r1 cohort, keeping import order --
+    #    variant_props, sssp↔pagerank/triangles, trigram/markov↔
+    #    attribution, inverted_index/heavy_hitters↔bm25, snapshot_diff/
+    #    scd2↔cdc_merge, winsorize↔robust_mad, mv/profile/k-per-group/
+    #    rolling-median/mode/npy → pytest-pinned kin) plus the r1
+    #    cohort, keeping import order --
     "q1_pricing_summary",
     "join_semi_orders",
     "join_anti_customers",
