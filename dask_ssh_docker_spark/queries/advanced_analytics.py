@@ -50,8 +50,8 @@ from .registry import query
     )
     SELECT day,
            CAST(s AS DOUBLE) AS daily_rev,
-           round(CAST(cusum_scaled AS DOUBLE) / CAST(n AS DOUBLE), 6)
-             AS cusum,
+           round(CAST(cusum_scaled AS DOUBLE) / CAST(n AS DOUBLE)
+                 / 1000000.0, 6) AS cusum_m,
            abs(cusum_scaled) = MAX(abs(cusum_scaled)) OVER () AS is_peak
     FROM k
     """,
@@ -65,8 +65,13 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: computed as the scaled integer-decimal form
     ``n·(Σ_{i≤t} y_i) − t·Σy`` — exact DECIMAL×INTEGER arithmetic — so
-    the peak comparison is exact (no float argmax flakiness); one IEEE
-    division to surface CUSUM_t itself.
+    the peak comparison is exact (no float argmax flakiness).  The
+    surfaced statistic is in revenue MILLIONS (``cusum_m``): at sf1 the
+    raw CUSUM is ~1e8, where a 6-decimal display round is
+    engine-divergent (``round(x,6)`` multiplies into the 1e14 range and
+    the two engines' rounding paths disagree in the last digit —
+    measured); at the million scale the round-6 grid is ~1e11× coarser
+    than an input ulp, so it can never flip.
 
     Scale: day-grain aggregation first (one shuffle); the ordered scan
     runs over the bounded daily summary (~2.4k rows for 6.5 years), not
@@ -103,9 +108,11 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.col("s").cast("double").alias("daily_rev"),
         F.round(
-            F.col("cusum_scaled").cast("double") / F.col("n").cast("double"),
+            F.col("cusum_scaled").cast("double")
+            / F.col("n").cast("double")
+            / 1000000.0,
             6,
-        ).alias("cusum"),
+        ).alias("cusum_m"),
         (
             F.abs(F.col("cusum_scaled"))
             == F.max(F.abs(F.col("cusum_scaled"))).over(wall)
@@ -134,8 +141,8 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     a AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS avg_all FROM d)
     SELECT weekday_mon0, n_orders,
-           round(avg_dow, 6) AS avg_order_value,
-           round(avg_dow / avg_all, 6) AS seasonal_index
+           avg_dow AS avg_order_value,
+           avg_dow / avg_all AS seasonal_index
     FROM g CROSS JOIN a
     """,
 )
@@ -148,7 +155,9 @@ def seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``weekday`` = DuckDB ``isodow − 1``).
 
     Determinism: exact-decimal sums; each mean is one IEEE division; the
-    index one more.
+    index one more — both emitted UNROUNDED (bit-identical op trees;
+    display rounding at 1e5 magnitude is the engine-divergent step, not
+    the arithmetic).
 
     Scale: map-side groupBy onto 7 rows + a 1-row global broadcast."""
     orders = load_table(spark, sf_dir, "orders")
@@ -164,10 +173,8 @@ def seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(F.broadcast(a)).select(
         "weekday_mon0",
         "n_orders",
-        F.round(F.col("avg_dow"), 6).alias("avg_order_value"),
-        F.round(F.col("avg_dow") / F.col("avg_all"), 6).alias(
-            "seasonal_index"
-        ),
+        F.col("avg_dow").alias("avg_order_value"),
+        (F.col("avg_dow") / F.col("avg_all")).alias("seasonal_index"),
     )
 
 
@@ -306,10 +313,9 @@ def _boot_case_sql(u: str) -> str:
       FROM orders
     )
     SELECT {_BOOT_B} AS n_replicates,
-           round(MAX(point_mean), 6) AS point_mean,
-           round(MAX(CASE WHEN rnk = 2 THEN mean_b END), 6) AS ci_lo,
-           round(MAX(CASE WHEN rnk = {_BOOT_B - 1} THEN mean_b END), 6)
-             AS ci_hi
+           MAX(point_mean) AS point_mean,
+           MAX(CASE WHEN rnk = 2 THEN mean_b END) AS ci_lo,
+           MAX(CASE WHEN rnk = {_BOOT_B - 1} THEN mean_b END) AS ci_hi
     FROM ranked CROSS JOIN point
     """,
 )
@@ -326,8 +332,10 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: weights are integers from literal CDF thresholds
     (repr-interpolated, bitwise identical); replica sums are exact
-    DECIMAL; one IEEE division per replica; order statistics break ties
-    on replica id.
+    DECIMAL; one IEEE division per replica — emitted UNROUNDED (the
+    quotient doubles are bit-identical; a 6-decimal display round at
+    1e5 magnitude is the engine-divergent step); order statistics break
+    ties on replica id.
 
     Scale: map-side ×B row expansion (B=50 constant) feeding one 50-group
     aggregation — shuffle volume is B partial sums per partition, the
@@ -375,13 +383,11 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.crossJoin(F.broadcast(point)).agg(
         F.lit(_BOOT_B).alias("n_replicates"),
-        F.round(F.max("point_mean"), 6).alias("point_mean"),
-        F.round(
-            F.max(F.when(F.col("rnk") == 2, F.col("mean_b"))), 6
-        ).alias("ci_lo"),
-        F.round(
-            F.max(F.when(F.col("rnk") == _BOOT_B - 1, F.col("mean_b"))), 6
-        ).alias("ci_hi"),
+        F.max("point_mean").alias("point_mean"),
+        F.max(F.when(F.col("rnk") == 2, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("rnk") == _BOOT_B - 1, F.col("mean_b"))).alias(
+            "ci_hi"
+        ),
     )
 
 

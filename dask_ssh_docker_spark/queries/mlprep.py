@@ -24,9 +24,9 @@ from .registry import query
     "target_encode_loo",
     oracle="""
     SELECT o_orderkey, o_orderpriority,
-           round(CASE WHEN cnt > 1
-                      THEN CAST(s - y AS DOUBLE) / CAST(cnt - 1 AS DOUBLE)
-                 END, 6) AS loo_enc
+           CASE WHEN cnt > 1
+                THEN CAST(s - y AS DOUBLE) / CAST(cnt - 1 AS DOUBLE)
+           END AS loo_enc
     FROM (
       SELECT o_orderkey, o_orderpriority,
              CAST(o_totalprice AS DECIMAL(12,2)) AS y,
@@ -46,7 +46,12 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     Singleton categories encode NULL (no leave-one-out mean exists).
 
     Determinism: the category sum and the subtraction are exact DECIMAL;
-    one IEEE division per row.
+    one IEEE division per row, emitted UNROUNDED — the operands convert
+    correctly-rounded in both engines (the numerator stays under 2^53
+    scaled units), so the quotient double is bit-identical and display
+    rounding would only ADD divergence risk (`round(x, 6)` at 1e5+
+    magnitudes is implemented differently per engine and can flip the
+    last digit; measured at sf1).
 
     Scale: a single whole-partition window keyed on the category — one
     shuffle, no join; skewed categories follow the salted-window recipe
@@ -64,13 +69,10 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(
-            F.when(
-                F.col("cnt") > 1,
-                (F.col("s") - F.col("y")).cast("double")
-                / (F.col("cnt") - 1).cast("double"),
-            ),
-            6,
+        F.when(
+            F.col("cnt") > 1,
+            (F.col("s") - F.col("y")).cast("double")
+            / (F.col("cnt") - 1).cast("double"),
         ).alias("loo_enc"),
     )
 

@@ -19,12 +19,12 @@ def test_cusum_telescopes_to_zero_and_flags_peak(spark, sf_dir):
 
     rows = sorted(_rows(cusum_changepoint_daily(spark, sf_dir)), key=lambda r: r["day"])
     # CUSUM telescopes: last value Σ(y_i − ȳ) over all days = 0
-    assert rows[-1]["cusum"] == pytest.approx(0.0, abs=1e-6)
+    assert rows[-1]["cusum_m"] == pytest.approx(0.0, abs=1e-6)
     peaks = [r for r in rows if r["is_peak"]]
     assert len(peaks) >= 1
-    top = max(abs(r["cusum"]) for r in rows)
+    top = max(abs(r["cusum_m"]) for r in rows)
     for p in peaks:
-        assert abs(p["cusum"]) == pytest.approx(top, abs=1e-6)
+        assert abs(p["cusum_m"]) == pytest.approx(top, abs=1e-6)
 
 
 def test_seasonality_index_weighted_mean_is_one(spark, sf_dir):
