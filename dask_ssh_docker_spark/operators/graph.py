@@ -14,7 +14,7 @@ recursive-CTE fixpoint oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import cluster_min_label
@@ -186,3 +186,80 @@ def shortest_paths(
 
     e.unpersist()
     return dist.select(F.col("id").alias("node"), "dist")
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 4,
+) -> DataFrame:
+    """(node, label): synchronous label propagation community detection
+    (Raghavan et al. 2007) with a DETERMINISTIC update rule: each
+    iteration every node adopts the label carrying the maximum total
+    incident edge weight among its neighbors, breaking ties on the
+    smallest label id (the async/random-order variants of LPA are
+    non-reproducible — useless under this repo's determinism doctrine).
+    Isolated nodes keep their own id as label.
+
+    Per iteration: one edge-sized shuffle (neighbor labels aggregate on
+    ``(node, label)``), one ranking window on the aggregated frame, one
+    node-keyed join back; ``localCheckpoint`` per iteration keeps the
+    plan size O(1) in ``iters`` (same discipline as ``pagerank`` /
+    ``cluster_min_label``).  Edges are symmetrized internally, so pass a
+    directed edge list.
+
+    Driver-checked end-to-end by ``label_propagation_communities``
+    (``queries/graph_analytics.py``) against a DuckDB oracle unrolling
+    the same recurrence — integer weights make the argmax exact.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight) if weight else F.lit(1)).cast("long").alias("w"),
+    )
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+        .filter(F.col("src") != F.col("dst"))  # self-loops don't vote
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    und.count()  # materialize once; reused every iteration
+    if nodes is None:
+        nodes = und.select(F.col("src").alias("id")).distinct()
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("id"))
+
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(iters):
+        votes = (
+            und.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("nbr_label")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), F.col("nbr_label"))
+            .agg(F.sum("w").alias("tw"))
+        )
+        w_rank = Window.partitionBy("id").orderBy(
+            F.desc("tw"), F.asc("nbr_label")
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("nbr_label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return labels.select(F.col("id").alias("node"), "label")

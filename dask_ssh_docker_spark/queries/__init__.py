@@ -111,16 +111,12 @@ _PRIORITY = [
     "variant_props_extract",
     "read_xml_roundtrip",
     "stream_dedup_watermark",
-    "stream_rate_cap_user",
     "sim_topk_pq",
     "cdc_merge_upsert",
-    "triangle_count_trade",
     "robust_outliers_mad",
     "join_skew_audit",
     "bloom_semi_join_revenue",
-    "copurchase_part_pairs",
     "entropy_event_mix",
-    "ab_test_welch",
     "feature_minmax_scale",
     # -- new, second wave this round (stats inference, sequence mining,
     #    retrieval, prefix-filter ssjoin, weighted WOR sampling, DQ gate,
@@ -158,6 +154,12 @@ _PRIORITY = [
     "bootstrap_ci_revenue",
     "text_top_bigram_coverage",
     "feature_robust_scale",
+    # -- new, fifth wave this round (LPA communities, conversion latency,
+    #    streaming PSI drift monitor, canonical dedup survivors) --
+    "label_propagation_communities",
+    "conversion_latency_quantiles",
+    "stream_psi_drift",
+    "dedup_canonical_survivors",
     # -- displaced to the r5 window (each keeps an in-window kin sharing
     #    its machinery: decode_audio↔decode_image, variant_shred↔
     #    variant_props, sssp↔pagerank/triangles, trigram/markov↔

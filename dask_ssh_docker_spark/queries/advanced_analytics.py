@@ -515,3 +515,76 @@ def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             "robust_scaled"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency (first view → first subsequent purchase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT (epoch_us(fp.first_purchase) - epoch_us(fv.first_view)) AS us
+      FROM fv JOIN fp ON fv.user_id = fp.user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(SUM(us) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_latency_s,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY us) / 1000000.0
+             AS p50_latency_s,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY us) / 1000000.0
+             AS p90_latency_s
+    FROM lat
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the latency from first
+    *view* to the first *purchase* at-or-after it; mean/p50/p90 over
+    converting users — the funnel-health readout next to
+    ``funnel_view_click_purchase`` (which counts stage reach, not time).
+
+    Determinism: latencies are exact integer microseconds;
+    ``percentile_cont`` interpolates on those integers identically in
+    both engines; the mean and the µs→s conversions are mirrored
+    divisions.
+
+    Scale: two user-keyed aggregations + one user join, all
+    co-partitioned on user_id after the first exchange; the quantile is
+    a 1-row global aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = fv.join(fp, "user_id").select(
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_view")
+        ).alias("us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (
+            F.sum("us").cast("double") / F.count(F.lit(1)) / 1000000.0
+        ).alias("mean_latency_s"),
+        (F.percentile("us", F.lit(0.5)) / 1000000.0).alias("p50_latency_s"),
+        (F.percentile("us", F.lit(0.9)) / 1000000.0).alias("p90_latency_s"),
+    )

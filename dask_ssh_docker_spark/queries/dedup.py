@@ -241,3 +241,65 @@ def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return setsim_pairs_prefix(docs, "text", "doc_id", t_num=7, t_den=20)
+
+
+@query("dedup_canonical_survivors", oracle=None)
+def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER clustering that an actual dedup pipeline ships:
+    pick one canonical survivor per near-dup cluster and tag every other
+    member as a casualty.  Survivor rule: longest document wins
+    (``n_chars`` desc), ties on smallest ``doc_id`` — deterministic under
+    any partitioning.  Output: (doc_id, cluster_id, survivor_doc_id,
+    keep) for every clustered doc; singleton clusters keep their only
+    member.
+
+    Composition: MinHash bands → verify → connected components (the
+    exact machinery of ``dedup_clusters_minhash_cc``) + one ranking
+    window over the cluster key.  Rows-only (xxhash64 upstream);
+    ``tests/test_wave7.py`` pins survivor-per-cluster uniqueness, rule
+    correctness, and keep-set = cluster-count invariants.
+
+    Scale: the window adds ONE cluster-keyed exchange of (id, n_chars)
+    rows on top of the CC output — bodies never move."""
+    from ..operators.dedup import (
+        _staged_shingles,
+        cluster_min_label,
+        jaccard_verify,
+        minhash_candidates,
+        minhash_signatures,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh_arr = (
+        _staged_shingles(docs, "text", "doc_id", 3)
+        .withColumnRenamed("id", "__id")
+        .persist()
+    )
+    sig = minhash_signatures(docs, "text", "doc_id", 32, 3, shingle_arrays=sh_arr)
+    cands = minhash_candidates(docs, "text", "doc_id", 32, 8, 3, sig_df=sig)
+    verified = jaccard_verify(
+        docs, cands, "text", "doc_id", 0.35, 3, shingle_df=sh_arr
+    ).persist()
+    ids = docs.select(F.col("doc_id").alias("id"))
+    clusters = cluster_min_label(verified.select("id_a", "id_b"), ids)
+    sized = clusters.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("id")
+    )
+    ranked = sized.withColumn("rn", F.row_number().over(w))
+    surv = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id", F.col("id").alias("survivor_doc_id")
+    )
+    return (
+        ranked.join(surv, "cluster_id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            "survivor_doc_id",
+            (F.col("id") == F.col("survivor_doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

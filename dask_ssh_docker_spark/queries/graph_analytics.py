@@ -286,3 +286,92 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("node"),
         F.coalesce("n_triangles", F.lit(0).cast("bigint")).alias("n_triangles"),
     )
+
+
+_LPA_ITERS = 4
+
+_LPA_EDGES_SQL = """
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+"""
+
+
+def _lpa_oracle() -> str:
+    """Unroll the deterministic LPA recurrence as chained CTEs (same
+    technique as the PageRank/SSSP oracles): labels_k derives from
+    labels_{k-1} via max-weight-neighbor-label argmax with min-label
+    tie-break — all integer arithmetic, so the fixpoint is exact."""
+    parts = [
+        f"WITH e AS ({_LPA_EDGES_SQL}),",
+        """und AS (
+      SELECT src, dst, SUM(w) AS w FROM (
+        SELECT src, dst, w FROM e WHERE src <> dst
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM e WHERE src <> dst
+      ) GROUP BY src, dst
+    ),
+    labels_0 AS (SELECT n_nationkey AS id, n_nationkey AS label FROM nation)""",
+    ]
+    for k in range(1, _LPA_ITERS + 1):
+        parts.append(
+            f""",
+    votes_{k} AS (
+      SELECT u.src AS id, l.label AS nbr_label, SUM(u.w) AS tw
+      FROM und u JOIN labels_{k - 1} l ON u.dst = l.id
+      GROUP BY u.src, l.label
+    ),
+    best_{k} AS (
+      SELECT id, nbr_label FROM (
+        SELECT id, nbr_label,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY tw DESC, nbr_label) AS rn
+        FROM votes_{k}
+      ) WHERE rn = 1
+    ),
+    labels_{k} AS (
+      SELECT l.id, COALESCE(b.nbr_label, l.label) AS label
+      FROM labels_{k - 1} l LEFT JOIN best_{k} b ON l.id = b.id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id AS node, label AS community FROM labels_{_LPA_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@query("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over the
+    nation trade graph (edge weight = lineitem count, symmetrized), 4
+    iterations — exercises ``operators/graph.py:label_propagation``
+    end-to-end against an unrolled-CTE oracle.  The update rule's argmax
+    runs on integer weights with a min-label tie-break, so the result is
+    exact (no float voting)."""
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out = label_propagation(
+        edges,
+        nodes=nation.select(F.col("n_nationkey").alias("id")),
+        weight="w",
+        iters=_LPA_ITERS,
+    )
+    return out.select("node", F.col("label").alias("community"))

@@ -309,3 +309,96 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = static_enriched_counts(stream_events(spark, sf_dir), dim)
     return run_to_completion(out)
+
+
+_PSI_NB = 10
+
+
+@query(
+    "stream_psi_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+             LEAST(CAST(floor(value / 50.0) AS BIGINT), {_PSI_NB - 1}) AS bin,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (SELECT bin, SUM(c) AS cb FROM b GROUP BY bin),
+    tot AS (SELECT SUM(cb) AS nb FROM base),
+    wtot AS (SELECT bucket_start, SUM(c) AS nw FROM b GROUP BY bucket_start),
+    spine AS (
+      SELECT w.bucket_start, base.bin, base.cb, w.nw
+      FROM wtot w CROSS JOIN base
+    ),
+    terms AS (
+      SELECT s.bucket_start, s.bin, s.nw,
+             ((CAST(COALESCE(b.c, 0) + 1 AS DOUBLE)
+                 / CAST(s.nw + {_PSI_NB} AS DOUBLE))
+              - (CAST(s.cb + 1 AS DOUBLE) / CAST(nb + {_PSI_NB} AS DOUBLE)))
+             * ln((CAST(COALESCE(b.c, 0) + 1 AS DOUBLE)
+                     / CAST(s.nw + {_PSI_NB} AS DOUBLE))
+                  / (CAST(s.cb + 1 AS DOUBLE)
+                       / CAST(nb + {_PSI_NB} AS DOUBLE))) AS term
+      FROM spine s
+      LEFT JOIN b ON s.bucket_start = b.bucket_start AND s.bin = b.bin
+      CROSS JOIN tot
+    )
+    SELECT bucket_start,
+           CAST(MAX(nw) AS BIGINT) AS n_events,
+           round(list_reduce(list(term ORDER BY bin), (a, x) -> a + x)
+                 + 0.0, 6) AS psi
+    FROM terms GROUP BY bucket_start
+    """,
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: a real watermarked streaming job builds
+    hourly binned histograms of ``value`` (``binned_window_counts`` —
+    watermark-bounded state, constant bins), then each hour's
+    distribution is scored against the full-corpus baseline with a
+    Laplace-smoothed Population Stability Index — the deployment shape
+    of `psi_price_drift` (hours with PSI spikes = drifted traffic).
+    The PSI scoring runs batch-side over the materialized bounded
+    summaries (windows × 10 bins), never the raw stream.
+
+    Determinism: counts are integers off the stream; p/q are mirrored
+    divisions; per-window terms fold in FIXED bin order (the
+    ``entropy_event_mix`` discipline) so the 10-term double sum is
+    bit-identical; round-6 absorbs the ``ln`` ulp."""
+    from ..streaming import binned_window_counts
+
+    b = run_to_completion(binned_window_counts(stream_events(spark, sf_dir)))
+    base = b.groupBy("bin").agg(F.sum("c").alias("cb"))
+    tot = base.agg(F.sum("cb").alias("nb"))
+    wtot = b.groupBy("bucket_start").agg(F.sum("c").alias("nw"))
+    spine = wtot.crossJoin(base)  # |windows| × 10 bins; base unhinted (AQE)
+    j = (
+        spine.join(b, ["bucket_start", "bin"], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("c0", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    p = (F.col("c0") + 1).cast("double") / (F.col("nw") + _PSI_NB).cast(
+        "double"
+    )
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + _PSI_NB).cast(
+        "double"
+    )
+    terms = j.select(
+        "bucket_start",
+        "bin",
+        "nw",
+        ((p - q) * F.log(p / q)).alias("term"),
+    )
+    per_w = terms.groupBy("bucket_start").agg(
+        F.max("nw").cast("bigint").alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("bin", "term"))
+        ).alias("arr"),
+    )
+    psi = F.aggregate(
+        F.transform("arr", lambda x: x["term"]), F.lit(0.0), lambda a, x: a + x
+    )
+    return per_w.select(
+        "bucket_start",
+        "n_events",
+        F.round(psi + F.lit(0.0), 6).alias("psi"),
+    )

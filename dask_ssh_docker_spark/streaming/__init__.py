@@ -276,3 +276,30 @@ def static_enriched_counts(
         )
         .select(F.col("w.start").alias("bucket_start"), "tier", "n_events", "sum_value")
     )
+
+
+def binned_window_counts(
+    stream: DataFrame,
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """(bucket_start, bin, c): watermarked windowed histogram of the
+    ``value`` column on a fixed bin grid — the streaming substrate of a
+    drift monitor (PSI/KS against a baseline histogram is a cheap batch
+    computation over these bounded summaries; see ``stream_psi_drift``).
+    State is one count per (open window, bin) — bins are a constant, so
+    state is watermark-bounded exactly like ``tumbling_counts``."""
+    binned = stream.withWatermark("ts", watermark).withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("value") / bin_width).cast("bigint"),
+            F.lit(n_bins - 1),
+        ),
+    )
+    return (
+        binned.groupBy(F.window("ts", window).alias("w"), "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("bucket_start"), "bin", "c")
+    )

@@ -1,0 +1,91 @@
+"""Pins for the wave-7 operators: label-propagation communities,
+conversion latency, the streaming PSI drift monitor, and canonical
+dedup survivor selection."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_lpa_labels_are_node_ids_and_stable(spark, sf_dir):
+    from dask_ssh_docker_spark.queries.graph_analytics import (
+        label_propagation_communities,
+    )
+
+    rows = _rows(label_propagation_communities(spark, sf_dir))
+    nodes = {r["node"] for r in rows}
+    assert len(rows) == len(nodes) == 25  # every nation labeled once
+    # labels are drawn from node ids (propagation never invents labels)
+    assert {r["community"] for r in rows} <= nodes
+    # deterministic under re-run
+    again = _rows(label_propagation_communities(spark, sf_dir))
+    assert sorted(map(tuple, (r.items() for r in rows))) == sorted(
+        map(tuple, (r.items() for r in again))
+    )
+
+
+def test_lpa_operator_on_known_graph(spark):
+    from dask_ssh_docker_spark.operators.graph import label_propagation
+
+    # two triangles joined by one weak bridge → two communities
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 5), (0, 2, 5), (3, 4, 5), (4, 5, 5), (3, 5, 5), (2, 3, 1)],
+        "src int, dst int, w int",
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(edges, weight="w", iters=4).collect()}
+    assert out[0] == out[1] == out[2]
+    assert out[3] == out[4] == out[5]
+    assert out[0] != out[3]
+
+
+def test_conversion_latency_nonnegative_and_ordered(spark, sf_dir):
+    from dask_ssh_docker_spark.queries.advanced_analytics import (
+        conversion_latency_quantiles,
+    )
+
+    r = _rows(conversion_latency_quantiles(spark, sf_dir))[0]
+    assert r["n_converted"] > 0
+    assert 0 <= r["p50_latency_s"] <= r["p90_latency_s"]
+    assert r["mean_latency_s"] >= 0
+
+
+def test_stream_psi_drift_bounds(spark, sf_dir):
+    from dask_ssh_docker_spark.queries.streaming import stream_psi_drift
+
+    rows = _rows(stream_psi_drift(spark, sf_dir))
+    assert len(rows) > 0
+    for r in rows:
+        assert r["psi"] >= 0  # (p−q)ln(p/q) terms are individually ≥ 0
+        assert r["n_events"] > 0
+
+
+def test_canonical_survivors_invariants(spark, sf_dir):
+    from dask_ssh_docker_spark.queries.dedup import (
+        dedup_canonical_survivors,
+    )
+    from dask_ssh_docker_spark.sources import load_table
+
+    rows = _rows(dedup_canonical_survivors(spark, sf_dir))
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    assert len(rows) == len(docs)  # every doc assigned
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        survivors = {r["survivor_doc_id"] for r in members}
+        assert len(survivors) == 1  # one survivor per cluster, agreed by all
+        s = survivors.pop()
+        keeps = [r for r in members if r["keep"]]
+        assert len(keeps) == 1 and keeps[0]["doc_id"] == s
+        # survivor rule: longest doc, tie → smallest id
+        best = min(members, key=lambda r: (-docs[r["doc_id"]], r["doc_id"]))
+        assert s == best["doc_id"]
