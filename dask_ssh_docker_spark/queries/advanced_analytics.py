@@ -48,7 +48,7 @@ from .registry import query
                AS cusum_scaled
       FROM c
     )
-    SELECT day,
+    SELECT CAST(day AS TIMESTAMP) AS day,
            CAST(s AS DOUBLE) AS daily_rev,
            round(CAST(cusum_scaled AS DOUBLE) / CAST(n AS DOUBLE)
                  / 1000000.0, 6) AS cusum_m,
@@ -105,7 +105,9 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cusum_scaled"),
     )
     return k.select(
-        "day",
+        # timestamp at the boundary: DateType is banned from driver-visible
+        # output (tests/test_schema_policy.py)
+        F.col("day").cast("timestamp").alias("day"),
         F.col("s").cast("double").alias("daily_rev"),
         F.round(
             F.col("cusum_scaled").cast("double")
@@ -190,7 +192,7 @@ def seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT week, rev, LAG(rev) OVER (ORDER BY week) AS prev
       FROM w
     )
-    SELECT CAST(week AS DATE) AS week,
+    SELECT CAST(week AS TIMESTAMP) AS week,
            CAST(rev AS DOUBLE) AS revenue,
            round((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
                  / CAST(prev AS DOUBLE), 6) AS wow_growth
@@ -211,7 +213,7 @@ def wow_growth_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     lw = Window.orderBy("week")
     l = w.select("week", "rev", F.lag("rev").over(lw).alias("prev"))
     return l.select(
-        F.col("week").cast("date").alias("week"),
+        F.col("week").cast("timestamp").alias("week"),
         F.col("rev").cast("double").alias("revenue"),
         F.round(
             (F.col("rev").cast("double") - F.col("prev").cast("double"))

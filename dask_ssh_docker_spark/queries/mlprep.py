@@ -270,7 +270,7 @@ _H_FRAME = 14
                AS s2
       FROM v2
     )
-    SELECT user_id, day,
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day,
            round(2 * s1 - s2, 6) AS level_smooth,
            round({_H_ALPHA_RATIO!r} * (s1 - s2), 6) AS trend_smooth,
            round((2 * s1 - s2) + {_H_ALPHA_RATIO!r} * (s1 - s2), 6)
@@ -326,7 +326,9 @@ def holt_brown_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     trend = F.lit(_H_ALPHA_RATIO) * (F.col("s1") - F.col("s2"))
     return e2.select(
         "user_id",
-        "day",
+        # timestamp at the boundary: DateType is banned from driver-visible
+        # output (tests/test_schema_policy.py)
+        F.col("day").cast("timestamp").alias("day"),
         F.round(level, 6).alias("level_smooth"),
         F.round(trend, 6).alias("trend_smooth"),
         F.round(level + trend, 6).alias("forecast_next"),

@@ -215,7 +215,8 @@ def test_holt_brown_matches_python_fold(spark, sf_dir):
             want[(uid, days[i])] = (level, trend, level + trend)
     assert len(got) == len(want)
     for r in got:
-        lv, tr, fc = want[(r["user_id"], r["day"])]
+        # boundary type is timestamp (schema policy); reference keys are dates
+        lv, tr, fc = want[(r["user_id"], r["day"].date())]
         assert r["level_smooth"] == pytest.approx(lv, abs=1e-5)
         assert r["trend_smooth"] == pytest.approx(tr, abs=1e-5)
         assert r["forecast_next"] == pytest.approx(fc, abs=1e-5)
