@@ -89,3 +89,32 @@ def test_canonical_survivors_invariants(spark, sf_dir):
         # survivor rule: longest doc, tie → smallest id
         best = min(members, key=lambda r: (-docs[r["doc_id"]], r["doc_id"]))
         assert s == best["doc_id"]
+
+
+def test_drift_monitor_example_runs_via_runner(tmp_path):
+    """The examples/drift_monitor.py composition works end-to-end through
+    the CLI runner contract (reference bin/dask-ssh-docker:36-44 argv
+    split) and emits the one-line health summary."""
+    import os
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "dask_ssh_docker_spark.runner",
+            "examples/drift_monitor.py",
+            "--",
+            "/root/testdata/sf0.001",
+            str(tmp_path / "health"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "health-report:" in out.stdout
+    assert (tmp_path / "health" / "psi_price_drift").exists()
