@@ -304,27 +304,35 @@ def _lpa_oracle() -> str:
     """Unroll the deterministic LPA recurrence as chained CTEs (same
     technique as the PageRank/SSSP oracles): labels_k derives from
     labels_{k-1} via max-weight-neighbor-label argmax with min-label
-    tie-break — all integer arithmetic, so the fixpoint is exact."""
+    tie-break — all integer arithmetic, so the fixpoint is exact.
+
+    Every CTE is MATERIALIZED: ``labels_k`` is referenced twice per
+    iteration (votes + carry-forward), so DuckDB's default inlining
+    duplicates the whole upstream subtree 2^iters times — at sf1 that
+    re-executed the 6M-row edge join 16× and spilled ~80 GB of hash-join
+    temp before being killed.  Materialization makes the oracle linear
+    in iters, like the Spark side."""
     parts = [
-        f"WITH e AS ({_LPA_EDGES_SQL}),",
-        """und AS (
+        f"WITH e AS MATERIALIZED ({_LPA_EDGES_SQL}),",
+        """und AS MATERIALIZED (
       SELECT src, dst, SUM(w) AS w FROM (
         SELECT src, dst, w FROM e WHERE src <> dst
         UNION ALL
         SELECT dst AS src, src AS dst, w FROM e WHERE src <> dst
       ) GROUP BY src, dst
     ),
-    labels_0 AS (SELECT n_nationkey AS id, n_nationkey AS label FROM nation)""",
+    labels_0 AS MATERIALIZED (
+      SELECT n_nationkey AS id, n_nationkey AS label FROM nation)""",
     ]
     for k in range(1, _LPA_ITERS + 1):
         parts.append(
             f""",
-    votes_{k} AS (
+    votes_{k} AS MATERIALIZED (
       SELECT u.src AS id, l.label AS nbr_label, SUM(u.w) AS tw
       FROM und u JOIN labels_{k - 1} l ON u.dst = l.id
       GROUP BY u.src, l.label
     ),
-    best_{k} AS (
+    best_{k} AS MATERIALIZED (
       SELECT id, nbr_label FROM (
         SELECT id, nbr_label,
                ROW_NUMBER() OVER (PARTITION BY id
@@ -332,7 +340,7 @@ def _lpa_oracle() -> str:
         FROM votes_{k}
       ) WHERE rn = 1
     ),
-    labels_{k} AS (
+    labels_{k} AS MATERIALIZED (
       SELECT l.id, COALESCE(b.nbr_label, l.label) AS label
       FROM labels_{k - 1} l LEFT JOIN best_{k} b ON l.id = b.id
     )"""
