@@ -52,6 +52,7 @@ from . import text_search  # noqa: E402,F401
 from . import stats_tests  # noqa: E402,F401
 from . import mlprep  # noqa: E402,F401
 from . import advanced_analytics  # noqa: E402,F401
+from . import segment_analytics  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +111,6 @@ _PRIORITY = [
     "pagerank_nation_trade",
     "variant_props_extract",
     "read_xml_roundtrip",
-    "stream_dedup_watermark",
     "sim_topk_pq",
     "cdc_merge_upsert",
     "robust_outliers_mad",
@@ -132,7 +132,6 @@ _PRIORITY = [
     "dq_expectations_orders",
     "stream_static_enrich",
     "agg_grouping_sets",
-    "multimodal_image_features",
     # -- new, third wave this round (two-sample tests, drift/anomaly
     #    audits, feature engineering, trend smoothing, MMR re-rank) --
     "ks_binned_click_view",
@@ -160,6 +159,11 @@ _PRIORITY = [
     "conversion_latency_quantiles",
     "stream_psi_drift",
     "dedup_canonical_survivors",
+    # -- new, sixth wave this round (skyline, funnel trend, audience
+    #    overlap) --
+    "pareto_front_orders",
+    "funnel_weekly_trend",
+    "audience_overlap_pairs",
     # -- displaced to the r5 window (each keeps an in-window kin sharing
     #    its machinery: decode_audio↔decode_image, variant_shred↔
     #    variant_props, sssp↔pagerank/triangles, trigram/markov↔

@@ -1,0 +1,216 @@
+"""Wave-8 analytics: Pareto-front (skyline) extraction, weekly funnel
+conversion trend, and audience-overlap (set-similarity of user segments).
+
+Determinism doctrine as elsewhere: integer distinct counts, exact-decimal
+measures, mirrored single-division ratios; every windowed pass runs over
+a bounded pre-aggregated summary, never raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "pareto_front_orders",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS day_max
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    front_days AS (
+      SELECT day, day_max FROM (
+        SELECT day, day_max,
+               MAX(day_max) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING) AS pm
+        FROM d
+      ) WHERE pm IS NULL OR day_max > pm
+    )
+    SELECT o.o_orderkey,
+           CAST(f.day AS TIMESTAMP) AS day,
+           CAST(f.day_max AS DOUBLE) AS price
+    FROM front_days f
+    JOIN orders o
+      ON CAST(o.o_orderdate AS DATE) = f.day
+     AND CAST(o.o_totalprice AS DECIMAL(12,2)) = f.day_max
+    """,
+)
+def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto front (skyline) of orders on (earlier date, higher price):
+    an order is on the front iff no strictly-earlier day carries an
+    equal-or-higher price — the classic two-criteria skyline, computed
+    scalably as day-grain max first (bounded summary), a running-max scan
+    over days, then a join back to recover every order attaining its
+    day's front price.
+
+    Note the day-grain reduction also resolves the same-day semantics:
+    same-day orders don't dominate each other, so all orders tying the
+    day max qualify — deterministic without tie-breaks.
+
+    Determinism: prices compare as exact DECIMAL; the front membership
+    test is an exact comparison; output price surfaces as double (2-dec
+    cents-exact, safe).
+
+    Scale: one day-grain shuffle (≤ calendar days rows), an ordered scan
+    over that summary, one equi-join back on (day, price) — raw orders
+    never enter a global window."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(12,2)")
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.max(p).alias("day_max")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front = (
+        d.withColumn("pm", F.max("day_max").over(w))
+        .filter(F.col("pm").isNull() | (F.col("day_max") > F.col("pm")))
+        .select("day", "day_max")
+    )
+    return front.join(
+        orders,
+        (orders.o_orderdate.cast("date") == front.day)
+        & (p == front.day_max),
+    ).select(
+        "o_orderkey",
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("day_max").cast("double").alias("price"),
+    )
+
+
+@query(
+    "funnel_weekly_trend",
+    oracle="""
+    WITH w AS (
+      SELECT date_trunc('week', ts) AS week, event_type, user_id
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    g AS (
+      SELECT week,
+             COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'view')
+               AS n_viewers,
+             COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'purchase')
+               AS n_buyers
+      FROM w GROUP BY week
+    )
+    SELECT CAST(week AS TIMESTAMP) AS week, n_viewers, n_buyers,
+           round(CAST(n_buyers AS DOUBLE) / CAST(n_viewers AS DOUBLE), 6)
+             AS conversion_rate
+    FROM g
+    """,
+)
+def funnel_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly funnel conversion trend: distinct viewers vs distinct
+    buyers per Monday-start week, with their ratio — the time-resolved
+    companion of ``funnel_view_click_purchase`` (which measures ordered
+    stage progression over the whole corpus).
+
+    Determinism: integer distinct counts; one mirrored division; rate ≤ 1
+    so round-6 is safe.
+
+    Scale: one (week, type, user) distinct-ish aggregation — Catalyst
+    expands the two COUNT(DISTINCT) into a single partial-agg'd expand —
+    onto calendar-bounded output rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        F.date_trunc("week", "ts").alias("week"), "event_type", "user_id"
+    )
+    g = w.groupBy("week").agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_viewers"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_buyers"),
+    )
+    return g.select(
+        F.col("week").cast("timestamp").alias("week"),
+        "n_viewers",
+        "n_buyers",
+        F.round(
+            F.col("n_buyers").cast("double")
+            / F.col("n_viewers").cast("double"),
+            6,
+        ).alias("conversion_rate"),
+    )
+
+
+@query(
+    "audience_overlap_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, COUNT(*) AS n FROM s GROUP BY event_type
+    ),
+    ov AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_overlap
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n_overlap,
+           sa.n AS n_a, sb.n AS n_b,
+           round(CAST(n_overlap AS DOUBLE)
+                 / CAST(sa.n + sb.n - n_overlap AS DOUBLE), 6) AS jaccard
+    FROM ov
+    JOIN sizes sa ON sa.event_type = ov.type_a
+    JOIN sizes sb ON sb.event_type = ov.type_b
+    """,
+)
+def audience_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event-type user segments:
+    exact intersection size and Jaccard similarity for every unordered
+    type pair — the audience-dedup / campaign-planning readout (the HLL
+    sibling would sketch each segment and estimate the union; this is the
+    exact form, sized |types|²).
+
+    Determinism: integer set sizes; one mirrored division; Jaccard ≤ 1 so
+    round-6 is safe.
+
+    Scale: the distinct (type, user) frame shuffles once on user for the
+    self-join; output is |types|² rows.  At extreme segment counts swap
+    the pairwise self-join for per-segment HLL/bitmap sketches
+    (``rollup_cascade_daily_hll`` / ``bitmap_distinct_users`` machinery)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("event_type", "user_id").distinct()
+    sizes = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = s.select(F.col("event_type").alias("type_a"), "user_id")
+    b = s.select(F.col("event_type").alias("type_b"), "user_id")
+    ov = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    out = (
+        ov.join(
+            sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")),
+            "type_a",
+        )
+        .join(
+            sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")),
+            "type_b",
+        )
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_overlap",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_overlap").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_overlap")).cast(
+                "double"
+            ),
+            6,
+        ).alias("jaccard"),
+    )

@@ -118,3 +118,48 @@ def test_drift_monitor_example_runs_via_runner(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "health-report:" in out.stdout
     assert (tmp_path / "health" / "psi_price_drift").exists()
+
+
+def test_pareto_front_is_skyline(spark, sf_dir):
+    from dask_ssh_docker_spark.queries.segment_analytics import (
+        pareto_front_orders,
+    )
+
+    rows = sorted(
+        (r.asDict() for r in pareto_front_orders(spark, sf_dir).collect()),
+        key=lambda r: r["day"],
+    )
+    assert rows, "front must be non-empty"
+    # prices strictly increase along the front days
+    seen = []
+    for r in rows:
+        if seen and r["day"] != seen[-1]["day"]:
+            assert r["price"] > seen[-1]["price"]
+        seen.append(r)
+
+
+def test_funnel_weekly_rates_bounded(spark, sf_dir):
+    from dask_ssh_docker_spark.queries.segment_analytics import (
+        funnel_weekly_trend,
+    )
+
+    rows = [r.asDict() for r in funnel_weekly_trend(spark, sf_dir).collect()]
+    assert rows
+    for r in rows:
+        assert r["n_viewers"] > 0
+        assert 0 <= r["conversion_rate"] <= r["n_buyers"] or r["n_buyers"] == 0
+
+
+def test_audience_overlap_symmetric_complete(spark, sf_dir):
+    from dask_ssh_docker_spark.queries.segment_analytics import (
+        audience_overlap_pairs,
+    )
+
+    rows = [r.asDict() for r in audience_overlap_pairs(spark, sf_dir).collect()]
+    # 5 event types → C(5,2)=10 unordered pairs (shared users exist at
+    # every sf in the testdata)
+    assert len(rows) == 10
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0 <= r["n_overlap"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 <= r["jaccard"] <= 1.0
