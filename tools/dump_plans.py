@@ -37,8 +37,13 @@ QUERIES = [
     ("setsim_prefix_pairs", "prefix-filter ssjoin: persisted shingles, rarity window per doc (no global sort), prefix×prefix equijoin, candidates-only verify"),
     ("regression_price_on_qty", "grouped OLS: ONE partial/final moment aggregation, closed-form doubles map-side"),
     ("attribution_last_touch", "last-touch attribution: forward-fill carry over ONE user window exchange — no touches×purchases self-join"),
-    ("text_bm25_rank", "BM25: term filter BEFORE the explode shuffle; bounded df/stats broadcasts; TakeOrderedAndProject top-k"),
+    ("text_bm25_rank", "BM25: term filter BEFORE the explode shuffle; df table un-hinted (3 rows — AQE broadcasts); TakeOrderedAndProject top-k"),
     ("dq_expectations_orders", "DQ suite: ALL single-table checks in ONE conditional-count scan + one left-anti RI count"),
+    ("target_encode_loo", "LOO target encoding: ONE whole-partition category window — no join, exact-decimal sums"),
+    ("decayed_user_activity", "half-life decay: map-side integer 2^k weights + one user groupBy — plain-count shuffle shape"),
+    ("bootstrap_ci_revenue", "Poisson bootstrap: map-side x50 explode + 50-group partial agg (q1 shape) + 50-row rank window"),
+    ("cusum_changepoint_daily", "CUSUM: day-grain agg first; ordered scan + exact decimal x integer statistic over the bounded daily summary"),
+    ("ks_binned_click_view", "binned KS: map-side bin + <=256-cell agg; CDF window over the bounded summary only"),
 ]
 
 
