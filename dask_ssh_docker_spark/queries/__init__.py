@@ -129,9 +129,7 @@ _PRIORITY = [
     "attribution_last_touch",
     "text_bm25_rank",
     "sample_weighted_wor",
-    "dq_expectations_orders",
     "stream_static_enrich",
-    "agg_grouping_sets",
     # -- new, third wave this round (two-sample tests, drift/anomaly
     #    audits, feature engineering, trend smoothing, MMR re-rank) --
     "ks_binned_click_view",
@@ -164,6 +162,8 @@ _PRIORITY = [
     "pareto_front_orders",
     "funnel_weekly_trend",
     "audience_overlap_pairs",
+    "rfm_customer_segments",
+    "abc_part_classification",
     # -- displaced to the r5 window (each keeps an in-window kin sharing
     #    its machinery: decode_audio↔decode_image, variant_shred↔
     #    variant_props, sssp↔pagerank/triangles, trigram/markov↔

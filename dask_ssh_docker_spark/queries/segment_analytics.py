@@ -214,3 +214,133 @@ def audience_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     )
+
+
+_RFM_ANCHOR = "2001-08-02"
+
+
+@query(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             datediff('day', CAST(MAX(o_orderdate) AS DATE),
+                      DATE '{_RFM_ANCHOR}') AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey, recency_days, frequency, monetary,
+             NTILE(5) OVER (ORDER BY recency_days DESC, custkey) AS r_q,
+             NTILE(5) OVER (ORDER BY frequency, custkey) AS f_q,
+             NTILE(5) OVER (ORDER BY monetary, custkey) AS m_q
+      FROM base
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           r_q * 100 + f_q * 10 + m_q AS rfm_score
+    FROM scored
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days from last order to
+    the corpus anchor), Frequency (order count), Monetary (exact-decimal
+    spend), each quintiled with NTILE(5) — higher quintile = better
+    (most recent / most frequent / highest spend) — composed into the
+    classic 3-digit RFM score.
+
+    Determinism: NTILE is purely positional; every ordering carries the
+    custkey tie-break, so bucket boundaries are exact in both engines.
+    Monetary converts from an exact decimal (< 2^53 scaled units).
+
+    Scale: one customer-grain aggregation, then three NTILE windows over
+    the AGGREGATED frame (|customers| ≪ |orders|) — same
+    global-ordered-summary class as the Gini query; at extreme customer
+    counts swap NTILE for percentile-sketch bucket boundaries
+    (documented in SCALE.md)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(_RFM_ANCHOR).cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    r_q = F.ntile(5).over(
+        Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
+    )
+    f_q = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("custkey")))
+    m_q = F.ntile(5).over(Window.orderBy(F.asc("monetary"), F.asc("custkey")))
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (r_q * 100 + f_q * 10 + m_q).alias("rfm_score"),
+    )
+
+
+@query(
+    "abc_part_classification",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT partkey, rev,
+             CAST(SUM(rev) OVER (ORDER BY rev DESC, partkey)
+                  AS DECIMAL(18,2)) AS cum,
+             CAST(SUM(rev) OVER () AS DECIMAL(18,2)) AS tot
+      FROM p
+    )
+    SELECT partkey,
+           CAST(rev AS DOUBLE) AS revenue,
+           CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                WHEN cum * 100 <= tot * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue;
+    the head covering ≤80% of cumulative revenue is class A, ≤95% B,
+    the tail C — the standard 80/15/5 stock-priority split.
+
+    Determinism: the class test is the exact integer-decimal comparison
+    ``cum·100 ≤ tot·k`` — no float share ever computed, so boundary
+    parts classify identically in both engines (a double share at the
+    80.000…% edge would be a coin flip).
+
+    Scale: one part-grain aggregation, then a cumulative window over the
+    AGGREGATED frame ordered by (rev, partkey) — the Gini-class global
+    ordered summary; the revenue output is a safe cents-exact double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("rev")
+    )
+    wc = Window.orderBy(F.desc("rev"), F.asc("partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = p.select(
+        "partkey",
+        "rev",
+        F.sum("rev").over(wc).cast("decimal(18,2)").alias("cum"),
+        F.sum("rev").over(wall).cast("decimal(18,2)").alias("tot"),
+    )
+    return c.select(
+        "partkey",
+        F.col("rev").cast("double").alias("revenue"),
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -163,3 +163,41 @@ def test_audience_overlap_symmetric_complete(spark, sf_dir):
         assert r["type_a"] < r["type_b"]
         assert 0 <= r["n_overlap"] <= min(r["n_a"], r["n_b"])
         assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_rfm_quintiles_balanced_and_score_range(spark, sf_dir):
+    from dask_ssh_docker_spark.queries.segment_analytics import (
+        rfm_customer_segments,
+    )
+
+    rows = [r.asDict() for r in rfm_customer_segments(spark, sf_dir).collect()]
+    n = len(rows)
+    assert n > 0
+    for r in rows:
+        assert 111 <= r["rfm_score"] <= 555
+    # quintiles balance within 1 (NTILE contract) per digit
+    for digit, shift in (("r", 100), ("f", 10), ("m", 1)):
+        counts = {}
+        for r in rows:
+            q = (r["rfm_score"] // shift) % 10
+            counts[q] = counts.get(q, 0) + 1
+        assert set(counts) == {1, 2, 3, 4, 5}
+        assert max(counts.values()) - min(counts.values()) <= 1
+
+
+def test_abc_classes_cover_expected_shares(spark, sf_dir):
+    from dask_ssh_docker_spark.queries.segment_analytics import (
+        abc_part_classification,
+    )
+
+    rows = [r.asDict() for r in abc_part_classification(spark, sf_dir).collect()]
+    tot = sum(r["revenue"] for r in rows)
+    share = {}
+    for r in rows:
+        share[r["abc_class"]] = share.get(r["abc_class"], 0.0) + r["revenue"]
+    assert set(share) == {"A", "B", "C"}
+    a = share["A"] / tot
+    ab = (share["A"] + share["B"]) / tot
+    # boundary parts belong to the lower class, so shares land just at/below
+    assert 0.5 < a <= 0.80 + 1e-9
+    assert a < ab <= 0.95 + 1e-9
