@@ -316,3 +316,58 @@ def test_merge_upsert_full_outer_not_broadcast(spark, sf_dir, reg):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FullOuter" in plan
     assert "BroadcastHashJoin FullOuter" not in plan
+
+
+def test_target_encode_loo_single_exchange_no_join(spark, sf_dir, reg):
+    """LOO target encoding must be ONE whole-partition window on the
+    category key — a join-back implementation would add a second
+    exchange and a join."""
+    from dask_ssh_docker_spark.plans import count_exchanges, physical_plan
+
+    df = reg["target_encode_loo"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert "Join" not in physical_plan(df)
+
+
+def test_decayed_activity_plain_count_shuffle_shape(spark, sf_dir, reg):
+    """Half-life decay weighting is map-side: the plan is exactly a
+    partial/final aggregate over one exchange, same as a plain per-user
+    count."""
+    from dask_ssh_docker_spark.plans import count_exchanges
+
+    assert count_exchanges(reg["decayed_user_activity"].fn(spark, sf_dir)) == 1
+
+
+def test_pareto_front_no_global_window_over_raw_orders(spark, sf_dir, reg):
+    """The skyline's ordered scan must run over the day-grain summary:
+    the Window node's input comes from an Aggregate, never the raw
+    orders scan (a raw-row global window would single-partition 1.5M
+    rows at sf1)."""
+    from dask_ssh_docker_spark.plans import physical_plan
+
+    plan = physical_plan(reg["pareto_front_orders"].fn(spark, sf_dir))
+    # aggregation happens below the window: both appear, and the plan
+    # has an aggregate on the window's input side
+    assert "Window" in plan and "HashAggregate" in plan
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], "window must sit over the day summary"
+
+
+def test_brown_smoothing_single_exchange_two_windows(spark, sf_dir, reg):
+    """Both smoothing passes share the (user, day) ordering — Catalyst
+    must plan ONE exchange beyond the daily-grain aggregation (two total:
+    day grouping + user window), not one per window."""
+    from dask_ssh_docker_spark.plans import count_exchanges
+
+    assert count_exchanges(reg["holt_brown_forecast"].fn(spark, sf_dir)) <= 2
+
+
+def test_bitmap_distinct_partially_aggregates(spark, sf_dir, reg):
+    """The bitmap path must partial-aggregate (bitmap merge is
+    associative): two HashAggregate levels around each exchange, and no
+    Expand (the COUNT DISTINCT rewrite it replaces)."""
+    from dask_ssh_docker_spark.plans import physical_plan
+
+    plan = physical_plan(reg["bitmap_distinct_users"].fn(spark, sf_dir))
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 2
