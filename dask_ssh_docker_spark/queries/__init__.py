@@ -74,28 +74,26 @@ from . import segment_analytics  # noqa: E402,F401
 #   3. the second new-query wave (never driver-checked — new queries
 #      outrank stale-but-once-green ones): prefix-filter set-similarity
 #      join, the stats-inference suite, sequence mining, BM25/inverted
-#      index, weighted WOR sampling, the DQ expectation gate,
-#      stream-static enrich, GROUPING SETS;
-#   4. the r1 cohort: the 2 stalest of the 46 names whose newest driver
-#      row is from round 1 (re-proved by the r3 judge's HEAD sweep and
-#      this round's local full sweeps, but a judge run is not a driver
-#      row).
-# The remaining 44 r1 names lead the r5 rotation — the twelve listed
-# below plus the trailing cohort entries the new-query block displaced
-# (the driver records the FIRST 50 registered names; everything past
-# slot 50 keeps import order):
-# smoke_delayed_sum (constant-output smoke), join_cross_nation_region
-# (25×5 fixed-dim cross join), asof_backward_tolerance + asof_backward
-# (merge_asof machinery untouched for two rounds), and eight whose
-# operator families keep an in-window kin: sliding_window_30m
-# (resample_hourly), window_rank_fractions (window_ranking),
-# math_functions (str_functions / date_functions — same map-side
-# scalar-function machinery), json_map_schema (json_extract_props +
-# the new variant_props_extract subsume the JSON surface),
-# window_rolling_range_1h (window_rolling_rows),
-# window_forward_fill (interpolate family), rollup_cascade_daily
-# (rollup_cascade_daily_hll — same operator, new this round),
-# sessionize_10m (session_window machinery also in stream_sessionize).
+#      index, weighted WOR sampling, stream-static enrich;
+#   4-6. the third/fourth/fifth/sixth new waves from the later r4
+#      sessions: two-sample tests (binned KS / Mann-Whitney), drift
+#      audits (PSI / Benford / CUSUM), feature engineering (LOO target
+#      encoding / signed hashing / decayed activity / robust scaling),
+#      Brown smoothing, seasonality + WoW, bitmap exact-distinct,
+#      Poisson-bootstrap CI, top-bigram coverage, MMR re-rank, LPA
+#      communities, conversion latency, streaming PSI drift, canonical
+#      dedup survivors, Pareto front, funnel trend, audience overlap,
+#      RFM, ABC — the window is now EXACTLY 50 names, all either
+#      changed or brand-new this round.
+# Displaced to the r5 rotation (each keeps an in-window kin sharing its
+# machinery, plus its own pytest pins): decode_audio↔decode_image,
+# variant_shred↔variant_props, sssp/triangles↔pagerank/LPA,
+# trigram/markov↔attribution, inverted_index/heavy_hitters↔bm25,
+# snapshot_diff/scd2↔cdc_merge, winsorize↔robust_mad, grouping_sets↔
+# rollup/cube kin, dq_expectations↔profile machinery, mv/k-per-group/
+# rolling-median/mode/npy/rate-cap/dedup-watermark → pytest-pinned kin;
+# the r1 cohort (44 names whose newest driver row is round 1, re-proved
+# in every full local sweep this round) leads r5 after those.
 # Names not listed keep their import order after the listed ones.
 # ---------------------------------------------------------------------------
 
