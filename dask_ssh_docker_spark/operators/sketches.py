@@ -92,7 +92,12 @@ def misra_gries_candidates(df: DataFrame, key: str, k: int) -> DataFrame:
             for val, cnt in batch[key].value_counts(dropna=True).items():
                 counters[val] = counters.get(val, 0) + int(cnt)
             trim(counters)
-        yield pd.DataFrame({key: pd.array(list(counters.keys()))})
+        # Empty partitions (or all-null batches) must yield NOTHING:
+        # pd.array([]) infers a Float64 masked dtype and the Arrow
+        # serializer then rejects it against a string schema (hit on the
+        # sf1 layout, where one input split carries no rows).
+        if counters:
+            yield pd.DataFrame({key: pd.array(list(counters.keys()))})
 
     return df.select(key).mapInPandas(summarize, schema=f"{key} {spark_type}").distinct()
 
