@@ -53,6 +53,7 @@ from . import stats_tests  # noqa: E402,F401
 from . import mlprep  # noqa: E402,F401
 from . import advanced_analytics  # noqa: E402,F401
 from . import segment_analytics  # noqa: E402,F401
+from . import assoc_analytics  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -112,9 +113,7 @@ _PRIORITY = [
     "sim_topk_pq",
     "cdc_merge_upsert",
     "robust_outliers_mad",
-    "join_skew_audit",
     "bloom_semi_join_revenue",
-    "entropy_event_mix",
     "feature_minmax_scale",
     # -- new, second wave this round (stats inference, sequence mining,
     #    retrieval, prefix-filter ssjoin, weighted WOR sampling, DQ gate,
@@ -162,6 +161,8 @@ _PRIORITY = [
     "audience_overlap_pairs",
     "rfm_customer_segments",
     "abc_part_classification",
+    "text_pmi_cooccurrence",
+    "interarrival_stats_per_user",
     # -- displaced to the r5 window (each keeps an in-window kin sharing
     #    its machinery: decode_audio↔decode_image, variant_shred↔
     #    variant_props, sssp↔pagerank/triangles, trigram/markov↔

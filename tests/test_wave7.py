@@ -201,3 +201,34 @@ def test_abc_classes_cover_expected_shares(spark, sf_dir):
     # boundary parts belong to the lower class, so shares land just at/below
     assert 0.5 < a <= 0.80 + 1e-9
     assert a < ab <= 0.95 + 1e-9
+
+
+def test_pmi_symmetric_counts_and_bounds(spark, sf_dir):
+    from dask_ssh_docker_spark.queries.assoc_analytics import (
+        text_pmi_cooccurrence,
+    )
+
+    rows = [r.asDict() for r in text_pmi_cooccurrence(spark, sf_dir).collect()]
+    assert 0 < len(rows) <= 25
+    for r in rows:
+        assert r["t1"] < r["t2"]
+        assert 0 < r["c12"] <= min(r["c1"], r["c2"])
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_interarrival_cv_poissonish(spark, sf_dir):
+    """Synthetic events arrive roughly uniformly in time per user →
+    inter-arrival gaps are ~exponential → CV near 1 (well within
+    [0.3, 3]); means are positive and bounded by the 30-day span."""
+    from dask_ssh_docker_spark.queries.assoc_analytics import (
+        interarrival_stats_per_user,
+    )
+
+    rows = [
+        r.asDict() for r in interarrival_stats_per_user(spark, sf_dir).collect()
+    ]
+    assert rows
+    for r in rows:
+        assert 0 < r["mean_gap_s"] < 31 * 86400
+        assert 0.2 < r["gap_cv"] < 4.0
