@@ -114,7 +114,6 @@ _PRIORITY = [
     "cdc_merge_upsert",
     "robust_outliers_mad",
     "bloom_semi_join_revenue",
-    "feature_minmax_scale",
     # -- new, second wave this round (stats inference, sequence mining,
     #    retrieval, prefix-filter ssjoin, weighted WOR sampling, DQ gate,
     #    stream-static enrich, grouping sets) --
@@ -163,6 +162,7 @@ _PRIORITY = [
     "abc_part_classification",
     "text_pmi_cooccurrence",
     "interarrival_stats_per_user",
+    "gdpr_cascade_delete_audit",
     # -- displaced to the r5 window (each keeps an in-window kin sharing
     #    its machinery: decode_audio↔decode_image, variant_shred↔
     #    variant_props, sssp↔pagerank/triangles, trigram/markov↔

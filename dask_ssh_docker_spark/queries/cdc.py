@@ -195,3 +195,85 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("acctbal"),
     )
     return snapshot_diff(old, new, ["c_custkey"])
+
+
+_GDPR_HEX = "03"  # md5 prefix < '03' → ~1.2% of customers tombstoned
+
+
+@query(
+    "gdpr_cascade_delete_audit",
+    oracle=f"""
+    WITH tomb AS (
+      SELECT c_custkey FROM customer
+      WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '{_GDPR_HEX}'
+    ),
+    ords AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+    ),
+    c AS (
+      SELECT 'customer' AS table_name,
+             (SELECT COUNT(*) FROM customer) AS n_total,
+             (SELECT COUNT(*) FROM tomb) AS n_purged
+      UNION ALL
+      SELECT 'orders',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM ords)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM ords))
+    )
+    SELECT table_name, n_total, n_purged,
+           n_total - n_purged AS n_retained
+    FROM c
+    """,
+)
+def gdpr_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: given a deterministic
+    tombstone set (~1.2% of customers via md5 hex-prefix — standing in
+    for an erasure-request table), count the rows each referential hop
+    would purge: customer → orders (FK o_custkey) → lineitem (FK
+    l_orderkey).  The dry-run accounting a deletion pipeline emits
+    before executing the actual anti-join rewrite (which is the same
+    plan with ``left_anti`` in place of the counting semi join).
+
+    Determinism: md5 membership (re-partition-stable, engine-portable);
+    pure integer counts.
+
+    Scale: two key-propagation semi joins, each shuffling only the
+    (shrinking) key frontier — never table payloads; the per-table
+    counts are 1-row aggregates unioned into the 3-row report."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    tomb = cust.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2)
+        < _GDPR_HEX
+    ).select("c_custkey")
+    ords = orders.join(
+        tomb, orders.o_custkey == tomb.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li_hit = li.join(
+        ords, li.l_orderkey == ords.o_orderkey, "left_semi"
+    )
+
+    def row(name: str, total_df: DataFrame, purged_df: DataFrame) -> DataFrame:
+        t = total_df.agg(F.count(F.lit(1)).alias("n_total"))
+        p = purged_df.agg(F.count(F.lit(1)).alias("n_purged"))
+        return (
+            t.crossJoin(p)
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_total",
+                "n_purged",
+                (F.col("n_total") - F.col("n_purged")).alias("n_retained"),
+            )
+        )
+
+    return (
+        row("customer", cust, tomb)
+        .unionByName(row("orders", orders, ords))
+        .unionByName(row("lineitem", li, li_hit))
+    )

@@ -232,3 +232,20 @@ def test_interarrival_cv_poissonish(spark, sf_dir):
     for r in rows:
         assert 0 < r["mean_gap_s"] < 31 * 86400
         assert 0.2 < r["gap_cv"] < 4.0
+
+
+def test_gdpr_cascade_counts_consistent(spark, sf_dir):
+    from dask_ssh_docker_spark.queries.cdc import gdpr_cascade_delete_audit
+    from dask_ssh_docker_spark.sources import load_table
+
+    rows = {r["table_name"]: r.asDict()
+            for r in gdpr_cascade_delete_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert r["n_total"] == r["n_purged"] + r["n_retained"]
+        assert 0 <= r["n_purged"] < r["n_total"]
+    assert rows["customer"]["n_total"] == load_table(spark, sf_dir, "customer").count()
+    # the cascade amplifies down the FK chain: orders per customer ≈ 10,
+    # lineitems per order ≈ 4 — purge counts must be monotone under FK
+    # fan-out (allow equality in degenerate tiny samples)
+    assert rows["orders"]["n_purged"] >= rows["customer"]["n_purged"]
