@@ -110,7 +110,6 @@ _PRIORITY = [
     "pagerank_nation_trade",
     "variant_props_extract",
     "read_xml_roundtrip",
-    "sim_topk_pq",
     "cdc_merge_upsert",
     "robust_outliers_mad",
     "bloom_semi_join_revenue",
@@ -163,6 +162,7 @@ _PRIORITY = [
     "text_pmi_cooccurrence",
     "interarrival_stats_per_user",
     "gdpr_cascade_delete_audit",
+    "seasonal_decompose_daily",
     # -- displaced to the r5 window (each keeps an in-window kin sharing
     #    its machinery: decode_audio↔decode_image, variant_shred↔
     #    variant_props, sssp↔pagerank/triangles, trigram/markov↔

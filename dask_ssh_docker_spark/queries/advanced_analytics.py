@@ -590,3 +590,94 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.percentile("us", F.lit(0.5)) / 1000000.0).alias("p50_latency_s"),
         (F.percentile("us", F.lit(0.9)) / 1000000.0).alias("p90_latency_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (trend + DOW seasonal + residual)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             isodow(CAST(o_orderdate AS DATE)) - 1 AS dow,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s
+      FROM orders GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT day, dow, s,
+             CAST(SUM(s) OVER (ORDER BY day
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS DECIMAL(18,2)) AS fsum,
+             COUNT(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS fcnt
+      FROM daily
+    ),
+    inner_ AS (SELECT * FROM tr WHERE fcnt = 7),
+    seas AS (
+      SELECT dow,
+             CAST(SUM(CAST(s AS DECIMAL(18,2)) * 7 - fsum) AS DOUBLE)
+               / (7.0 * COUNT(*)) AS seasonal_raw,
+             COUNT(*) AS n_dow
+      FROM inner_ GROUP BY dow
+    )
+    SELECT CAST(i.day AS TIMESTAMP) AS day,
+           CAST(i.s AS DOUBLE) / 1000000.0 AS y_m,
+           CAST(i.fsum AS DOUBLE) / 7.0 / 1000000.0 AS trend_m,
+           seasonal_raw / 1000000.0 AS seasonal_m,
+           CAST(i.s AS DOUBLE) / 1000000.0
+             - CAST(i.fsum AS DOUBLE) / 7.0 / 1000000.0
+             - seasonal_raw / 1000000.0 AS resid_m
+    FROM inner_ i JOIN seas USING (dow)
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue:
+    ``y = trend + seasonal + residual`` with trend = centered 7-day
+    moving average and seasonal = per-day-of-week mean detrended value —
+    the moving-average decomposition (the first stage of STL), joining
+    EWMA/Brown/ACF/CUSUM to complete the time-series toolkit.  Edge days
+    (incomplete 7-day frames) are excluded so every trend is a full-week
+    average.
+
+    Determinism: frame sums run in exact DECIMAL (windowed double sums
+    use engine-specific addition trees — segment trees vs sliding
+    accumulation — and would drift); the detrended seasonal numerator is
+    the exact decimal ``7·y − Σframe``; every surfaced value (in revenue
+    millions) is a chain of identical single IEEE ops, emitted UNROUNDED.
+
+    Scale: day-grain aggregation (one shuffle), one ordered window over
+    the bounded daily summary, a 7-row seasonal aggregate joined back."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.weekday(F.col("o_orderdate").cast("date")).alias("dow"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("s"))
+    wf = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "dow",
+        "s",
+        F.sum("s").over(wf).cast("decimal(18,2)").alias("fsum"),
+        F.count(F.lit(1)).over(wf).alias("fcnt"),
+    ).filter(F.col("fcnt") == 7)
+    seas = tr.groupBy("dow").agg(
+        (
+            F.sum(F.col("s").cast("decimal(18,2)") * 7 - F.col("fsum"))
+            .cast("double")
+            / (7.0 * F.count(F.lit(1)))
+        ).alias("seasonal_raw"),
+    )
+    y_m = F.col("s").cast("double") / 1000000.0
+    trend_m = F.col("fsum").cast("double") / 7.0 / 1000000.0
+    seas_m = F.col("seasonal_raw") / 1000000.0
+    return tr.join(seas, "dow").select(
+        F.col("day").cast("timestamp").alias("day"),
+        y_m.alias("y_m"),
+        trend_m.alias("trend_m"),
+        seas_m.alias("seasonal_m"),
+        (y_m - trend_m - seas_m).alias("resid_m"),
+    )

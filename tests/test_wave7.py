@@ -249,3 +249,26 @@ def test_gdpr_cascade_counts_consistent(spark, sf_dir):
     # lineitems per order ≈ 4 — purge counts must be monotone under FK
     # fan-out (allow equality in degenerate tiny samples)
     assert rows["orders"]["n_purged"] >= rows["customer"]["n_purged"]
+
+
+def test_seasonal_decompose_identity_and_balance(spark, sf_dir):
+    from dask_ssh_docker_spark.queries.advanced_analytics import (
+        seasonal_decompose_daily,
+    )
+
+    rows = [r.asDict() for r in seasonal_decompose_daily(spark, sf_dir).collect()]
+    assert rows
+    # additive identity holds exactly by construction
+    for r in rows:
+        assert abs(r["y_m"] - r["trend_m"] - r["seasonal_m"] - r["resid_m"]) < 1e-9
+    # seasonal components sum ~0 across the 7 weekdays (mean-detrended)
+    import collections
+
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["seasonal_m"], 0)
+    # residuals average ~0 (trend+seasonal capture the systematic parts)
+    n = len(rows)
+    assert abs(sum(r["resid_m"] for r in rows) / n) < max(
+        abs(r["y_m"]) for r in rows
+    ) * 0.05
