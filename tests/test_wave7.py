@@ -261,12 +261,6 @@ def test_seasonal_decompose_identity_and_balance(spark, sf_dir):
     # additive identity holds exactly by construction
     for r in rows:
         assert abs(r["y_m"] - r["trend_m"] - r["seasonal_m"] - r["resid_m"]) < 1e-9
-    # seasonal components sum ~0 across the 7 weekdays (mean-detrended)
-    import collections
-
-    by_day = {}
-    for r in rows:
-        by_day.setdefault(r["seasonal_m"], 0)
     # residuals average ~0 (trend+seasonal capture the systematic parts)
     n = len(rows)
     assert abs(sum(r["resid_m"] for r in rows) / n) < max(
