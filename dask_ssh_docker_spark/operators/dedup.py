@@ -280,6 +280,9 @@ def cluster_min_label(
             if strict:
                 raise RuntimeError(msg)
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # label is localCheckpointed (independent of edges' lineage) — release
+    # the persisted edge set so long sessions don't accumulate cached blocks
+    edges.unpersist()
     return label.select(F.col("x").alias("id"), F.col("lbl").alias("cluster_id"))
 
 
@@ -313,6 +316,10 @@ def minhash_dedup(
     ).persist()
     ids = df.select(F.col(id_col).alias("id"))
     clusters = cluster_min_label(verified, ids)
+    # cluster_min_label localCheckpoints its labels, so the upstream
+    # shingle/verify caches are no longer reachable — release them.
+    verified.unpersist()
+    sh_arr.unpersist()
     return clusters.withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
 
 

@@ -306,14 +306,13 @@ def mmr_rerank(
         queries, corpus, k=pool, query_id=query_id,
         corpus_id=corpus_id, vec_col=vec_col,
     )
-    withvec = cands.join(
+    # The greedy MMR objective needs only candidate vectors plus the
+    # precomputed relevance sim — query vectors are already folded into
+    # `sim` by brute_force_topk, so no query-side join is needed.
+    grouped = cands.join(
         corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cvec")),
         corpus_id,
-    )
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
-    grouped = withvec.join(F.broadcast(q), query_id).select(
-        query_id, corpus_id, "sim", "__cvec"
-    )
+    ).select(query_id, corpus_id, "sim", "__cvec")
 
     out_schema = (
         f"{query_id} long, rank int, {corpus_id} long, "

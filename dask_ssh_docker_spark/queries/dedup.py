@@ -180,6 +180,10 @@ def dedup_clusters_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     ids = docs.select(F.col("doc_id").alias("id"))
     out = cluster_min_label(verified.select("id_a", "id_b"), ids)
+    # cluster_min_label localCheckpoints its labels — the shingle/verify
+    # caches are dead weight from here; release them (graph.py discipline).
+    verified.unpersist()
+    sh_arr.unpersist()
     return out.select(F.col("id").alias("doc_id"), "cluster_id").orderBy("doc_id")
 
 
@@ -283,6 +287,10 @@ def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     ids = docs.select(F.col("doc_id").alias("id"))
     clusters = cluster_min_label(verified.select("id_a", "id_b"), ids)
+    # labels are localCheckpointed — release the upstream caches so
+    # repeated invocations in a long session don't accumulate blocks.
+    verified.unpersist()
+    sh_arr.unpersist()
     sized = clusters.join(
         docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
     )

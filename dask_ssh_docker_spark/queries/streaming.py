@@ -319,7 +319,8 @@ _PSI_NB = 10
     oracle=f"""
     WITH b AS (
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
-             LEAST(CAST(floor(value / 50.0) AS BIGINT), {_PSI_NB - 1}) AS bin,
+             GREATEST(LEAST(CAST(floor(value / 50.0) AS BIGINT),
+                            {_PSI_NB - 1}), 0) AS bin,
              COUNT(*) AS c
       FROM events GROUP BY 1, 2
     ),

@@ -293,9 +293,15 @@ def binned_window_counts(
     state is watermark-bounded exactly like ``tumbling_counts``."""
     binned = stream.withWatermark("ts", watermark).withColumn(
         "bin",
-        F.least(
-            F.floor(F.col("value") / bin_width).cast("bigint"),
-            F.lit(n_bins - 1),
+        # clamp BOTH ends: without the lower clamp a negative value mints
+        # unbounded negative bin ids, breaking the bins-are-a-constant
+        # state bound this docstring promises
+        F.greatest(
+            F.least(
+                F.floor(F.col("value") / bin_width).cast("bigint"),
+                F.lit(n_bins - 1),
+            ),
+            F.lit(0).cast("bigint"),
         ),
     )
     return (
