@@ -119,6 +119,21 @@ def hinted_unbounded_aggregate_broadcasts(df: DataFrame) -> list[str]:
     return bad
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of ``Window`` nodes with an EMPTY partition spec in the
+    analyzed logical plan — each one executes as a single-partition
+    sort of its whole input (the 100 TB straggler/OOM shape that
+    ``operators/ranking.py`` exists to eliminate).  0 means every
+    ordered window in the plan is keyed."""
+    plan = df._jdf.queryExecution().analyzed()
+    n = 0
+    for node in _iter_plan_nodes(plan):
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().length() == 0:
+                n += 1
+    return n
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
 

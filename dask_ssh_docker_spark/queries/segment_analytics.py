@@ -254,11 +254,14 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey tie-break, so bucket boundaries are exact in both engines.
     Monetary converts from an exact decimal (< 2^53 scaled units).
 
-    Scale: one customer-grain aggregation, then three NTILE windows over
-    the AGGREGATED frame (|customers| ≪ |orders|) — same
-    global-ordered-summary class as the Gini query; at extreme customer
-    counts swap NTILE for percentile-sketch bucket boundaries
-    (documented in SCALE.md)."""
+    Scale: one customer-grain aggregation, then three EXACT NTILEs from
+    the distributed rank decomposition (``operators/ranking.py``:
+    sketch-bucketed rank + broadcast offsets — bit-equal to the
+    single-partition NTILE window it replaces, pinned in
+    tests/test_ranking.py) — no unpartitioned window anywhere in the
+    plan (the r4 scale-killer; plan-asserted in tests/test_plans.py)."""
+    from ..operators.ranking import with_global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(
@@ -270,17 +273,23 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    r_q = F.ntile(5).over(
-        Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
+    scored = with_global_ntile(
+        base, [("recency_days", False), ("custkey", True)], 5, out="r_q"
     )
-    f_q = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("custkey")))
-    m_q = F.ntile(5).over(Window.orderBy(F.asc("monetary"), F.asc("custkey")))
-    return base.select(
+    scored = with_global_ntile(
+        scored, [("frequency", True), ("custkey", True)], 5, out="f_q"
+    )
+    scored = with_global_ntile(
+        scored, [("monetary", True), ("custkey", True)], 5, out="m_q"
+    )
+    return scored.select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary",
-        (r_q * 100 + f_q * 10 + m_q).alias("rfm_score"),
+        (
+            F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")
+        ).alias("rfm_score"),
     )
 
 
@@ -317,24 +326,31 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts classify identically in both engines (a double share at the
     80.000…% edge would be a coin flip).
 
-    Scale: one part-grain aggregation, then a cumulative window over the
-    AGGREGATED frame ordered by (rev, partkey) — the Gini-class global
-    ordered summary; the revenue output is a safe cents-exact double."""
+    Scale: one part-grain aggregation, then the cumulative revenue comes
+    from the distributed running-sum decomposition
+    (``operators/ranking.py`` — exact decimal arithmetic end to end,
+    per-bucket window + broadcast lower-bucket offsets) and the total
+    from a 1-row broadcast aggregate — no unpartitioned window in the
+    plan (the r4 scale-killer; plan-asserted in tests/test_plans.py);
+    the revenue output is a safe cents-exact double."""
+    from ..operators.ranking import with_global_running_sum
+
     li = load_table(spark, sf_dir, "lineitem")
     p = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("rev")
     )
-    wc = Window.orderBy(F.desc("rev"), F.asc("partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    c = p.select(
-        "partkey",
-        "rev",
-        F.sum("rev").over(wc).cast("decimal(18,2)").alias("cum"),
-        F.sum("rev").over(wall).cast("decimal(18,2)").alias("tot"),
+    tot = p.agg(F.sum("rev").cast("decimal(18,2)").alias("tot"))
+    c = (
+        with_global_running_sum(
+            p, [("rev", False), ("partkey", True)], "rev", out="__cum"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "partkey",
+            "rev",
+            F.col("__cum").cast("decimal(18,2)").alias("cum"),
+            "tot",
+        )
     )
     return c.select(
         "partkey",

@@ -189,18 +189,19 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines rank identically); the final G is one identical
     double expression.
 
-    Scale: aggregate to |customers| rows, then ONE global sort for the
-    ranks (rank-by-value is inherently a total order — at 100 TB the
-    same readout is approximated from a quantile sketch of the revenue
-    distribution instead of an exact sort; see SCALE.md)."""
+    Scale: aggregate to |customers| rows, then the ranks come from the
+    DISTRIBUTED rank decomposition (``operators/ranking.py``): quantile-
+    sketch bucket edges → map-side bucketing → per-bucket window + tiny
+    broadcast offsets — exact ranks, no single-partition sort (the r4
+    scale-killer; plan-asserted window-free in tests/test_plans.py)."""
+    from ..operators.ranking import with_global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice")).cast("decimal(14,2)").alias("r")
     )
-    ranked = rev.select(
-        "o_custkey",
-        "r",
-        F.row_number().over(Window.orderBy("r", "o_custkey")).alias("i"),
+    ranked = with_global_row_number(
+        rev, [("r", True), ("o_custkey", True)], out="i"
     )
     n = F.count(F.lit(1)).cast("double")
     sr = F.sum("r").cast("double")

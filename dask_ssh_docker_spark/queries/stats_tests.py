@@ -149,10 +149,14 @@ def mannwhitney_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fixed IEEE op tree (sqrt is correctly rounded by IEEE 754 in both
     engines), with 6-decimal display rounding.
 
-    Scale: one groupBy per distinct metric value (bounded for quantized
-    metrics — cents here; ~49 k distinct — else pre-bin like the KS
-    query), then an ordered window over the distinct-value summary only,
-    never the raw rows."""
+    Scale: one groupBy per distinct metric value, then the below-value
+    view-count prefix comes from the distributed running-sum
+    decomposition (``operators/ranking.py`` — sketch-bucketed cumsum
+    with broadcast offsets), so even an unbounded distinct-value grain
+    never hits a single-partition ordered window (the r4 scale-killer;
+    plan-asserted in tests/test_plans.py)."""
+    from ..operators.ranking import with_global_running_sum
+
     ev = load_table(spark, sf_dir, "events")
     s = ev.filter(F.col("event_type").isin("click", "view")).select(
         "value",
@@ -161,11 +165,12 @@ def mannwhitney_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = s.groupBy("value").agg(
         F.sum("ia").alias("ca"), F.sum(F.lit(1) - F.col("ia")).alias("cb")
     )
-    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    c = b.select(
+    c = with_global_running_sum(
+        b, [("value", True)], "cb", out="__cumb"
+    ).select(
         "ca",
         "cb",
-        (F.sum("cb").over(wcum) - F.col("cb")).alias("cumb_less"),
+        (F.col("__cumb") - F.col("cb")).alias("cumb_less"),
     )
     t = c.agg(
         F.sum(

@@ -371,3 +371,22 @@ def test_bitmap_distinct_partially_aggregates(spark, sf_dir, reg):
     plan = physical_plan(reg["bitmap_distinct_users"].fn(spark, sf_dir))
     assert "Expand" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_global_ordered_summaries_have_no_unpartitioned_window(spark, sf_dir, reg):
+    """The r4 'global-window quantile/ranking class' scale fix: the four
+    queries that used to plan a single-partition ordered window (ntile /
+    row_number / running sum over the whole frame) now decompose through
+    operators/ranking.py — every Window in their plans must carry a
+    partition key (the sketch bucket), so no task ever sorts the whole
+    grain."""
+    from dask_ssh_docker_spark.plans import unpartitioned_window_count
+
+    for qname in (
+        "rfm_customer_segments",
+        "abc_part_classification",
+        "gini_revenue_concentration",
+        "mannwhitney_click_view",
+    ):
+        df = reg[qname].fn(spark, sf_dir)
+        assert unpartitioned_window_count(df) == 0, qname

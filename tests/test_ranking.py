@@ -1,0 +1,127 @@
+"""operators/ranking.py: distributed rank/ntile/cumsum must equal the
+single-partition-window answers bit-for-bit, with no unpartitioned
+Window in their plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dask_ssh_docker_spark.operators.ranking import (
+    assign_quantile_buckets,
+    with_global_ntile,
+    with_global_row_number,
+    with_global_running_sum,
+)
+from dask_ssh_docker_spark.plans import unpartitioned_window_count
+from dask_ssh_docker_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def base(spark, sf_dir):
+    # customer-grain aggregate with real ties in the order columns
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"),
+        )
+    )
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_row_number_matches_global_window_asc_and_desc(base):
+    for asc in (True, False):
+        got = with_global_row_number(
+            base, [("cnt", asc), ("k", True)], out="rn", n_buckets=8
+        )
+        order = [F.asc("cnt") if asc else F.desc("cnt"), F.asc("k")]
+        want = base.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        )
+        assert _rows(got, "k", "rn") == _rows(want, "k", "rn")
+
+
+def test_row_number_no_unpartitioned_window(base):
+    got = with_global_row_number(base, [("cnt", True), ("k", True)], n_buckets=8)
+    assert unpartitioned_window_count(got) == 0
+    # sanity: the naive twin DOES have one (helper detects the bad shape)
+    naive = base.withColumn(
+        "rn", F.row_number().over(Window.orderBy("cnt", "k"))
+    )
+    assert unpartitioned_window_count(naive) == 1
+
+
+def test_ntile_matches_global_window(base):
+    for k in (5, 7):
+        got = with_global_ntile(
+            base, [("rev", True), ("k", True)], k=k, out="t", n_buckets=8
+        )
+        want = base.withColumn(
+            "t", F.ntile(k).over(Window.orderBy(F.asc("rev"), F.asc("k")))
+        )
+        assert _rows(got, "k", "t") == _rows(want, "k", "t")
+
+
+def test_ntile_more_tiles_than_rows(spark):
+    df = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    got = with_global_ntile(df, [("v", True), ("k", True)], k=10, out="t")
+    # SQL NTILE with n < k: each row its own tile = its row number
+    assert _rows(got, "k", "t") == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_running_sum_matches_global_window_decimal_exact(base):
+    got = with_global_running_sum(
+        base, [("rev", False), ("k", True)], "rev", out="cum", n_buckets=8
+    ).select("k", F.col("cum").cast("decimal(18,2)").alias("cum"))
+    w = Window.orderBy(F.desc("rev"), F.asc("k")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = base.select(
+        "k", F.sum("rev").over(w).cast("decimal(18,2)").alias("cum")
+    )
+    assert _rows(got, "k", "cum") == _rows(want, "k", "cum")
+
+
+def test_running_sum_no_unpartitioned_window(base):
+    got = with_global_running_sum(
+        base, [("rev", False), ("k", True)], "rev", out="cum", n_buckets=8
+    )
+    assert unpartitioned_window_count(got) == 0
+
+
+def test_assign_quantile_buckets_membership_and_agreement(base):
+    got = assign_quantile_buckets(base, "rev", k=5, out="b", accuracy=100000)
+    rows = {r["k"]: r["b"] for r in got.collect()}
+    assert set(rows.values()) <= set(range(1, 6))
+    # monotone in the key: sort by (rev, k) and check bucket never drops
+    ordered = [
+        rows[r["k"]]
+        for r in base.select("k", "rev").orderBy("rev", "k").collect()
+    ]
+    assert all(a <= b for a, b in zip(ordered, ordered[1:]))
+    # high agreement with exact NTILE (differs only at tie/sketch edges)
+    exact = {
+        r["k"]: r["t"]
+        for r in base.withColumn(
+            "t", F.ntile(5).over(Window.orderBy(F.asc("rev"), F.asc("k")))
+        ).collect()
+    }
+    agree = sum(1 for k in rows if rows[k] == exact[k]) / len(rows)
+    assert agree >= 0.95
+
+
+def test_ties_stay_in_one_bucket_and_rank_deterministic(spark):
+    # a frame that is ONE massive tie: every rank decided by the tiebreak
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(7).alias("v")
+    )
+    got = with_global_row_number(
+        df, [("v", True), ("k", True)], out="rn", n_buckets=8
+    )
+    assert _rows(got, "k", "rn") == [(i, i + 1) for i in range(1000)]
