@@ -9,6 +9,9 @@ cluster; this package re-expresses that capability surface Spark-first:
   mirroring the contract of ``/root/reference/bin/dask-ssh-docker:76-99``).
 - :mod:`.runner`     — CLI script runner (``main(argv)`` protocol of
   ``/root/reference/bin/dask-ssh-docker:96-99``).
+- :mod:`.delayed`    — the ``dask.delayed`` call idiom executed on Spark
+  workers (the reference's demonstrated workloads,
+  ``/root/reference/example/test.py:23``).
 - :mod:`.sources`    — readers/writers (SURVEY.md §2.B).
 - :mod:`.operators`  — relational + custom operators: as-of join, dedup
   (exact/MinHash/SimHash/Jaccard/embedding), similarity search, rolling /
@@ -22,6 +25,7 @@ Everything is built on the public PySpark 4.x DataFrame/SQL API; no code is
 copied from the reference.
 """
 
+from .delayed import Delayed, compute, delayed
 from .session import get_session, stop_session
 from . import functions, operators, plans, sources, streaming  # noqa: F401
 
@@ -30,6 +34,9 @@ __version__ = "0.1.0"
 __all__ = [
     "get_session",
     "stop_session",
+    "delayed",
+    "compute",
+    "Delayed",
     "functions",
     "operators",
     "plans",

@@ -607,6 +607,38 @@ def smoke_delayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.range(1000).agg(F.sum("id").cast("bigint").alias("total"))
 
 
+@query(
+    "delayed_api_smoke",
+    oracle="""
+    SELECT 'custom_func' AS workload,
+           CAST(SUM(r + 1) AS BIGINT) AS result FROM range(100) t(r)
+    UNION ALL
+    SELECT 'delayed_sum' AS workload,
+           CAST(SUM(r) AS BIGINT) AS result FROM range(1000) t(r)
+    """,
+)
+def delayed_api_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both reference smoke workloads run through the REAL imperative
+    ``delayed`` API (``dask_ssh_docker_spark.delayed`` — task payloads
+    cloudpickled onto Spark workers, one job per dependency layer):
+    ``delayed(sum)(range(1000))`` (= ``/root/reference/example/test.py:23``)
+    and ``delayed(func)(range(100))`` with the custom-image ``func``
+    (``/root/reference/example/custom_image/my_library.py``), the list
+    result folded to a comparable scalar with a chained delayed node.
+    The scalars land in a 2-row frame so the driver's oracle hash covers
+    the whole layer end-to-end."""
+    from ..delayed import delayed
+
+    total = delayed(sum)(range(1000))
+    func_list = delayed(lambda x: [i + 1 for i in x])(range(100))
+    func_total = delayed(sum)(func_list)
+    rows = [
+        ("custom_func", func_total.compute(spark)),
+        ("delayed_sum", total.compute(spark)),
+    ]
+    return spark.createDataFrame(rows, "workload string, result bigint")
+
+
 # rendered fixed-width dir per sf_dir (see read_fwf_roundtrip)
 _FWF_RENDER_CACHE: dict[str, str] = {}
 

@@ -48,6 +48,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--master", default=None, help="Spark master (default: env/local[*])")
     p.add_argument(
+        "--hosts",
+        default=None,
+        metavar="FILE|h1,h2,...",
+        help="hostfile (one host per line) or comma list; first host "
+        "becomes spark://host:7077, the rest run workers "
+        "(reference bin/dask-ssh-docker hosts contract)",
+    )
+    p.add_argument(
         "--conf", action="append", default=[], metavar="k=v", help="extra Spark conf"
     )
     p.add_argument(
@@ -97,6 +105,16 @@ def main(argv: list[str] | None = None) -> int:
         ours, theirs = argv, []
     args = build_parser().parse_args(ours)
     script_args = list(args.script_args) + theirs
+
+    if args.hosts:
+        if args.master:
+            raise SystemExit("--hosts and --master are mutually exclusive")
+        from .session import master_from_hosts, parse_hosts
+
+        try:
+            args.master = master_from_hosts(parse_hosts(args.hosts))
+        except ValueError as e:
+            raise SystemExit(str(e))
 
     conf = {}
     for kv in args.conf:

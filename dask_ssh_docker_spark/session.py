@@ -87,6 +87,38 @@ def default_conf(parallelism: int | None = None, master: str | None = None) -> d
     return out
 
 
+def parse_hosts(spec: str) -> list[str]:
+    """Resolve a ``--hosts`` value into a host list, mirroring the
+    reference CLI (``/root/reference/bin/dask-ssh-docker:50-59``): a
+    value naming an existing file is read as a hostfile (one host per
+    line, blank lines dropped); otherwise it's a comma-separated list.
+    """
+    if os.path.exists(spec):
+        with open(spec) as fh:
+            lines = re.split(r"\r?\n", fh.read())
+        return [h.strip() for h in lines if h.strip()]
+    return [h.strip() for h in spec.split(",") if h.strip()]
+
+
+def master_from_hosts(hosts: list[str], port: int = 7077) -> str:
+    """First host becomes the master URL (`spark://host:port`) —
+    the reference's "first host runs the scheduler, the rest are
+    workers" contract (``bin/dask-ssh-docker`` help text + the ≥2-host
+    guard at ``:61-63``).  Spark's cluster manager owns worker daemon
+    lifecycle (SURVEY §7 "what NOT to build" — no SSH/Docker
+    transport), so the remaining hosts are where ``start-worker.sh
+    spark://host:port`` runs; this helper only completes the CLI
+    parity: hostfile in, master URL out, same failure mode on a
+    single-host list."""
+    hosts = [h.strip() for h in hosts if h.strip()]
+    if len(hosts) <= 1:
+        raise ValueError(
+            "at least two hosts are required: a master and one or more "
+            "workers (reference contract, bin/dask-ssh-docker:61-63)"
+        )
+    return f"spark://{hosts[0]}:{port}"
+
+
 def get_session(
     app_name: str = "spark-graft",
     master: str | None = None,
