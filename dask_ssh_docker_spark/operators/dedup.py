@@ -216,8 +216,28 @@ def jaccard_verify(
     )
 
 
+def cut_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Eager lineage cut for iterative loops.  Default: ``localCheckpoint``
+    — blocks live in executor memory/disk, zero HDFS round-trip, ideal in
+    local mode and for short loops.  On a REAL cluster a lost executor
+    loses its localCheckpoint blocks and the (cut) lineage cannot recompute
+    them — the job dies; pass ``checkpoint_dir`` (an HDFS/S3/shared path)
+    to switch to reliable ``checkpoint()`` whose files survive executor
+    loss (the standard durability/latency trade; results are identical,
+    pytest-pinned in tests/test_sketches_graph.py)."""
+    if checkpoint_dir:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def cluster_min_label(
-    pairs: DataFrame, ids: DataFrame, cc_iters: int = 20, strict: bool = True
+    pairs: DataFrame,
+    ids: DataFrame,
+    cc_iters: int = 20,
+    strict: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster_id): connected components of the pair graph by iterated
     min-label propagation; singletons keep their own id.  Labels advance
@@ -228,6 +248,9 @@ def cluster_min_label(
     if the cap is hit while labels are still moving, the components are
     split — ``strict=True`` (default) raises, ``strict=False`` warns and
     returns the partial labels.
+
+    ``checkpoint_dir``: see ``cut_lineage`` — pass a shared path on a
+    real cluster so iteration state survives executor loss.
     """
     import warnings
     edges = (
@@ -250,8 +273,8 @@ def cluster_min_label(
             )
             # cut lineage: without this each iteration re-executes every
             # prior iteration's joins (exponential recompute)
-            .localCheckpoint(eager=True)
         )
+        new_label = cut_lineage(new_label, checkpoint_dir)
         changed = new_label.filter("__chg").limit(1).count()
         label = new_label.drop("__chg")
         if changed == 0:  # converged — skip the remaining rounds
