@@ -61,149 +61,80 @@ from . import assoc_analytics  # noqa: E402,F401
 #
 # The driver's correctness gate checks queries in registration order and has
 # a bounded budget (each round records exactly the first 50 names).  The
-# window rotates every round so no query's newest driver row goes stale
-# (VERDICT r3 item 3).  Round-4 window, in order:
-#   1. queries CHANGED this round (must re-prove green):
-#      window_ewma_bounded / anomaly_zscore_ewma (bitwise-identical EWMA
-#      divisor), window_rolling_corr (NaN→NULL normalization),
-#   2. queries NEW this round (scale-path dedup CC, real PNG/audio
-#      decode, HLL rollup cascade — rows-only by nature — plus PageRank,
-#      two-pass heavy hitters, the VARIANT surface, the XML round trip,
-#      streaming watermark dedup + rate cap, SSSP, PQ ANN, the CDC
-#      merge/SCD2 pair, triangle counts, and the robust-stats audits —
-#      all oracle-bearing except the rows-only-by-nature ones),
-#   3. the second new-query wave (never driver-checked — new queries
-#      outrank stale-but-once-green ones): prefix-filter set-similarity
-#      join, the stats-inference suite, sequence mining, BM25/inverted
-#      index, weighted WOR sampling, stream-static enrich;
-#   4-6. the third/fourth/fifth/sixth new waves from the later r4
-#      sessions: two-sample tests (binned KS / Mann-Whitney), drift
-#      audits (PSI / Benford / CUSUM), feature engineering (LOO target
-#      encoding / signed hashing / decayed activity / robust scaling),
-#      Brown smoothing, seasonality + WoW, bitmap exact-distinct,
-#      Poisson-bootstrap CI, top-bigram coverage, MMR re-rank, LPA
-#      communities, conversion latency, streaming PSI drift, canonical
-#      dedup survivors, Pareto front, funnel trend, audience overlap,
-#      RFM, ABC — the window is now EXACTLY 50 names, all either
-#      changed or brand-new this round.
-# Displaced to the r5 rotation (each keeps an in-window kin sharing its
-# machinery, plus its own pytest pins): decode_audio↔decode_image,
-# variant_shred↔variant_props, sssp/triangles↔pagerank/LPA,
-# trigram/markov↔attribution, inverted_index/heavy_hitters↔bm25,
-# snapshot_diff/scd2↔cdc_merge, winsorize↔robust_mad, grouping_sets↔
-# rollup/cube kin, dq_expectations↔profile machinery, mv/k-per-group/
-# rolling-median/mode/npy/rate-cap/dedup-watermark → pytest-pinned kin;
-# the r1 cohort (44 names whose newest driver row is round 1, re-proved
-# in every full local sweep this round) leads r5 after those.
+# window rotates every round so no query's newest driver row goes stale.
+# Round-6 window (VERDICT r5 item 1 — the #1 ask):
+#   1. the 29 registry names that have NEVER appeared in any driver
+#      CORRECTNESS window across r01-r05 (computed as
+#      REGISTRY - union(CORRECTNESS_r01..r05 keys)).  After this round
+#      every registry entry has driver-side evidence.  tools/check_all.sh
+#      now enforces this invariant (never-checked guard, VERDICT r5
+#      item 2).
+#   2. queries whose machinery CHANGED this round and must re-prove
+#      green: the minhash-CC dedup pair (CC-loop round-trip fix,
+#      VERDICT r5 item 3), the prefix-filter set-sim join (PPJoin
+#      length filter, item 5), the four global-ranking consumers
+#      (ranking.py dtype/edge-consistency hardening, ADVICE r5), the
+#      ANN family (sf0.1 recall pins, item 8), and the delayed smoke
+#      (futures surface wrappers, item 7).
+#   3. flagship r1 anchors to keep a fresh driver row on the bench
+#      headliners (q1/q3/q5, exact dedup, as-of, TF-IDF, quality).
 # Names not listed keep their import order after the listed ones.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- changed this round: re-prove first --
-    "window_ewma_bounded",
-    "anomaly_zscore_ewma",
-    "window_rolling_corr",
-    # -- new this round --
+    # -- 1. never driver-checked before r6 (29 names) --
+    "delayed_api_smoke",
+    "window_rolling_median",
+    "sim_topk_pq",
+    "stream_dedup_watermark",
+    "stream_rate_cap_user",
+    "stream_mv_user_totals",
+    "multimodal_decode_audio",
+    "multimodal_image_features",
+    "agg_mode_per_group",
+    "feature_minmax_scale",
+    "winsorize_bounds_audit",
+    "entropy_event_mix",
+    "ab_test_welch",
+    "heavy_hitter_tokens",
+    "sssp_nation_trade",
+    "triangle_count_trade",
+    "variant_shred_roundtrip",
+    "scd2_priority_history",
+    "cdc_snapshot_diff",
+    "profile_orders_columns",
+    "join_skew_audit",
+    "sample_k_per_group",
+    "copurchase_part_pairs",
+    "dq_expectations_orders",
+    "npy_source_norms",
+    "agg_grouping_sets",
+    "markov_event_transitions",
+    "event_trigram_paths",
+    "inverted_index_postings",
+    # -- 2. machinery changed this round: re-prove --
     "dedup_clusters_minhash_cc",
-    "multimodal_decode_image",
-    "rollup_cascade_daily_hll",
-    "pagerank_nation_trade",
-    "variant_props_extract",
-    "read_xml_roundtrip",
-    "cdc_merge_upsert",
-    "robust_outliers_mad",
-    "bloom_semi_join_revenue",
-    # -- new, second wave this round (stats inference, sequence mining,
-    #    retrieval, prefix-filter ssjoin, weighted WOR sampling, DQ gate,
-    #    stream-static enrich, grouping sets) --
-    "setsim_prefix_pairs",
-    "regression_price_on_qty",
-    "chisq_flag_status",
-    "gini_revenue_concentration",
-    "acf_daily_revenue",
-    "attribution_last_touch",
-    "text_bm25_rank",
-    "sample_weighted_wor",
-    "stream_static_enrich",
-    # -- new, third wave this round (two-sample tests, drift/anomaly
-    #    audits, feature engineering, trend smoothing, MMR re-rank) --
-    "ks_binned_click_view",
-    "mannwhitney_click_view",
-    "psi_price_drift",
-    "benford_price_digits",
-    "target_encode_loo",
-    "feature_hash_signed",
-    "decayed_user_activity",
-    "holt_brown_forecast",
-    "sim_mmr_rerank",
-    # -- new, fourth wave this round (changepoint, seasonality, bitmap
-    #    exact-distinct, Poisson-bootstrap CI, Gopher repetition metric,
-    #    robust scaling) --
-    "cusum_changepoint_daily",
-    "seasonality_dow_index",
-    "wow_growth_weekly",
-    "bitmap_distinct_users",
-    "bootstrap_ci_revenue",
-    "text_top_bigram_coverage",
-    "feature_robust_scale",
-    # -- new, fifth wave this round (LPA communities, conversion latency,
-    #    streaming PSI drift monitor, canonical dedup survivors) --
-    "label_propagation_communities",
-    "conversion_latency_quantiles",
-    "stream_psi_drift",
     "dedup_canonical_survivors",
-    # -- new, sixth wave this round (skyline, funnel trend, audience
-    #    overlap) --
-    "pareto_front_orders",
-    "funnel_weekly_trend",
-    "audience_overlap_pairs",
+    "setsim_prefix_pairs",
+    "gini_revenue_concentration",
     "rfm_customer_segments",
     "abc_part_classification",
-    "text_pmi_cooccurrence",
-    "interarrival_stats_per_user",
-    "gdpr_cascade_delete_audit",
-    "seasonal_decompose_daily",
-    # -- displaced to the r5 window (each keeps an in-window kin sharing
-    #    its machinery: decode_audio↔decode_image, variant_shred↔
-    #    variant_props, sssp↔pagerank/triangles, trigram/markov↔
-    #    attribution, inverted_index/heavy_hitters↔bm25, snapshot_diff/
-    #    scd2↔cdc_merge, winsorize↔robust_mad, mv/profile/k-per-group/
-    #    rolling-median/mode/npy → pytest-pinned kin) plus the r1
-    #    cohort, keeping import order --
+    "mannwhitney_click_view",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_topk_bruteforce",
+    "smoke_delayed_sum",
+    # -- 3. flagship anchors (bench headliners) --
     "q1_pricing_summary",
-    "join_semi_orders",
-    "join_anti_customers",
-    "join_left_order_counts",
-    "filter_project_lineitem",
-    "sample_systematic",
-    "null_handling",
-    "agg_global_stats",
-    "agg_rollup",
-    "value_counts_events",
-    "agg_corr_stats",
-    "topk_orders",
-    "dedup_keep_first",
-    "distinct_pairs",
-    "set_intersect",
-    "set_except",
-    "concat_union",
-    "join_full_outer",
-    "union_missing_columns",
-    "merge_indicator",
-    "explode_outer_null_preserving",
-    "str_functions",
-    "str_split_explode",
-    "date_functions",
-    "json_extract_props",
-    "cast_surface",
-    "str_functions_extended",
-    "fuzzy_levenshtein_pairs",
-    "numeric_format_conv",
-    "window_ranking",
-    "window_lag_lead",
-    "window_cumsum",
-    "window_rolling_rows",
-    "resample_hourly",
+    "q3_top_unshipped_orders",
+    "q5_region_revenue",
+    "dedup_exact_groups",
+    "asof_backward",
+    "text_tfidf_top_terms",
+    "text_quality",
+    "pagerank_nation_trade",
+    "cdc_merge_upsert",
+    "text_bm25_rank",
 ]
 
 

@@ -4,6 +4,8 @@
 #   3. bench JSON line
 set -e
 cd "$(dirname "$0")/.."
+echo "== never-checked guard =="
+python tools/check_never_checked.py
 echo "== pytest =="
 python -m pytest tests/ -q
 echo "== oracle (engine session) =="
