@@ -95,6 +95,25 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) 
     )
 
 
+def _hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, __sh: array<bigint>) — distinct word shingles, each collapsed
+    to its 64-bit xxhash at the source.  The whole minhash path downstream
+    (persist, signature minima, exact-Jaccard verify via array_intersect)
+    then operates on 8-byte longs instead of multi-word strings: smaller
+    cached blocks, long-typed set ops, one string hash per shingle total.
+    Collision odds at 64 bits are ~n²/2⁶⁵ — vanishing for any per-doc or
+    per-corpus shingle count this path sees, and a collision only perturbs
+    one candidate's Jaccard estimate, which the threshold filter absorbs.
+    Only for the approximate (rows-only) minhash path — oracle-bearing
+    exact-Jaccard queries keep string shingles (``shingle_rows``)."""
+    sh = _staged_shingles(df, text_col, id_col, shingle_k)
+    return sh.select(
+        "id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -118,8 +137,13 @@ def minhash_signatures(
         )
     else:
         sh = shingle_rows(df, text_col, id_col, shingle_k)
+    # Hash each shingle STRING once; derive the hash family by re-hashing
+    # the 64-bit base with an integer salt.  Equivalent family quality,
+    # but num_hashes-1 fewer string hashes per shingle — the string pass
+    # dominates signature cost (strings are tens of bytes; the base is 8).
+    sh = sh.select("id", F.xxhash64("shingle").alias("__h0"))
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__h0"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy("id").agg(*mins)
@@ -159,11 +183,9 @@ def minhash_candidates(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
-                        )
-                    )
+                    # multi-arg xxhash64 over the band's longs directly —
+                    # no per-row string rendering of the signature slice
+                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
                     for b in range(bands)
                 ]
             )
@@ -216,20 +238,38 @@ def jaccard_verify(
     )
 
 
-def cut_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
-    """Eager lineage cut for iterative loops.  Default: ``localCheckpoint``
+def cut_lineage(
+    df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True
+) -> DataFrame:
+    """Lineage cut for iterative loops.  Default: ``localCheckpoint``
     — blocks live in executor memory/disk, zero HDFS round-trip, ideal in
     local mode and for short loops.  On a REAL cluster a lost executor
     loses its localCheckpoint blocks and the (cut) lineage cannot recompute
     them — the job dies; pass ``checkpoint_dir`` (an HDFS/S3/shared path)
     to switch to reliable ``checkpoint()`` whose files survive executor
     loss (the standard durability/latency trade; results are identical,
-    pytest-pinned in tests/test_sketches_graph.py)."""
+    pytest-pinned in tests/test_sketches_graph.py).
+
+    ``eager=False`` marks the cut but defers materialization to the
+    caller's next action — that action both computes the frame and seals
+    the cut, so a loop that must probe the frame anyway (convergence
+    check) pays ONE job per round instead of two.  Only safe with
+    ``localCheckpoint`` (persist-backed: the action's scan populates the
+    blocks); a lazy reliable ``checkpoint()`` recomputes the whole frame
+    a second time to write its files, so the reliable path stays eager.
+
+    The checkpoint dir is global ``SparkContext`` state: set it once and
+    leave it (re-setting per call would mutate shared state under other
+    jobs).  Reliable checkpoint files are NOT auto-removed unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — on a real
+    cluster either enable that conf or point ``checkpoint_dir`` at a
+    per-run path and delete it after the job."""
     if checkpoint_dir:
         sc = df.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
+        if sc.getCheckpointDir() != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
 
 
 def cluster_min_label(
@@ -251,45 +291,86 @@ def cluster_min_label(
 
     ``checkpoint_dir``: see ``cut_lineage`` — pass a shared path on a
     real cluster so iteration state survives executor loss.
+
+    Scale shape: the loop iterates ONLY over edge-touched nodes — ids with
+    no candidate pair are singletons whose label (their own id) can never
+    move, so they join the result through one anti-join AFTER convergence
+    instead of riding every round's three shuffles.  In a near-dup corpus
+    the edge-touched set is a small fraction of |ids| (at 100 TB: the dup
+    graph, not the corpus), so per-round shuffle volume is O(|edges| +
+    |touched|), independent of corpus size.
     """
     import warnings
     edges = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .union(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
-    ).persist()
-    label = ids.select(F.col("id").alias("x"), F.col("id").alias("lbl"))
-    for _ in range(cc_iters):
-        neigh = (
-            edges.join(label.withColumnRenamed("x", "y2"), edges.y == F.col("y2"))
-            .groupBy("x")
-            .agg(F.min("lbl").alias("nlbl"))
+    )
+    # symmetrized edges ⇒ distinct x covers every endpoint
+    nodes = edges.select("x").distinct()
+    label = nodes.withColumn("lbl", F.col("x"))
+    # Self-loops fold the "keep your own label" term into the neighbor
+    # minimum, so each round is ONE join + ONE aggregate (two shuffles)
+    # instead of join + aggregate + second join back onto the labels.
+    # Pre-partitioned on the join key and persisted: the static edge side
+    # never re-shuffles across rounds — only the (small) moving label
+    # frame does.
+    edges_plus = (
+        edges.union(nodes.select("x", F.col("x").alias("y")))
+        .repartition("y")
+        .persist()
+    )
+    # Convergence is probed every PROBE_EVERY rounds: rounds in between are
+    # lazily lineage-cut but not materialized, so the probing action runs
+    # the whole block of rounds as ONE Spark job (was: two jobs per round —
+    # eager checkpoint + a separate count).  A pair/triangle-dominated dup
+    # graph converges in 2 rounds = exactly one job here.  The probe's
+    # aggregate rides on the scan the lineage cut must do anyway, and its
+    # __chg flag refers only to the newest round, which is the correct
+    # fixpoint signal.  Worst case this runs PROBE_EVERY-1 extra rounds
+    # past convergence; lineage depth between cuts stays bounded at
+    # PROBE_EVERY rounds, so no exponential recompute.  The reliable-
+    # checkpoint path stays eager (see cut_lineage).
+    PROBE_EVERY = 2
+    for it in range(cc_iters):
+        joined = edges_plus.join(
+            label.select(F.col("x").alias("y2"), F.col("lbl").alias("ylbl")),
+            F.col("y") == F.col("y2"),
         )
-        new_label = (
-            label.join(neigh, "x", "left")
-            .select(
-                "x",
-                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
-                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("__chg"),
+        new_label = joined.groupBy("x").agg(
+            F.min("ylbl").alias("lbl"),
+            # the self-loop row carries the node's previous label
+            F.min(F.when(F.col("y2") == F.col("x"), F.col("ylbl"))).alias("__old"),
+        ).select("x", "lbl", (F.col("lbl") < F.col("__old")).alias("__chg"))
+        if (it + 1) % PROBE_EVERY == 0 or it == cc_iters - 1:
+            new_label = cut_lineage(
+                new_label, checkpoint_dir, eager=checkpoint_dir is not None
             )
-            # cut lineage: without this each iteration re-executes every
-            # prior iteration's joins (exponential recompute)
-        )
-        new_label = cut_lineage(new_label, checkpoint_dir)
-        changed = new_label.filter("__chg").limit(1).count()
-        label = new_label.drop("__chg")
-        if changed == 0:  # converged — skip the remaining rounds
-            break
+            changed = (
+                new_label.agg(F.sum(F.col("__chg").cast("long")).alias("c"))
+                .collect()[0][0]
+                or 0  # sum over an empty frame is NULL, not 0
+            )
+            label = new_label.drop("__chg")
+            if changed == 0:  # converged — skip the remaining rounds
+                break
+        else:
+            label = new_label.drop("__chg")
     else:
         # Cap hit with labels still moving in the final round.  That alone
         # does NOT mean the labels are wrong — convergence is only
         # observable one round after the last change — so probe whether a
         # further round WOULD change anything before declaring a split.
         would_change = (
-            edges.join(label.withColumnRenamed("x", "y2"), edges.y == F.col("y2"))
+            edges_plus.join(
+                label.select(F.col("x").alias("y2"), F.col("lbl").alias("ylbl")),
+                F.col("y") == F.col("y2"),
+            )
             .groupBy("x")
-            .agg(F.min("lbl").alias("nlbl"))
-            .join(label, "x")
-            .filter(F.col("nlbl") < F.col("lbl"))
+            .agg(
+                F.min("ylbl").alias("nlbl"),
+                F.min(F.when(F.col("y2") == F.col("x"), F.col("ylbl"))).alias("__old"),
+            )
+            .filter(F.col("nlbl") < F.col("__old"))
             .limit(1)
             .count()
         )
@@ -303,10 +384,18 @@ def cluster_min_label(
             if strict:
                 raise RuntimeError(msg)
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    # label is localCheckpointed (independent of edges' lineage) — release
-    # the persisted edge set so long sessions don't accumulate cached blocks
-    edges.unpersist()
-    return label.select(F.col("x").alias("id"), F.col("lbl").alias("cluster_id"))
+    # singletons (no candidate edge) keep their own id — one anti-join,
+    # paid once, instead of carrying the whole corpus through the loop
+    singletons = ids.join(
+        label.select(F.col("x").alias("id")), "id", "left_anti"
+    ).select("id", F.col("id").alias("cluster_id"))
+    clustered = label.select(F.col("x").alias("id"), F.col("lbl").alias("cluster_id"))
+    # label is lineage-cut (independent of the edge lineage) and the
+    # singleton anti-join needs only `ids` + the cut labels — the persisted
+    # edge blocks are dead weight from here; release them so long sessions
+    # don't accumulate cached blocks
+    edges_plus.unpersist()
+    return clustered.union(singletons)
 
 
 def minhash_dedup(
@@ -325,7 +414,7 @@ def minhash_dedup(
     downstream joins (a/b sides; CC iterations), and without persistence
     the full upstream pipeline re-executes per consumer.
     """
-    sh_arr = _staged_shingles(df, text_col, id_col, shingle_k).withColumnRenamed(
+    sh_arr = _hashed_shingles(df, text_col, id_col, shingle_k).withColumnRenamed(
         "id", "__id"
     ).persist()
     sig = minhash_signatures(

@@ -160,7 +160,7 @@ def dedup_clusters_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuples shuffle, exact Jaccard touches candidates only, and the CC loop
     shuffles one edge set per round with eager checkpoint lineage cuts."""
     from ..operators.dedup import (
-        _staged_shingles,
+        _hashed_shingles,
         cluster_min_label,
         jaccard_verify,
         minhash_candidates,
@@ -168,8 +168,10 @@ def dedup_clusters_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # 64-bit-hashed shingles: the whole downstream path (cache, minima,
+    # array_intersect verify) runs on longs — see _hashed_shingles
     sh_arr = (
-        _staged_shingles(docs, "text", "doc_id", 3)
+        _hashed_shingles(docs, "text", "doc_id", 3)
         .withColumnRenamed("id", "__id")
         .persist()
     )
@@ -266,7 +268,7 @@ def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the window adds ONE cluster-keyed exchange of (id, n_chars)
     rows on top of the CC output — bodies never move."""
     from ..operators.dedup import (
-        _staged_shingles,
+        _hashed_shingles,
         cluster_min_label,
         jaccard_verify,
         minhash_candidates,
@@ -276,7 +278,7 @@ def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh_arr = (
-        _staged_shingles(docs, "text", "doc_id", 3)
+        _hashed_shingles(docs, "text", "doc_id", 3)
         .withColumnRenamed("id", "__id")
         .persist()
     )
