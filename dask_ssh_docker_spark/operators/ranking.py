@@ -76,24 +76,65 @@ def with_quantile_bucket(
     accuracy: int = 10000,
 ) -> DataFrame:
     """Adds ``__gr_bucket`` ∈ [0, n_buckets): a monotone, tie-preserving
-    bucketing of ``key`` from a ``percentile_approx`` edge sketch (one
-    1-row global aggregate, broadcast back; bucket assignment is a
-    map-side array scan over ≤ n_buckets−1 edges inside codegen)."""
-    keyd = _col(key).cast("double")
+    bucketing of ``key`` from a ``percentile_approx`` edge sketch.
+
+    The sketch (one 1-row global aggregate, ≤ n_buckets−1 doubles) is
+    collected EAGERLY and embedded as a literal array, so every consumer
+    of the bucketed frame — the offset branch and the window branch of
+    the rank decomposition — sees the *same* edges by construction.  The
+    lazy form evaluated the sketch subtree twice and was consistent only
+    while ``spark.sql.exchange.reuse`` deduplicated the two aggregates
+    (percentile_approx merge order is shuffle-fetch-order-sensitive);
+    with a literal there is nothing left to diverge.  Bucket assignment
+    stays a map-side array scan inside codegen.
+
+    Key dtype must order identically under the double cast the bucketing
+    uses: numeric, timestamp, date, or boolean.  Strings are rejected —
+    numeric-looking values ('9','10') would bucket numerically while the
+    in-bucket window sorts lexicographically, silently mis-ranking.
+    Float NaN (which Spark sorts greatest) is pinned to +inf before the
+    descending negation so the bucket comparator agrees with the window
+    comparator under both directions."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DoubleType,
+        FloatType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    dtype = df.select(_col(key).alias(_KEY)).schema[0].dataType
+    if not isinstance(
+        dtype,
+        (NumericType, DateType, TimestampType, TimestampNTZType, BooleanType),
+    ):
+        raise TypeError(
+            f"global-ranking order key has type {dtype.simpleString()}; only "
+            "numeric/timestamp/date/boolean keys order identically under the "
+            "double cast the bucketing uses (a string key would bucket "
+            "numerically but window-sort lexicographically). Cast the key to "
+            "a typed column first."
+        )
+    keyc = _col(key)
+    if isinstance(dtype, DateType):
+        keyc = keyc.cast("timestamp")  # date→double is not a valid cast
+    keyd = keyc.cast("double")
+    if isinstance(dtype, (FloatType, DoubleType)):
+        keyd = F.nanvl(keyd, F.lit(float("inf")))
     if not ascending:
         keyd = -keyd
     tmp = df.withColumn(_KEY, keyd)
     probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
-    edges = tmp.agg(
+    edge_vals = tmp.agg(
         F.percentile_approx(_KEY, probs, F.lit(accuracy)).alias(_EDGES)
-    )
-    bucket = F.size(F.filter(F.col(_EDGES), lambda e: e < F.col(_KEY)))
-    return (
-        tmp.crossJoin(F.broadcast(edges))
-        # empty input → NULL edge array → NULL size; pin to bucket 0
-        .withColumn(_BUCKET, F.coalesce(bucket, F.lit(0)))
-        .drop(_EDGES)
-    )
+    ).first()[0]
+    if not edge_vals:  # empty input → no edges; everything in bucket 0
+        return tmp.withColumn(_BUCKET, F.lit(0))
+    arr = F.array(*[F.lit(float(e)) for e in edge_vals])
+    bucket = F.size(F.filter(arr, lambda e: e < F.col(_KEY)))
+    return tmp.withColumn(_BUCKET, bucket)
 
 
 def _bucket_offsets(

@@ -125,3 +125,53 @@ def test_ties_stay_in_one_bucket_and_rank_deterministic(spark):
         df, [("v", True), ("k", True)], out="rn", n_buckets=8
     )
     assert _rows(got, "k", "rn") == [(i, i + 1) for i in range(1000)]
+
+
+def test_string_key_rejected(spark):
+    # ADVICE r5: numeric-looking strings bucket numerically but window-sort
+    # lexicographically ('10' < '9') — must raise, not silently mis-rank
+    df = spark.createDataFrame([("9",), ("10",), ("2",)], ["s"])
+    with pytest.raises(TypeError, match="string"):
+        with_global_row_number(df, [("s", True)], out="rn", n_buckets=4)
+
+
+def test_nan_key_ranks_greatest_both_directions(spark):
+    # Spark sorts NaN greatest; the bucketing must agree under BOTH sort
+    # directions (desc negation alone would strand NaN in the wrong bucket)
+    rows = [(1, 5.0), (2, float("nan")), (3, 1.0), (4, 3.0), (5, float("nan"))]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    for asc in (True, False):
+        got = with_global_row_number(
+            df, [("v", asc), ("k", True)], out="rn", n_buckets=4
+        )
+        want = df.withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.orderBy(F.asc("v") if asc else F.desc("v"), F.asc("k")))
+            .cast("bigint"),
+        )
+        assert _rows(got, "k", "rn") == _rows(want, "k", "rn")
+
+
+def test_date_and_timestamp_keys_supported(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.date(2024, 3, 1)),
+        (2, dt.date(2023, 1, 15)),
+        (3, dt.date(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["k", "d"])
+    got = with_global_row_number(df, [("d", True), ("k", True)], out="rn", n_buckets=4)
+    want = df.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.asc("d"), F.asc("k"))).cast("bigint"),
+    )
+    assert _rows(got, "k", "rn") == _rows(want, "k", "rn")
+    ts = df.select("k", F.col("d").cast("timestamp").alias("t"))
+    got_t = with_global_row_number(ts, [("t", True), ("k", True)], out="rn", n_buckets=4)
+    want_t = ts.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.asc("t"), F.asc("k"))).cast("bigint"),
+    )
+    assert _rows(got_t, "k", "rn") == _rows(want_t, "k", "rn")
