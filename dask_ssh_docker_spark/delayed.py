@@ -95,40 +95,91 @@ def _walk_deps(obj: Any):
             yield from _walk_deps(v)
 
 
-def _substitute(obj: Any, done: dict[str, Any]) -> Any:
+class ScatterRef:
+    """A cluster-resident value: ``Client.scatter`` wraps the data in a
+    Spark broadcast (shipped to each executor ONCE, torrent-style) and
+    hands back this reference to use as a task argument.  Payload
+    substitution swaps it for a marker resolved worker-side from the
+    broadcast, so the data never rides per-task payloads."""
+
+    __slots__ = ("bc", "rid")
+
+    def __init__(self, bc):
+        self.bc = bc
+        self.rid = next(_KEYS)  # module-unique marker id
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"ScatterRef({self.rid})"
+
+
+# Worker-side placeholder for a scattered value: a Broadcast cannot be
+# pickled as RDD *data* (only closures may carry it), so payloads hold a
+# plain marker dict under this reserved key and the task closure resolves
+# it against the broadcast map it captured.  A plain dict keeps the
+# worker free of any import of this module.
+_BC_KEY = "__dask_ssh_docker_spark_scatter__"
+
+
+def _substitute(obj: Any, done: dict[str, Any], bcs: dict[int, Any]) -> Any:
     if isinstance(obj, Delayed):
         return done[obj.key]
+    if isinstance(obj, ScatterRef):
+        bcs[obj.rid] = obj.bc
+        return {_BC_KEY: obj.rid}
     if isinstance(obj, list):
-        return [_substitute(v, done) for v in obj]
+        return [_substitute(v, done, bcs) for v in obj]
     if isinstance(obj, tuple):
-        return tuple(_substitute(v, done) for v in obj)
+        return tuple(_substitute(v, done, bcs) for v in obj)
     if isinstance(obj, set):
-        return {_substitute(v, done) for v in obj}
+        return {_substitute(v, done, bcs) for v in obj}
     if isinstance(obj, dict):
-        return {k: _substitute(v, done) for k, v in obj.items()}
+        return {k: _substitute(v, done, bcs) for k, v in obj.items()}
     return obj
 
 
-def compute(*outputs: Delayed, spark: SparkSession | None = None) -> tuple:
+def compute(
+    *outputs: Delayed,
+    spark: SparkSession | None = None,
+    _precomputed: dict[str, Any] | None = None,
+) -> tuple:
     """Evaluate one or more ``Delayed`` graphs; returns their values in
     order.  Tasks with satisfied dependencies run together as one Spark
     job per dependency layer, one task per partition, on executor Python
-    workers (tests pin worker-side execution via pid)."""
+    workers (tests pin worker-side execution via pid).
+
+    ``_precomputed``: results keyed by node key that are already known
+    (the futures layer's run-once cache) — such nodes and their whole
+    upstream subgraphs are skipped, matching ``distributed``'s
+    task-runs-once semantics for chained futures."""
     for o in outputs:
         if not isinstance(o, Delayed):
             raise TypeError(f"compute() takes Delayed inputs, got {type(o).__name__}")
+    done = _compute_graph(outputs, spark, _precomputed)
+    return tuple(done[o.key] for o in outputs)
+
+
+def _compute_graph(
+    outputs: tuple,
+    spark: SparkSession | None,
+    _precomputed: dict[str, Any] | None,
+) -> dict[str, Any]:
+    """Graph evaluation core; returns the FULL results map (every node
+    computed this call plus the precomputed entries) so callers like the
+    futures layer can complete dependency futures too."""
     if spark is None:
         from .session import get_session
 
         spark = get_session()
     sc = spark.sparkContext
 
-    # collect all nodes reachable from the outputs
+    done: dict[str, Any] = dict(_precomputed or {})
+
+    # collect all nodes reachable from the outputs, stopping at known ones
     nodes: dict[str, Delayed] = {}
     stack = list(outputs)
     while stack:
         d = stack.pop()
-        if d.key in nodes:
+        if d.key in nodes or d.key in done:
             continue
         nodes[d.key] = d
         stack.extend(_walk_deps(d.args))
@@ -139,7 +190,6 @@ def compute(*outputs: Delayed, spark: SparkSession | None = None) -> tuple:
         for k, d in nodes.items()
     }
 
-    done: dict[str, Any] = {}
     pending = set(nodes)
     while pending:
         ready = [k for k in pending if deps[k] <= done.keys()]
@@ -152,25 +202,43 @@ def compute(*outputs: Delayed, spark: SparkSession | None = None) -> tuple:
         # dask ships tasks to workers
         from pyspark import cloudpickle
 
+        bcs: dict[int, Any] = {}  # broadcasts used by this layer's tasks
         payloads = [
             cloudpickle.dumps(
                 (
                     nodes[k].fn,
-                    _substitute(list(nodes[k].args), done),
-                    _substitute(nodes[k].kwargs, done),
+                    _substitute(list(nodes[k].args), done, bcs),
+                    _substitute(nodes[k].kwargs, done, bcs),
                 )
             )
             for k in ready
         ]
+        bmap = bcs  # captured by the closure serializer, which CAN carry
+        # Broadcast handles (payload data cannot); workers resolve markers
+        # against it and read each value from the local broadcast block
+        bc_key = _BC_KEY
 
         def _exec(blob):  # nested → cloudpickled by value, no module
             import pickle  # import needed on the worker
 
+            def res(o):
+                if isinstance(o, dict):
+                    if len(o) == 1 and bc_key in o:
+                        return bmap[o[bc_key]].value
+                    return {k: res(v) for k, v in o.items()}
+                if isinstance(o, list):
+                    return [res(v) for v in o]
+                if isinstance(o, tuple):
+                    return tuple(res(v) for v in o)
+                if isinstance(o, set):
+                    return {res(v) for v in o}
+                return o
+
             fn, args, kwargs = pickle.loads(blob)
-            return fn(*args, **kwargs)
+            return fn(*res(args), **res(kwargs))
 
         results = sc.parallelize(payloads, len(payloads)).map(_exec).collect()
         done.update(zip(ready, results))
         pending.difference_update(ready)
 
-    return tuple(done[o.key] for o in outputs)
+    return done
