@@ -37,6 +37,20 @@ HEADLINE = [
     "interpolate_time_linear",
     "text_chunk_windows",
     "text_tfidf_top_terms",
+    # r6 breadth (VERDICT r5 item 4): regression visibility for the
+    # graph / CDC / ANN / set-sim / streaming / ranking / feature
+    # families that previously had none.  Names are append-only; the
+    # original 15 keep their cross-round comparability.
+    "pagerank_nation_trade",
+    "cdc_merge_upsert",
+    "scd2_priority_history",
+    "sim_topk_lsh",
+    "sim_topk_pq",
+    "setsim_prefix_pairs",
+    "stream_mv_user_totals",
+    "text_bm25_rank",
+    "rfm_customer_segments",
+    "target_encode_loo",
 ]
 
 
