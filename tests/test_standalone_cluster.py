@@ -1,0 +1,167 @@
+"""End-to-end proof that the ``--hosts`` path is more than URL
+formatting (VERDICT r5 item 6): launch a real standalone master + one
+worker with the scripts the Spark distribution ships, run the runner
+against ``--hosts 127.0.0.1,127.0.0.1`` (reference hosts contract,
+``bin/dask-ssh-docker:61-78``), and execute a DataFrame query, the
+``delayed`` smoke, and the futures Client on the resulting
+``spark://`` session.
+
+Everything runs in subprocesses: a JVM can host only one SparkContext,
+so the cluster-mode session must not collide with the suite's shared
+local session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+import time
+
+import pytest
+
+SBIN = "/opt/spark/sbin"
+MASTER_PORT = 7077
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not (
+        os.path.exists(f"{SBIN}/start-master.sh")
+        and os.path.exists(f"{SBIN}/start-worker.sh")
+    ),
+    reason="Spark standalone launch scripts not available",
+)
+
+
+def _port_open(port: int) -> bool:
+    with socket.socket() as s:
+        s.settimeout(0.5)
+        return s.connect_ex(("127.0.0.1", port)) == 0
+
+
+def _wait(pred, timeout: float, what: str) -> None:
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return
+        time.sleep(0.5)
+    raise TimeoutError(f"timed out waiting for {what}")
+
+
+@pytest.fixture(scope="module")
+def standalone_master(tmp_path_factory):
+    if _port_open(MASTER_PORT):
+        pytest.skip(f"port {MASTER_PORT} already in use")
+    tmp = tmp_path_factory.mktemp("standalone")
+    env = os.environ.copy()
+    env.update(
+        {
+            "SPARK_MASTER_HOST": "127.0.0.1",
+            "SPARK_MASTER_PORT": str(MASTER_PORT),
+            "SPARK_MASTER_WEBUI_PORT": "8981",
+            "SPARK_WORKER_WEBUI_PORT": "8982",
+            "SPARK_LOG_DIR": str(tmp / "logs"),
+            "SPARK_PID_DIR": str(tmp / "pids"),
+            "SPARK_WORKER_CORES": "2",
+            "SPARK_WORKER_MEMORY": "2g",
+            "PYSPARK_PYTHON": sys.executable,
+        }
+    )
+    subprocess.run(
+        [f"{SBIN}/start-master.sh"], env=env, check=True, capture_output=True
+    )
+    try:
+        _wait(lambda: _port_open(MASTER_PORT), 60, "standalone master port")
+        subprocess.run(
+            [f"{SBIN}/start-worker.sh", f"spark://127.0.0.1:{MASTER_PORT}"],
+            env=env,
+            check=True,
+            capture_output=True,
+        )
+        yield f"spark://127.0.0.1:{MASTER_PORT}"
+    finally:
+        subprocess.run([f"{SBIN}/stop-worker.sh"], env=env, capture_output=True)
+        subprocess.run([f"{SBIN}/stop-master.sh"], env=env, capture_output=True)
+
+
+def test_runner_hosts_end_to_end(standalone_master, tmp_path):
+    script = tmp_path / "job.py"
+    script.write_text(
+        textwrap.dedent(
+            """
+            import json
+
+            def main(argv):
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+                assert spark is not None, "runner must have built the session"
+                master = spark.sparkContext.master
+                assert master.startswith("spark://"), master
+
+                from dask_ssh_docker_spark.queries import REGISTRY
+
+                n = REGISTRY["q1_pricing_summary"].fn(spark, argv[0]).count()
+
+                from dask_ssh_docker_spark.delayed import delayed
+
+                s = delayed(sum)(range(1000)).compute(spark)
+
+                from dask_ssh_docker_spark.futures import Client
+
+                c = Client(spark)
+                doubled = c.gather(c.map(lambda x: x * 2, range(10)))
+                ref = c.scatter(list(range(100)))
+                tot = c.submit(sum, ref).result()
+
+                print(
+                    "RESULT "
+                    + json.dumps(
+                        {
+                            "master": master,
+                            "q1_rows": n,
+                            "delayed_sum": s,
+                            "doubled": doubled,
+                            "scatter_sum": tot,
+                        }
+                    )
+                )
+                return 0
+            """
+        )
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "dask_ssh_docker_spark.runner",
+            "--hosts",
+            "127.0.0.1,127.0.0.1",
+            "--conf",
+            "spark.ui.enabled=false",
+            "--conf",
+            "spark.cores.max=2",
+            str(script),
+            "--",
+            "/root/testdata/sf0.001",
+        ],
+        env={**os.environ, "PYTHONPATH": REPO, "PYSPARK_PYTHON": sys.executable},
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),  # not the repo: catches path assumptions
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-4000:])
+    result_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")
+    ]
+    assert result_lines, proc.stdout[-2000:]
+    data = json.loads(result_lines[-1][len("RESULT "):])
+    assert data["master"] == standalone_master
+    assert data["q1_rows"] >= 1
+    assert data["delayed_sum"] == 499500  # reference smoke invariant
+    assert data["doubled"] == [x * 2 for x in range(10)]
+    assert data["scatter_sum"] == sum(range(100))
