@@ -124,6 +124,7 @@ _PRIORITY = [
     "sim_topk_ivf",
     "sim_topk_bruteforce",
     "smoke_delayed_sum",
+    "futures_api_smoke",  # NEW r6: Client submit/map/scatter/gather
     # -- 3. flagship anchors (bench headliners) --
     "q1_pricing_summary",
     "q3_top_unshipped_orders",

@@ -639,6 +639,43 @@ def delayed_api_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "workload string, result bigint")
 
 
+@query(
+    "futures_api_smoke",
+    oracle="""
+    SELECT 'map_doubled' AS workload,
+           CAST(SUM(r * 2) AS BIGINT) AS result FROM range(10) t(r)
+    UNION ALL
+    SELECT 'scatter_sum' AS workload,
+           CAST(SUM(r) AS BIGINT) AS result FROM range(100) t(r)
+    UNION ALL
+    SELECT 'submit_chain' AS workload,
+           CAST(SUM(r) + 1 AS BIGINT) AS result FROM range(1000) t(r)
+    """,
+)
+def futures_api_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``Client`` futures vocabulary
+    (``bin/dask-ssh-docker:77-78`` registers a default dask Client) run
+    through the REAL ``dask_ssh_docker_spark.futures.Client``: a
+    ``map`` wave gathered as one job, a ``scatter``'d broadcast fed to
+    ``submit``, and a chained submit whose dependency runs once.  The
+    scalars land in a 3-row frame so the driver's oracle hash covers
+    submit/map/scatter/gather end-to-end on executor workers."""
+    from ..futures import Client
+
+    client = Client(spark)
+    doubled = client.gather(client.map(lambda x: x * 2, range(10)))
+    ref = client.scatter(list(range(100)))
+    scatter_sum = client.submit(sum, ref).result()
+    base = client.submit(sum, range(1000))
+    chained = client.submit(lambda s: s + 1, base).result()
+    rows = [
+        ("map_doubled", sum(doubled)),
+        ("scatter_sum", scatter_sum),
+        ("submit_chain", chained),
+    ]
+    return spark.createDataFrame(rows, "workload string, result bigint")
+
+
 # rendered fixed-width dir per sf_dir (see read_fwf_roundtrip)
 _FWF_RENDER_CACHE: dict[str, str] = {}
 
