@@ -131,7 +131,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     ratio.unpersist()
