@@ -152,7 +152,12 @@ def setsim_pairs_prefix(
         F.col("n_sh").alias("n_b"),
     )
     if n_docs <= broadcast_verify_max_docs:
-        fa, fb = F.broadcast(fa), F.broadcast(fb)
+        # limit(n_docs) is a no-op on the data (the frame has exactly
+        # n_docs rows — just measured) that makes the broadcast's bound
+        # visible to the planner and to the forced-broadcast audit in
+        # tests/test_plans.py (same recipe as ranking._bucket_offsets)
+        fa = F.broadcast(fa.limit(n_docs))
+        fb = F.broadcast(fb.limit(n_docs))
     return (
         cands.join(fa, "id_a")
         .join(fb, "id_b")
