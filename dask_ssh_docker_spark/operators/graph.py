@@ -134,6 +134,11 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
 
+    # one job materializes the whole lazy chain (each round's cut bounds
+    # the plan; the per-round dangling broadcasts resolve inside it)
+    # BEFORE the ratio cache is released — unpersisting first would
+    # recompute the ratio join once per round
+    ranks.count()
     ratio.unpersist()
     return ranks.select(F.col("id").alias("node"), "rank")
 
@@ -155,9 +160,15 @@ def shortest_paths(
     with the previous frontier.  ``min`` is order-insensitive, so unlike
     sum-based iterative algorithms the result is bit-deterministic —
     the driver oracle (``sssp_nation_trade``) matches without rounding.
-    Eager ``localCheckpoint`` per iteration keeps the plan O(1) in
-    ``iters``; nodes farther than ``max_iters`` hops are absent from the
-    output (callers outer-join their node frame for NULL = unreachable).
+    Lineage is cut lazily per round (plan stays O(1) in ``iters``) and
+    convergence is certified every PROBE_EVERY rounds with one cheap
+    ``(count, sum)`` aggregate: relaxation only ever DECREASES a
+    distance, so any change strictly lowers the total while reaching a
+    new node raises the count — an unchanged pair is a fixpoint proof
+    and the remaining rounds are skipped (they could not alter the
+    output).  A whole probe block runs as ONE Spark job.  Nodes farther
+    than ``max_iters`` hops are absent from the output (callers
+    outer-join their node frame for NULL = unreachable).
 
     ``sources``: one-column DataFrame of start nodes (distance 0).
     """
@@ -172,7 +183,9 @@ def shortest_paths(
         F.col(sources.columns[0]).alias("id"), F.lit(0.0).alias("dist")
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iters):
+    PROBE_EVERY = 3
+    cert: tuple | None = None
+    for it in range(max_iters):
         relaxed = (
             e.join(dist.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
@@ -181,8 +194,20 @@ def shortest_paths(
             dist.unionByName(relaxed)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        if (it + 1) % PROBE_EVERY == 0 or it == max_iters - 1:
+            # decimal sum: exact and shuffle-order-independent, so the
+            # certificate never misses a strict decrease to float
+            # re-rounding (a float sum could collapse a tiny decrease)
+            row = dist.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("dist").cast("decimal(38,18)")).alias("s"),
+            ).collect()[0]
+            new_cert = (row["n"], row["s"])
+            if new_cert == cert:  # fixpoint: no reach/decrease this block
+                break
+            cert = new_cert
 
     e.unpersist()
     return dist.select(F.col("id").alias("node"), "dist")
@@ -259,7 +284,13 @@ def label_propagation(
                 "id",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy cut: the plan truncates every round (O(1) in iters);
+            # the whole chain materializes below as ONE job
+            .localCheckpoint(eager=False)
         )
+    # one job materializes all rounds WHILE the edge cache is still
+    # alive; only then is the cache released (unpersisting first would
+    # recompute the symmetrized edge aggregate once per round)
+    labels.count()
     und.unpersist()
     return labels.select(F.col("id").alias("node"), "label")
