@@ -156,7 +156,10 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     cb = train_pq_codebooks(corpus, m=16, ks=16, dim=64, iters=2)
-    idx = pq_encode(corpus, cb, m=16, dim=64)
+    # lazy lineage cut: the ADC shortlist and the exact re-rank both
+    # consume the code index — without the cut the encode pass (the one
+    # corpus-scaling stage) re-executes per consumer
+    idx = pq_encode(corpus, cb, m=16, dim=64).localCheckpoint(eager=False)
     return pq_topk_rerank(
         queries_df, idx, cb, corpus, k=10, expand=20, ks=16, m=16, dim=64
     ).orderBy("query_id", "rank")
