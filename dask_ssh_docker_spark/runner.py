@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
         "(reference bin/dask-ssh-docker hosts contract)",
     )
     p.add_argument(
+        "--launch",
+        action="store_true",
+        help="with --hosts: START a standalone master (first host) and "
+        "workers (remaining hosts) before running, stop them after — "
+        "the reference's launch-then-run-then-teardown contract "
+        "(dask_ssh_docker/__init__.py:199-420); local hosts exec the "
+        "sbin scripts directly, remote hosts via ssh",
+    )
+    p.add_argument(
         "--conf", action="append", default=[], metavar="k=v", help="extra Spark conf"
     )
     p.add_argument(
@@ -106,15 +115,24 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(ours)
     script_args = list(args.script_args) + theirs
 
+    cluster = None
     if args.hosts:
         if args.master:
             raise SystemExit("--hosts and --master are mutually exclusive")
         from .session import master_from_hosts, parse_hosts
 
         try:
-            args.master = master_from_hosts(parse_hosts(args.hosts))
+            hosts = parse_hosts(args.hosts)
+            args.master = master_from_hosts(hosts)
         except ValueError as e:
             raise SystemExit(str(e))
+        if args.launch:
+            from .bootstrap import StandaloneCluster
+
+            cluster = StandaloneCluster(hosts)
+            cluster.start()
+    elif args.launch:
+        raise SystemExit("--launch requires --hosts")
 
     conf = {}
     for kv in args.conf:
@@ -158,6 +176,8 @@ def main(argv: list[str] | None = None) -> int:
         return int(ret) if isinstance(ret, int) else 0
     finally:
         spark.stop()
+        if cluster is not None:  # tear down only what --launch started
+            cluster.stop()
 
 
 if __name__ == "__main__":

@@ -87,6 +87,63 @@ def standalone_master(tmp_path_factory):
         subprocess.run([f"{SBIN}/stop-master.sh"], env=env, capture_output=True)
 
 
+def test_runner_launch_bootstraps_and_tears_down(tmp_path):
+    """--launch: hosts in, running cluster out, nothing left after —
+    the reference's launch-then-run-then-teardown contract, one command."""
+    if _port_open(MASTER_PORT):
+        pytest.skip(f"port {MASTER_PORT} already in use")
+    script = tmp_path / "job.py"
+    script.write_text(
+        textwrap.dedent(
+            """
+            def main(argv):
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+                master = spark.sparkContext.master
+                assert master.startswith("spark://"), master
+                total = spark.range(1000).selectExpr("sum(id) v").first()[0]
+                print(f"RESULT {master} {total}")
+                return 0
+            """
+        )
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "dask_ssh_docker_spark.runner",
+            "--hosts",
+            "localhost,localhost",
+            "--launch",
+            "--conf",
+            "spark.ui.enabled=false",
+            "--conf",
+            "spark.cores.max=2",
+            str(script),
+        ],
+        env={
+            **os.environ,
+            "PYTHONPATH": REPO,
+            "PYSPARK_PYTHON": sys.executable,
+            "SPARK_WORKER_CORES": "2",
+            "SPARK_WORKER_MEMORY": "2g",
+            "SPARK_MASTER_WEBUI_PORT": "8983",
+            "SPARK_WORKER_WEBUI_PORT": "8984",
+        },
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-4000:])
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")]
+    assert lines and lines[-1].endswith("499500"), proc.stdout[-1500:]
+    assert "spark://localhost:7077" in lines[-1]
+    # teardown: the daemons --launch started must be gone
+    _wait(lambda: not _port_open(MASTER_PORT), 30, "master teardown")
+
+
 def test_runner_hosts_end_to_end(standalone_master, tmp_path):
     script = tmp_path / "job.py"
     script.write_text(
