@@ -130,6 +130,13 @@ def minhash_signatures(
     Partial aggregation happens map-side, so the shuffle carries only
     num_hashes running minimums per doc — the idiomatic Spark shape,
     vs recomputing nested array transforms per hash function.
+
+    PERF: pass ``shingle_arrays`` (a PERSISTED shingle frame) in any hot
+    path.  The standalone fallback explodes the shingle arrays with no
+    materialization boundary, and exploding a computed array whose
+    expression is a nested higher-order chain re-evaluates the chain per
+    OUTPUT row (PLANS.md "R6" — measured ~17× at sf1).  The pipelines in
+    this module always pass the persisted frame.
     """
     if shingle_arrays is not None:  # reuse a persisted (__id, __sh) frame
         sh = shingle_arrays.select(

@@ -272,7 +272,11 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
         .cast("double")
         .alias("monetary"),
-    )
+    ).localCheckpoint(eager=False)
+    # lazy cut on the customer grain: each NTILE's eager quantile sketch
+    # (and its total-count broadcast) would otherwise re-execute the
+    # orders aggregation — the first sketch materializes the grain into
+    # cache and the other five scans read it
     scored = with_global_ntile(
         base, [("recency_days", False), ("custkey", True)], 5, out="r_q"
     )
@@ -338,7 +342,7 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("rev")
-    )
+    ).localCheckpoint(eager=False)  # grain cut: sketch + total + window share one agg
     tot = p.agg(F.sum("rev").cast("decimal(18,2)").alias("tot"))
     c = (
         with_global_running_sum(

@@ -199,7 +199,7 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice")).cast("decimal(14,2)").alias("r")
-    )
+    ).localCheckpoint(eager=False)  # grain cut: the eager sketch would re-run the agg
     ranked = with_global_row_number(
         rev, [("r", True), ("o_custkey", True)], out="i"
     )

@@ -164,7 +164,7 @@ def mannwhitney_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = s.groupBy("value").agg(
         F.sum("ia").alias("ca"), F.sum(F.lit(1) - F.col("ia")).alias("cb")
-    )
+    ).localCheckpoint(eager=False)  # grain cut: the eager sketch would re-run the agg
     c = with_global_running_sum(
         b, [("value", True)], "cb", out="__cumb"
     ).select(
