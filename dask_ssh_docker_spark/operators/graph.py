@@ -105,7 +105,12 @@ def pagerank(
     ratio.count()  # materialize once; reused every iteration
 
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
-    src_nodes = out_w.select(F.col("src").alias("id")).distinct()
+    # derive the dangling-check node set from the PERSISTED ratio table,
+    # not from out_w: out_w's lineage reaches back through the caller's
+    # edge derivation (often a fact-table join), and this frame is
+    # referenced once per iteration — off the cache that would recompute
+    # the full edge build every round
+    src_nodes = ratio.select(F.col("src").alias("id")).distinct()
 
     for _ in range(iters):
         dangling = (
