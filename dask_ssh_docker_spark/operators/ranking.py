@@ -95,6 +95,18 @@ def with_quantile_bucket(
     Float NaN (which Spark sorts greatest) is pinned to +inf before the
     descending negation so the bucket comparator agrees with the window
     comparator under both directions."""
+    tmp = df.withColumn(_KEY, _key_double(df, key, ascending))
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    edge_vals = tmp.agg(
+        F.percentile_approx(_KEY, probs, F.lit(accuracy)).alias(_EDGES)
+    ).first()[0]
+    return _bucket_from_edges(tmp, edge_vals)
+
+
+def _key_double(df: DataFrame, key: str | Column, ascending: bool) -> Column:
+    """The validated monotone double form of an order key (dtype check,
+    date→timestamp hop, NaN pinned to +inf, descending negation) — the
+    comparator contract documented on ``with_quantile_bucket``."""
     from pyspark.sql.types import (
         BooleanType,
         DateType,
@@ -125,12 +137,13 @@ def with_quantile_bucket(
         keyd = F.nanvl(keyd, F.lit(float("inf")))
     if not ascending:
         keyd = -keyd
-    tmp = df.withColumn(_KEY, keyd)
-    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
-    edge_vals = tmp.agg(
-        F.percentile_approx(_KEY, probs, F.lit(accuracy)).alias(_EDGES)
-    ).first()[0]
-    if not edge_vals:  # empty input → no edges; everything in bucket 0
+    return keyd
+
+
+def _bucket_from_edges(tmp: DataFrame, edge_vals) -> DataFrame:
+    """Adds ``__gr_bucket`` from an already-collected edge list (a
+    map-side literal-array scan; empty edges → everything in bucket 0)."""
+    if not edge_vals:
         return tmp.withColumn(_BUCKET, F.lit(0))
     arr = F.array(*[F.lit(float(e)) for e in edge_vals])
     bucket = F.size(F.filter(arr, lambda e: e < F.col(_KEY)))
@@ -228,28 +241,77 @@ def with_global_ntile(
     accuracy: int = 10000,
 ) -> DataFrame:
     """Adds ``out`` = exact SQL ``NTILE(k) OVER (ORDER BY order)`` — the
-    first ``n mod k`` tiles get ``⌈n/k⌉`` rows, the rest ``⌊n/k⌋`` —
-    computed from the distributed row number plus one 1-row broadcast
-    count (positional arithmetic in doubles is exact below 2^53 rows).
-    """
-    rn_col = "__gr_rn"
-    tot = df.agg(F.count(F.lit(1)).alias("__gr_n"))
-    ranked = with_global_row_number(df, order, rn_col, n_buckets, accuracy)
-    n = F.col("__gr_n")
-    q = F.floor(n / k).cast("bigint")
-    r = (n - q * k).cast("bigint")
-    rn = F.col(rn_col)
-    head = r * (q + 1)
-    tile = (
-        F.when(rn <= head, F.floor((rn - 1) / (q + 1)))
-        .otherwise(r + F.floor((rn - head - 1) / q))
-        + 1
-    )
-    return (
-        ranked.crossJoin(F.broadcast(tot))
-        .withColumn(out, tile.cast("int"))
-        .drop(rn_col, "__gr_n")
-    )
+    first ``n mod k`` tiles get ``⌈n/k⌉`` rows, the rest ``⌊n/k⌋``."""
+    return with_global_ntiles(df, [(order, out)], k, n_buckets, accuracy)
+
+
+def with_global_ntiles(
+    df: DataFrame,
+    specs: list[tuple[OrderSpec, str]],
+    k: int,
+    n_buckets: int = 64,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Adds one exact global NTILE(k) column per ``(order, out)`` spec in
+    a SINGLE eager pass over ``df``: every spec's edge sketch AND the row
+    count come out of one global aggregate (one job), then each spec gets
+    its map-side bucketing, broadcast offsets, and per-bucket window
+    inside the one final lazy plan.  A caller scoring R/F/M quintiles
+    pays one sketch scan instead of three (plus three count broadcasts).
+
+    The exact-NTILE positional arithmetic runs on the collected count as
+    Python-int literals, so no count broadcast appears in the plan."""
+    keyed = df
+    key_cols: list[str] = []
+    for i, (order, _out) in enumerate(specs):
+        first, first_asc = order[0]
+        kc = f"{_KEY}_{i}"
+        keyed = keyed.withColumn(kc, _key_double(df, first, first_asc))
+        key_cols.append(kc)
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    row = keyed.agg(
+        *[
+            F.percentile_approx(kc, probs, F.lit(accuracy)).alias(kc)
+            for kc in key_cols
+        ],
+        F.count(F.lit(1)).alias("__gr_n"),
+    ).first()
+    n = int(row["__gr_n"])
+
+    out_df = df
+    for i, (order, out) in enumerate(specs):
+        first, first_asc = order[0]
+        rn_col = "__gr_rn"
+        b = _bucket_from_edges(
+            out_df.withColumn(_KEY, _key_double(out_df, first, first_asc)),
+            row[key_cols[i]],
+        )
+        off = _bucket_offsets(b, F.count(F.lit(1)), "__gr_off", n_buckets)
+        w = Window.partitionBy(_BUCKET).orderBy(*_sort_exprs(order))
+        ranked = (
+            b.join(F.broadcast(off), _BUCKET, "left")
+            .withColumn(
+                rn_col,
+                (
+                    F.row_number().over(w).cast("bigint")
+                    + F.coalesce(F.col("__gr_off"), F.lit(0))
+                ).cast("bigint"),
+            )
+            .drop(_KEY, _BUCKET, "__gr_off")
+        )
+        q, r = divmod(n, k)
+        rn = F.col(rn_col)
+        if q == 0:  # n < k: every row is in the head tiles
+            tile = F.floor((rn - 1) / (q + 1)) + 1
+        else:
+            head = r * (q + 1)
+            tile = (
+                F.when(rn <= head, F.floor((rn - 1) / (q + 1)))
+                .otherwise(r + F.floor((rn - head - 1) / q))
+                + 1
+            )
+        out_df = ranked.withColumn(out, tile.cast("int")).drop(rn_col)
+    return out_df
 
 
 def assign_quantile_buckets(

@@ -260,7 +260,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition NTILE window it replaces, pinned in
     tests/test_ranking.py) — no unpartitioned window anywhere in the
     plan (the r4 scale-killer; plan-asserted in tests/test_plans.py)."""
-    from ..operators.ranking import with_global_ntile
+    from ..operators.ranking import with_global_ntiles
 
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -277,14 +277,16 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and its total-count broadcast) would otherwise re-execute the
     # orders aggregation — the first sketch materializes the grain into
     # cache and the other five scans read it
-    scored = with_global_ntile(
-        base, [("recency_days", False), ("custkey", True)], 5, out="r_q"
-    )
-    scored = with_global_ntile(
-        scored, [("frequency", True), ("custkey", True)], 5, out="f_q"
-    )
-    scored = with_global_ntile(
-        scored, [("monetary", True), ("custkey", True)], 5, out="m_q"
+    # fused: ONE eager aggregate sketches all three order keys and the
+    # row count together; three sketch scans of the grain become one
+    scored = with_global_ntiles(
+        base,
+        [
+            ([("recency_days", False), ("custkey", True)], "r_q"),
+            ([("frequency", True), ("custkey", True)], "f_q"),
+            ([("monetary", True), ("custkey", True)], "m_q"),
+        ],
+        5,
     )
     return scored.select(
         "custkey",

@@ -175,3 +175,24 @@ def test_date_and_timestamp_keys_supported(spark):
         F.row_number().over(Window.orderBy(F.asc("t"), F.asc("k"))).cast("bigint"),
     )
     assert _rows(got_t, "k", "rn") == _rows(want_t, "k", "rn")
+
+
+def test_fused_ntiles_matches_sequential_windows(base):
+    from dask_ssh_docker_spark.operators.ranking import with_global_ntiles
+
+    got = with_global_ntiles(
+        base,
+        [
+            ([("cnt", False), ("k", True)], "a"),
+            ([("rev", True), ("k", True)], "b"),
+        ],
+        k=5,
+        n_buckets=8,
+    )
+    want = base.withColumn(
+        "a", F.ntile(5).over(Window.orderBy(F.desc("cnt"), F.asc("k")))
+    ).withColumn(
+        "b", F.ntile(5).over(Window.orderBy(F.asc("rev"), F.asc("k")))
+    )
+    assert _rows(got, "k", "a", "b") == _rows(want, "k", "a", "b")
+    assert unpartitioned_window_count(got) == 0
