@@ -107,18 +107,26 @@ class StandaloneCluster:
         self._started: list[tuple[str, str]] = []  # (host, role)
 
     def start(self) -> str:
-        env = {
-            "SPARK_MASTER_HOST": self.hosts[0],
-            "SPARK_MASTER_PORT": str(self.port),
-            **self.env,
-        }
-        _run(self.hosts[0], [f"{self.sbin}/start-master.sh"], env)
-        self._started.append((self.hosts[0], "master"))
-        _wait_port(self.hosts[0], self.port)
-        for host in self.hosts[1:]:
-            _run(host, [f"{self.sbin}/start-worker.sh", self.master_url], env)
-            self._started.append((host, "worker"))
-        return self.master_url
+        # self-cleaning: a failure mid-start (say a worker's ssh launch
+        # after the master daemon is already up) stops every daemon this
+        # object managed to start before re-raising — callers never
+        # inherit a half-started cluster.
+        try:
+            env = {
+                "SPARK_MASTER_HOST": self.hosts[0],
+                "SPARK_MASTER_PORT": str(self.port),
+                **self.env,
+            }
+            _run(self.hosts[0], [f"{self.sbin}/start-master.sh"], env)
+            self._started.append((self.hosts[0], "master"))
+            _wait_port(self.hosts[0], self.port)
+            for host in self.hosts[1:]:
+                _run(host, [f"{self.sbin}/start-worker.sh", self.master_url], env)
+                self._started.append((host, "worker"))
+            return self.master_url
+        except BaseException:
+            self.stop()
+            raise
 
     def stop(self) -> None:
         # workers first, master last; never raise during teardown

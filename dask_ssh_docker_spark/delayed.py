@@ -131,7 +131,17 @@ def _substitute(obj: Any, done: dict[str, Any], bcs: dict[int, Any]) -> Any:
     if isinstance(obj, tuple):
         return tuple(_substitute(v, done, bcs) for v in obj)
     if isinstance(obj, set):
-        return {_substitute(v, done, bcs) for v in obj}
+        # the dict marker is unhashable, so inside sets a ScatterRef
+        # substitutes to the hashable tuple form instead (resolved by
+        # the same worker-side marker check)
+        out = set()
+        for v in obj:
+            if isinstance(v, ScatterRef):
+                bcs[v.rid] = v.bc
+                out.add((_BC_KEY, v.rid))
+            else:
+                out.add(_substitute(v, done, bcs))
+        return out
     if isinstance(obj, dict):
         return {k: _substitute(v, done, bcs) for k, v in obj.items()}
     return obj
@@ -229,6 +239,14 @@ def _compute_graph(
                 if isinstance(o, list):
                     return [res(v) for v in o]
                 if isinstance(o, tuple):
+                    # hashable scatter marker (set members): (key, rid)
+                    if (
+                        len(o) == 2
+                        and o[0] == bc_key
+                        and isinstance(o[1], int)
+                        and o[1] in bmap
+                    ):
+                        return bmap[o[1]].value
                     return tuple(res(v) for v in o)
                 if isinstance(o, set):
                     return {res(v) for v in o}

@@ -186,6 +186,8 @@ class Client:
                 return [sub(v) for v in o]
             if isinstance(o, tuple):
                 return tuple(sub(v) for v in o)
+            if isinstance(o, set):
+                return {sub(v) for v in o}
             if isinstance(o, dict):
                 return {k: sub(v) for k, v in o.items()}
             return o

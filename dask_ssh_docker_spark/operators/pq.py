@@ -72,8 +72,10 @@ def train_pq_codebooks(
     sample_max: int = 100_000,
 ) -> DataFrame:
     """(sub, cid, centroid: array<double>) — m per-subspace codebooks of
-    ks centroids each.  Deterministic init: the first ks subvectors by
-    vec_id in each subspace; assignment ties break on the lowest cid.
+    ks centroids each (clamped to the sample size when the corpus has
+    fewer than ks vectors; an empty corpus raises ValueError).
+    Deterministic init: the first ks subvectors by vec_id in each
+    subspace; assignment ties break on the lowest cid.
 
     Training runs DRIVER-SIDE in numpy on a bounded deterministic sample
     (the ``sample_max`` lowest-id vectors — one ``TakeOrdered`` job).
@@ -97,7 +99,15 @@ def train_pq_codebooks(
         .limit(sample_max)
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            "train_pq_codebooks: corpus is empty — no vectors to train on"
+        )
     x = np.asarray([r[1] for r in sample], dtype=np.float64)  # (n, dim)
+    # fewer sample vectors than requested centroids: train the ones the
+    # data supports (ks distinct centroids cannot exist anyway) instead
+    # of indexing past the sample.
+    ks = min(ks, len(x))
     rows: list[tuple] = []
     for sub in range(m):
         s = x[:, sub * subdim : (sub + 1) * subdim]

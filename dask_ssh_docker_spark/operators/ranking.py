@@ -40,9 +40,11 @@ ranking is a total order, so equal keys are inherently one task's
 work; break such ties upstream (they are exactly the rows a tiebreak
 column disambiguates).
 
-Preconditions: the first order column must be non-null (aggregate
-grains here always are; NULL keys would need engine-specific
-nulls-first/last pinning both here and in any SQL oracle).
+NULL order keys are pinned to Spark's window null ordering (NULLS
+FIRST ascending, NULLS LAST descending) by coalescing them to the
+matching ±inf in key-double space, so bucketing and the in-bucket
+window always agree.  An ANSI-SQL oracle must spell the same ordering
+explicitly (DuckDB defaults to NULLS LAST for ASC).
 
 Reference parity: the reference engine exposes global ordering only
 through Dask's ``sort_values``/``set_index`` (reference
@@ -105,8 +107,9 @@ def with_quantile_bucket(
 
 def _key_double(df: DataFrame, key: str | Column, ascending: bool) -> Column:
     """The validated monotone double form of an order key (dtype check,
-    date→timestamp hop, NaN pinned to +inf, descending negation) — the
-    comparator contract documented on ``with_quantile_bucket``."""
+    date→timestamp hop, NaN pinned to +inf, descending negation, NULL
+    pinned post-negation to the window's null ordering) — the comparator
+    contract documented on ``with_quantile_bucket``."""
     from pyspark.sql.types import (
         BooleanType,
         DateType,
@@ -137,7 +140,16 @@ def _key_double(df: DataFrame, key: str | Column, ascending: bool) -> Column:
         keyd = F.nanvl(keyd, F.lit(float("inf")))
     if not ascending:
         keyd = -keyd
-    return keyd
+    # NULL keys must bucket where the in-bucket window will sort them:
+    # Spark windows order NULLS FIRST ascending, NULLS LAST descending —
+    # so in post-negation key space that is -inf (asc) / +inf (desc).
+    # Without this pin a NULL survives the cast as NULL, the bucket
+    # expression's `edge < NULL` filter counts 0 edges, and the row lands
+    # in bucket 0 regardless of direction — under desc that ranks it
+    # between buckets 0 and 1 instead of globally last.
+    return F.coalesce(
+        keyd, F.lit(float("-inf") if ascending else float("inf"))
+    )
 
 
 def _bucket_from_edges(tmp: DataFrame, edge_vals) -> DataFrame:

@@ -106,3 +106,14 @@ def test_runner_hosts_master_mutually_exclusive():
 
     with pytest.raises(SystemExit, match="mutually exclusive"):
         main(["--hosts", "a,b", "--master", "local[2]"])
+
+
+def test_scatter_ref_inside_set_argument(spark):
+    # ADVICE r6: the dict scatter marker is unhashable — a ScatterRef in a
+    # set arg must ride the hashable tuple marker and still resolve
+    from dask_ssh_docker_spark.futures import Client
+
+    client = Client(spark)
+    ref = client.scatter(7)
+    f = client.submit(lambda s: sum(s), {ref, 1, 2})  # noqa: E731
+    assert f.result() == 10

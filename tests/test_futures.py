@@ -103,3 +103,12 @@ def test_scatter_inside_container_arg(client):
 def test_submit_rejects_non_callable(client):
     with pytest.raises(TypeError, match="callable"):
         client.submit(42)
+
+
+def test_gather_set_of_futures(client):
+    # ADVICE r6: `find` traversed sets but `sub` did not — a gathered set
+    # returned raw Future objects instead of values
+    f1, f2 = client.submit(_inc, 10), client.submit(_inc, 20)
+    got = client.gather({f1, f2, 99})
+    assert got == {11, 21, 99}
+    assert not any(isinstance(v, Future) for v in got)

@@ -100,3 +100,22 @@ def test_sf01_query_recall_vs_bruteforce(spark):
         len(pq_sets.get(q, set()) & bf_sets[q]) / len(bf_sets[q]) for q in bf_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_codebook_clamps_to_small_corpus(spark):
+    # ADVICE r6: a corpus with fewer than ks vectors must train a smaller
+    # codebook (ks' = corpus size), not index past the sample
+    emb = load_table(spark, SF01, "embeddings").filter("vec_id < 5")
+    cb = train_pq_codebooks(emb, m=M, ks=KS, dim=DIM, iters=1)
+    assert cb.count() == M * 5
+    idx = pq_encode(emb, cb, m=M, dim=DIM)
+    assert idx.count() == 5
+    assert all(0 <= c < 5 for c in idx.first().codes)
+
+
+def test_codebook_empty_corpus_raises(spark):
+    emb = load_table(spark, SF01, "embeddings").filter("vec_id < 0")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        train_pq_codebooks(emb, m=M, ks=KS, dim=DIM, iters=1)

@@ -196,3 +196,23 @@ def test_fused_ntiles_matches_sequential_windows(base):
     )
     assert _rows(got, "k", "a", "b") == _rows(want, "k", "a", "b")
     assert unpartitioned_window_count(got) == 0
+
+
+def test_null_key_matches_window_null_ordering(spark):
+    # ADVICE r6: NULL keys previously bucketed to 0 under BOTH directions
+    # while the in-bucket window sorted them NULLS LAST descending —
+    # mis-ranking them between buckets.  Pinned: bucketing now agrees
+    # with Spark's window null ordering (asc NULLS FIRST, desc NULLS LAST).
+    rows = [(1, 5.0), (2, None), (3, 1.0), (4, None), (5, 3.0), (6, 4.5)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    for asc in (True, False):
+        got = with_global_row_number(
+            df, [("v", asc), ("k", True)], out="rn", n_buckets=3
+        )
+        want = df.withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.orderBy(F.asc("v") if asc else F.desc("v"), F.asc("k")))
+            .cast("bigint"),
+        )
+        assert _rows(got, "k", "rn") == _rows(want, "k", "rn")
