@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..functions.text import (
     md5_fingerprint,
@@ -285,6 +286,7 @@ def cluster_min_label(
     cc_iters: int = 20,
     strict: bool = True,
     checkpoint_dir: str | None = None,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(id, cluster_id): connected components of the pair graph by iterated
     min-label propagation; singletons keep their own id.  Labels advance
@@ -306,8 +308,21 @@ def cluster_min_label(
     the edge-touched set is a small fraction of |ids| (at 100 TB: the dup
     graph, not the corpus), so per-round shuffle volume is O(|edges| +
     |touched|), independent of corpus size.
+
+    ``driver_max_edges``: when the candidate edge set fits under this
+    bound (one count on the usually-persisted pair frame), the closure
+    runs as driver-side union-find on the collected (id_a, id_b) pairs —
+    id pairs only, never document bodies; 2M edges ≈ tens of MB.  Exact
+    same labels (min member id per component), no iteration cap, zero
+    per-round scheduling latency.  The distributed min-label loop is the
+    scale path for dup graphs past the bound; set ``driver_max_edges=0``
+    to force it (the parity test pins both paths equal).
     """
     import warnings
+
+    if driver_max_edges and pairs.limit(driver_max_edges + 1).count() <= driver_max_edges:
+        return _cluster_union_find(pairs, ids)
+
     edges = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .union(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
@@ -403,6 +418,56 @@ def cluster_min_label(
     # don't accumulate cached blocks
     edges_plus.unpersist()
     return clustered.union(singletons)
+
+
+def _cluster_union_find(pairs: DataFrame, ids: DataFrame) -> DataFrame:
+    """Driver-side exact closure for a bounded dup graph: collect the id
+    pairs, union-find with path compression, re-label every root to the
+    MINIMUM member id (the module-wide canonical-survivor rule), then
+    union the distributed singleton anti-join — identical output contract
+    to the min-label loop."""
+    rows = pairs.select("id_a", "id_b").collect()
+    parent: dict = {}
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:  # path compression
+            parent[a], a = root, parent[a]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # min member id per component
+    min_of: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = min_of.get(root)
+        if cur is None or node < cur:
+            min_of[root] = node
+    spark = pairs.sparkSession
+    id_field = ids.schema.fields[0]
+    schema = StructType(
+        [
+            StructField("id", id_field.dataType, id_field.nullable),
+            StructField("cluster_id", id_field.dataType, id_field.nullable),
+        ]
+    )
+    labels = spark.createDataFrame(
+        [(n, min_of[find(n)]) for n in parent], schema
+    )
+    singletons = ids.join(labels.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    return labels.union(singletons)
 
 
 def minhash_dedup(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from .dedup import cluster_min_label
 
@@ -55,6 +56,7 @@ def pagerank(
     weight: str | None = None,
     iters: int = 5,
     damping: float = 0.85,
+    driver_iter_max_nodes: int = 1024,
 ) -> DataFrame:
     """(node, rank): weighted PageRank with uniform teleport, a fixed
     iteration count, and exact dangling-mass redistribution.
@@ -77,6 +79,17 @@ def pagerank(
     Correctness is driver-checked end-to-end by ``pagerank_nation_trade``
     (``queries/graph_analytics.py``) against a DuckDB oracle that unrolls
     the same recurrence as chained CTEs.
+
+    ``driver_iter_max_nodes``: graphs whose node set is bounded by the
+    SCHEMA rather than the data (nations, categories, segments — the
+    aggregated entity graphs analytics actually ranks) iterate
+    driver-side in numpy once the distributed edge aggregation has
+    reduced them to ≤ this many nodes.  Same posture as PQ codebook
+    training: the data-scaling stage (fact-table edge aggregation) stays
+    a distributed DataFrame pass, while the iteration over a ≤1024-node
+    aggregate is KBs of state where 5 rounds × 3 shuffles buys nothing
+    but scheduler latency.  Set to 0 to force the distributed loop
+    (tests pin both paths equal to 1e-9 before the caller's rounding).
     """
     e = edges.select(
         F.col(src).alias("src"),
@@ -97,11 +110,16 @@ def pagerank(
         return nodes.select(F.col("id").alias("node"), F.lit(0.0).alias("rank"))
 
     out_w = e.groupBy("src").agg(F.sum("w").alias("w_out"))
-    ratio = (
-        e.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("w_out")).alias("ratio"))
-        .persist()
+    ratio_plan = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("w_out")).alias("ratio")
     )
+
+    if n_nodes <= driver_iter_max_nodes:
+        return _pagerank_bounded(
+            nodes, ratio_plan, n_nodes, iters, damping
+        )
+
+    ratio = ratio_plan.persist()
     ratio.count()  # materialize once; reused every iteration
 
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
@@ -148,6 +166,65 @@ def pagerank(
     return ranks.select(F.col("id").alias("node"), "rank")
 
 
+def _pagerank_bounded(
+    nodes: DataFrame,
+    ratio_plan: DataFrame,
+    n_nodes: int,
+    iters: int,
+    damping: float,
+) -> DataFrame:
+    """Driver-side iteration for schema-bounded aggregated graphs: ONE
+    distributed job collects the (src, dst, ratio) aggregate (≤ n²
+    rows for n ≤ ``driver_iter_max_nodes``), then numpy runs the same
+    recurrence — identical up to float addition order, absorbed by the
+    consumer-side rounding every registered query applies."""
+    import numpy as np
+
+    ids = [r[0] for r in nodes.collect()]
+    pos = {v: i for i, v in enumerate(ids)}
+    has_out = np.zeros(n_nodes, dtype=bool)
+    # endpoints outside the caller's node set mirror the distributed
+    # path: a known src with only-unknown dsts still counts as
+    # non-dangling, but its contribution is dropped; unknown srcs carry
+    # no rank at all.
+    src_l: list[int] = []
+    dst_l: list[int] = []
+    val_l: list[float] = []
+    for r in ratio_plan.collect():
+        si = pos.get(r["src"])
+        if si is None:
+            continue
+        has_out[si] = True
+        di = pos.get(r["dst"])
+        if di is not None:
+            src_l.append(si)
+            dst_l.append(di)
+            val_l.append(r["ratio"])
+    src_i = np.asarray(src_l, dtype=np.int64)
+    dst_i = np.asarray(dst_l, dtype=np.int64)
+    ratio_v = np.asarray(val_l, dtype=np.float64)
+
+    rank = np.full(n_nodes, 1.0 / n_nodes)
+    for _ in range(iters):
+        dangling = float(rank[~has_out].sum())
+        in_rank = np.zeros(n_nodes)
+        np.add.at(in_rank, dst_i, rank[src_i] * ratio_v)
+        rank = (1.0 - damping) / n_nodes + damping * (
+            in_rank + dangling / n_nodes
+        )
+
+    id_field = nodes.schema.fields[0]
+    out_schema = StructType(
+        [
+            StructField("node", id_field.dataType, id_field.nullable),
+            StructField("rank", DoubleType(), False),
+        ]
+    )
+    return nodes.sparkSession.createDataFrame(
+        [(v, float(rank[pos[v]])) for v in ids], out_schema
+    )
+
+
 def shortest_paths(
     edges: DataFrame,
     sources: DataFrame,
@@ -155,10 +232,20 @@ def shortest_paths(
     dst: str = "dst",
     weight: str | None = None,
     max_iters: int = 10,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(node, dist): single-source (or multi-source) shortest path
     distances by iterative relaxation (Bellman–Ford over DataFrames),
     bounded at ``max_iters`` hops.
+
+    ``driver_max_edges``: an aggregated entity graph whose edge list
+    fits under this bound (known from the materialization count the
+    loop needs anyway) relaxes driver-side instead — the identical
+    synchronous Bellman–Ford recurrence on the collected (src, dst, w)
+    triples, so per-path float addition order (and hence every distance)
+    is bit-equal to the distributed loop (parity-pinned in
+    tests/test_sketches_graph.py).  The distributed loop is the scale
+    path past the bound; 0 forces it.
 
     Per iteration one edge-sized shuffle: tentative distances flow along
     edges (``dist(u) + w``), then ``min`` per destination merges them
@@ -182,7 +269,13 @@ def shortest_paths(
         F.col(dst).alias("dst"),
         (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
     ).persist()
-    e.count()  # materialize once; reused every iteration
+    n_edges = e.count()  # materialize once; reused every iteration
+
+    if driver_max_edges and n_edges <= driver_max_edges:
+        try:
+            return _shortest_paths_bounded(e, sources, max_iters)
+        finally:
+            e.unpersist()
 
     dist = sources.select(
         F.col(sources.columns[0]).alias("id"), F.lit(0.0).alias("dist")
@@ -216,6 +309,42 @@ def shortest_paths(
 
     e.unpersist()
     return dist.select(F.col("id").alias("node"), "dist")
+
+
+def _shortest_paths_bounded(
+    e: DataFrame, sources: DataFrame, max_iters: int
+) -> DataFrame:
+    """Driver-side synchronous Bellman–Ford on the collected edge
+    triples — the same hop-bounded recurrence as the distributed loop,
+    with identical per-path addition order (bit-equal distances)."""
+    rows = [(r["src"], r["dst"], r["w"]) for r in e.collect()]
+    dist: dict = {
+        r[0]: 0.0 for r in sources.select(sources.columns[0]).collect()
+    }
+    for _ in range(max_iters):
+        new = dict(dist)
+        changed = False
+        for u, v, w in rows:
+            du = dist.get(u)
+            if du is None:
+                continue
+            nd = du + w
+            if v not in new or nd < new[v]:
+                new[v] = nd
+                changed = True
+        dist = new
+        if not changed:  # fixpoint — same early exit as the certificate
+            break
+    src_field = e.schema["src"]
+    out_schema = StructType(
+        [
+            StructField("node", src_field.dataType, True),
+            StructField("dist", DoubleType(), False),
+        ]
+    )
+    return e.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in dist.items()], out_schema
+    )
 
 
 def label_propagation(

@@ -137,23 +137,48 @@ def pq_encode(
     dim: int = 64,
 ) -> DataFrame:
     """(vec_id, codes: array<int>[m]) — the compressed index: nearest
-    sub-centroid id per subspace.  Two bounded shuffles of (vec, sub)
-    rows; the original vectors are NOT carried forward."""
+    sub-centroid id per subspace; assignment ties break on the lowest cid
+    (numpy argmin picks the first minimum).
+
+    ONE Arrow-batched map pass, ZERO shuffle: the codebook is bounded
+    (m·ks rows) and closes over the encode function as a numpy array, so
+    each batch scores all subspaces with vectorized BLAS-shaped ops.
+    The previous DataFrame form (explode (vec, sub) rows → broadcast
+    join → interpreted higher-order distance folds → argmin window)
+    shuffled m rows per vector twice and evaluated |corpus|·m·ks
+    interpreted folds — measured several× slower at every scale tested."""
+    import numpy as np
+
     subdim = dim // m
-    subs = _explode_subvectors(corpus, id_col, vec_col, m, subdim)
-    w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
-    return (
-        subs.join(F.broadcast(codebooks), "sub")
-        .withColumn("d", _sub_sq_dist("subvec", "centroid"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "cid"))),
-                lambda s: s["cid"],
-            ).alias("codes")
-        )
+    cb_rows = codebooks.collect()  # bounded by construction: m·ks rows
+    n_cids = max(r["cid"] for r in cb_rows) + 1
+    cents = np.zeros((m, n_cids, subdim), dtype=np.float64)
+    have = np.zeros((m, n_cids), dtype=bool)
+    for r in cb_rows:
+        cents[r["sub"], r["cid"]] = r["centroid"]
+        have[r["sub"], r["cid"]] = True
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64).reshape(
+                n, m, subdim
+            )
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                d = ((x[:, s, None, :] - cents[s][None, :, :]) ** 2).sum(-1)
+                d[:, ~have[s]] = np.inf  # clamped codebook: unused cids
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} {id_type}, codes array<int>"
     )
 
 

@@ -59,83 +59,77 @@ from . import assoc_analytics  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Registration priority.
 #
-# The driver's correctness gate checks queries in registration order and has
-# a bounded budget (each round records exactly the first 50 names).  The
-# window rotates every round so no query's newest driver row goes stale.
-# Round-6 window (VERDICT r5 item 1 — the #1 ask):
-#   1. the 29 registry names that have NEVER appeared in any driver
-#      CORRECTNESS window across r01-r05 (computed as
-#      REGISTRY - union(CORRECTNESS_r01..r05 keys)).  After this round
-#      every registry entry has driver-side evidence.  tools/check_all.sh
-#      now enforces this invariant (never-checked guard, VERDICT r5
-#      item 2).
-#   2. queries whose machinery CHANGED this round and must re-prove
-#      green: the minhash-CC dedup pair (CC-loop round-trip fix,
-#      VERDICT r5 item 3), the prefix-filter set-sim join (PPJoin
-#      length filter, item 5), the four global-ranking consumers
-#      (ranking.py dtype/edge-consistency hardening, ADVICE r5), the
-#      ANN family (sf0.1 recall pins, item 8), and the delayed smoke
-#      (futures surface wrappers, item 7).
-#   3. flagship r1 anchors to keep a fresh driver row on the bench
-#      headliners (q1/q3/q5, exact dedup, as-of, TF-IDF, quality).
+# The driver's correctness gate checks queries in registration order with a
+# bounded budget (each round records exactly the first 50 names); the window
+# rotates every round so no query's newest driver row goes stale
+# (tools/check_all.sh enforces that every registry name has appeared in at
+# least one recorded window).  Round-7 window:
+#   1. queries whose machinery CHANGED this round and must re-prove green:
+#      the cluster_min_label consumers (bounded union-find fast path +
+#      forced-distributed transitive query), pagerank (bounded driver-side
+#      iteration), the PQ query (Arrow-batched encode), the four
+#      global-ranking consumers (NULL-key ordering pin, ADVICE r6), and
+#      the futures/delayed smokes (gather-set + scatter-in-set fixes).
+#   2. the 38 stalest names — queries whose newest driver row is still
+#      round 1.  The session-level AQE coalescing change (session.py)
+#      touches EVERY plan, so breadth here doubles as re-proof.  The 5
+#      remaining r1-stale names rotate into the r8 window.
 # Names not listed keep their import order after the listed ones.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- 1. never driver-checked before r6 (29 names) --
-    "delayed_api_smoke",
-    "window_rolling_median",
-    "sim_topk_pq",
-    "stream_dedup_watermark",
-    "stream_rate_cap_user",
-    "stream_mv_user_totals",
-    "multimodal_decode_audio",
-    "multimodal_image_features",
-    "agg_mode_per_group",
-    "feature_minmax_scale",
-    "winsorize_bounds_audit",
-    "entropy_event_mix",
-    "ab_test_welch",
-    "heavy_hitter_tokens",
-    "sssp_nation_trade",
-    "triangle_count_trade",
-    "variant_shred_roundtrip",
-    "scd2_priority_history",
-    "cdc_snapshot_diff",
-    "profile_orders_columns",
-    "join_skew_audit",
-    "sample_k_per_group",
-    "copurchase_part_pairs",
-    "dq_expectations_orders",
-    "npy_source_norms",
-    "agg_grouping_sets",
-    "markov_event_transitions",
-    "event_trigram_paths",
-    "inverted_index_postings",
-    # -- 2. machinery changed this round: re-prove --
+    # -- 1. machinery changed this round: re-prove --
+    "dedup_clusters_transitive",
     "dedup_clusters_minhash_cc",
     "dedup_canonical_survivors",
-    "setsim_prefix_pairs",
-    "gini_revenue_concentration",
+    "dedup_minhash_clusters",
+    "pagerank_nation_trade",
+    "sim_topk_pq",
     "rfm_customer_segments",
+    "gini_revenue_concentration",
     "abc_part_classification",
     "mannwhitney_click_view",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "sim_topk_bruteforce",
-    "smoke_delayed_sum",
-    "futures_api_smoke",  # NEW r6: Client submit/map/scatter/gather
-    # -- 3. flagship anchors (bench headliners) --
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q5_region_revenue",
-    "dedup_exact_groups",
-    "asof_backward",
-    "text_tfidf_top_terms",
-    "text_quality",
-    "pagerank_nation_trade",
-    "cdc_merge_upsert",
-    "text_bm25_rank",
+    "futures_api_smoke",
+    "delayed_api_smoke",
+    # -- 2. stalest driver evidence (last checked r1) --
+    "join_semi_orders",
+    "join_anti_customers",
+    "join_left_order_counts",
+    "join_cross_nation_region",
+    "filter_project_lineitem",
+    "sample_systematic",
+    "null_handling",
+    "agg_global_stats",
+    "agg_rollup",
+    "value_counts_events",
+    "agg_corr_stats",
+    "topk_orders",
+    "dedup_keep_first",
+    "distinct_pairs",
+    "set_intersect",
+    "set_except",
+    "concat_union",
+    "join_full_outer",
+    "union_missing_columns",
+    "merge_indicator",
+    "explode_outer_null_preserving",
+    "str_functions",
+    "str_split_explode",
+    "date_functions",
+    "math_functions",
+    "json_extract_props",
+    "json_map_schema",
+    "cast_surface",
+    "str_functions_extended",
+    "fuzzy_levenshtein_pairs",
+    "numeric_format_conv",
+    "window_ranking",
+    "window_lag_lead",
+    "window_cumsum",
+    "window_rolling_rows",
+    "window_rolling_range_1h",
+    "resample_hourly",
+    "sliding_window_30m",
 ]
 
 

@@ -135,13 +135,17 @@ def dedup_clusters_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the pair generation is the documented validation-scale
     baseline; the CC loop itself is the 100 TB path (one edge-shuffle per
-    round, eager localCheckpoint lineage cuts, convergence early-exit)."""
+    round, eager localCheckpoint lineage cuts, convergence early-exit).
+    ``driver_max_edges=0`` forces the DISTRIBUTED loop here — this query
+    is the loop's driver-side evidence; the bounded union-find fast path
+    the production pipelines take at validation scale is pytest-pinned
+    equal (tests/test_dedup.py)."""
     from ..operators.dedup import cluster_min_label
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.35)
     ids = docs.select(F.col("doc_id").alias("id"))
-    out = cluster_min_label(pairs.select("id_a", "id_b"), ids)
+    out = cluster_min_label(pairs.select("id_a", "id_b"), ids, driver_max_edges=0)
     return out.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

@@ -70,6 +70,19 @@ def default_conf(parallelism: int | None = None, master: str | None = None) -> d
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Coalesce to the advisory TARGET SIZE, not to core count: with
+        # the default parallelismFirst=true a KB-sized shuffle still
+        # fans out into |cores| near-empty tasks, and iterative operators
+        # (CC, pagerank) pay that scheduling floor once per round.  The
+        # Spark tuning guide itself recommends false; large shuffles are
+        # unaffected (they exceed the 64m advisory size per partition).
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        # Let AQE re-coalesce CACHED plans too: a persisted 256-row
+        # frame otherwise pins the full shuffle-partition fan-out for
+        # every downstream stage.  Tradeoff (possible extra exchange
+        # when a cache's coalesced partitioning no longer matches a
+        # downstream join) is the documented one and is test-covered.
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         # --- shuffle sizing (see docstring) ---
         "spark.sql.shuffle.partitions": str(shuffle_parts),
         "spark.default.parallelism": str(shuffle_parts),

@@ -153,10 +153,14 @@ def test_cluster_min_label_cap_raises_or_warns(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
+    # the cap is a distributed-loop concept; force that path (the
+    # bounded union-find fast path has no cap to hit)
     with pytest.raises(RuntimeError, match="did not converge"):
-        cluster_min_label(pairs, ids, cc_iters=2)
+        cluster_min_label(pairs, ids, cc_iters=2, driver_max_edges=0)
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        out = cluster_min_label(pairs, ids, cc_iters=2, strict=False).toPandas()
+        out = cluster_min_label(
+            pairs, ids, cc_iters=2, strict=False, driver_max_edges=0
+        ).toPandas()
     assert len(out) == n
 
 
@@ -244,3 +248,23 @@ def test_connected_components_public_api(spark):
         r["node"]: r["component"] for r in connected_components(edges).collect()
     }
     assert got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_cluster_union_find_matches_distributed_loop(spark):
+    """The bounded driver-side union-find must produce EXACTLY the
+    distributed min-label loop's labels (min member id per component)."""
+    from dask_ssh_docker_spark.operators.dedup import cluster_min_label
+
+    ids = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    # chain + triangle + isolated pair + singletons, shuffled order
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 7), (12, 14), (14, 12), (20, 21), (21, 22), (22, 20), (1, 2)],
+        "id_a long, id_b long",
+    )
+    fast = {(r.id, r.cluster_id) for r in cluster_min_label(pairs, ids).collect()}
+    slow = {
+        (r.id, r.cluster_id)
+        for r in cluster_min_label(pairs, ids, driver_max_edges=0).collect()
+    }
+    assert fast == slow
+    assert len(fast) == 30

@@ -131,3 +131,50 @@ def test_shortest_paths_hop_bound_and_unreachable(spark):
     d = {r.node: r.dist for r in shortest_paths(edges, sources, max_iters=2).collect()}
     assert set(d) == {0, 1, 2}  # only nodes within 2 hops appear
     assert 9 not in d
+
+
+def test_pagerank_bounded_matches_distributed(spark):
+    # the driver-side numpy iteration for schema-bounded graphs must match
+    # the distributed loop (identical recurrence; float addition order
+    # differs, so pin to 1e-9 — far inside every consumer's rounding)
+    edges = spark.createDataFrame(
+        [(a, b, float(1 + (a * 7 + b) % 5)) for a in range(12) for b in range(12) if (a * 5 + b * 3) % 4 == 0 and a != b],
+        ["src", "dst", "w"],
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(14)], ["id"])  # 2 isolated
+    fast = {
+        r.node: r["rank"]
+        for r in pagerank(edges, nodes=nodes, weight="w", iters=6).collect()
+    }
+    slow = {
+        r.node: r["rank"]
+        for r in pagerank(
+            edges, nodes=nodes, weight="w", iters=6, driver_iter_max_nodes=0
+        ).collect()
+    }
+    assert set(fast) == set(slow)
+    for k in fast:
+        assert math.isclose(fast[k], slow[k], abs_tol=1e-9), k
+    assert math.isclose(sum(fast.values()), 1.0, rel_tol=1e-9)
+
+
+def test_sssp_bounded_matches_distributed(spark):
+    # driver-side Bellman-Ford for bounded edge lists must be BIT-equal
+    # to the distributed loop (identical per-path addition order)
+    from dask_ssh_docker_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.5), (1, 2, 0.25), (0, 2, 2.0), (2, 3, 0.125), (3, 1, 0.0625), (4, 0, 1.0)],
+        ["src", "dst", "w"],
+    )
+    sources = spark.createDataFrame([(0,)], ["id"])
+    fast = {r.node: r.dist for r in shortest_paths(edges, sources, weight="w").collect()}
+    slow = {
+        r.node: r.dist
+        for r in shortest_paths(
+            edges, sources, weight="w", driver_max_edges=0
+        ).collect()
+    }
+    assert fast == slow  # exact float equality, not approx
+    assert fast[3] == 1.5 + 0.25 + 0.125
+    assert 4 not in fast  # unreachable from source
