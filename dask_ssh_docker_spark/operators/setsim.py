@@ -84,6 +84,14 @@ def setsim_pairs_prefix(
     # the cached arrays, so they need no persist of their own.
     harr = _hashed_shingles(df, text_col, id_col, shingle_k).persist()
     sh2 = harr.select("id", F.explode("__sh").alias("__h"))
+    # This pipeline's stages are COMPUTE-dense per byte (per-bucket
+    # O(L²) prefix matching, array-merge intersections on KB-sized
+    # rows), so the session's size-targeted AQE coalescing (session.py)
+    # would serialize them onto one task; pin the static shuffle width
+    # at the three hot exchanges instead (explicit repartitions are
+    # exempt from coalescing — measured 4× at sf0.1 when left to the
+    # 64 MB advisory size).
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # global rarity order = (document frequency asc, shingle hash asc);
     # vocabulary-bounded aggregate, long-keyed join
     sh_df = sh2.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
@@ -93,6 +101,7 @@ def setsim_pairs_prefix(
     # explode AND both verify sides.
     arr = (
         sh2.join(sh_df, "__h")
+        .repartition(width, "id")  # groupBy reuses; cache stays at width
         .groupBy("id")
         .agg(
             F.transform(
@@ -120,6 +129,8 @@ def setsim_pairs_prefix(
         F.posexplode(F.slice("__hs", 1, p)).alias("__pos0", "__h"),
     ).select("id", "n_sh", (F.col("__pos0") + 1).alias("__pos"), "__h")
 
+    # pin the prefix-join matching width (see `width` note above)
+    prefix = prefix.repartition(width, "__h")
     a, b = prefix.alias("a"), prefix.alias("b")
     na, nb = F.col("a.n_sh"), F.col("b.n_sh")
     pa, pb = F.col("a.__pos"), F.col("b.__pos")
@@ -140,7 +151,10 @@ def setsim_pairs_prefix(
             & (F.lit(1) + F.least(na - pa, nb - pb) >= alpha),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        # pinned-width dedup: the downstream array verify is broadcast
+        # (map-side), so it inherits THIS exchange's partitioning
+        .repartition(width, "id_a", "id_b")
+        .dropDuplicates()
     )
 
     # Exact verification: one row per candidate pair, intersection of the

@@ -220,10 +220,19 @@ def lsh_topk(
     cb = lsh_bucketed(corpus, corpus_id, vec_col, bits, tables, seed, dim=dim).select(
         corpus_id, F.col(vec_col).alias("__cvec"), "table_idx", "bucket"
     )
+    # id-keyed dedup at pinned width: rows with equal ids are identical
+    # (same vectors), so deduping on the id pair alone is equivalent to
+    # distinct() over the full row — without shuffling vector payloads
+    # through an all-column aggregate.  The explicit width keeps the
+    # per-candidate exact scoring parallel (the candidate frame is small
+    # in BYTES but compute-dense — the session's size-targeted AQE
+    # coalescing would serialize it; same rationale as operators/setsim).
+    width = int(queries.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cands = (
         qb.join(cb, ["table_idx", "bucket"])
         .select(query_id, corpus_id, "__qvec", "__cvec")
-        .distinct()
+        .repartition(width, query_id, corpus_id)
+        .dropDuplicates([query_id, corpus_id])
     )
     sim = cosine_similarity("__qvec", "__cvec")
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
