@@ -75,8 +75,16 @@ def default_conf(parallelism: int | None = None, master: str | None = None) -> d
         # fans out into |cores| near-empty tasks, and iterative operators
         # (CC, pagerank) pay that scheduling floor once per round.  The
         # Spark tuning guide itself recommends false; large shuffles are
-        # unaffected (they exceed the 64m advisory size per partition).
+        # unaffected (they exceed the advisory size per partition).
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        # Local masters lower the advisory size 64m -> 8m: bench-scale
+        # window/agg shuffles land in the 10-100 MB band where 64m
+        # would coalesce a compute-heavy stage onto 1-2 of the 32 cores
+        # (measured: 2-5x on the window-family at sf1), while 8m still
+        # collapses KB-sized iteration frames to one task.  Cluster
+        # masters keep Spark's 64m default — at TB shuffle volumes a
+        # small advisory size over-partitions.
+        **({"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"} if local else {}),
         # Let AQE re-coalesce CACHED plans too: a persisted 256-row
         # frame otherwise pins the full shuffle-partition fan-out for
         # every downstream stage.  Tradeoff (possible extra exchange
