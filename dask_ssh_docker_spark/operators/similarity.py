@@ -388,4 +388,10 @@ def mmr_rerank(
             columns=[query_id, "rank", corpus_id, "relevance", "mmr_score"],
         )
 
-    return grouped.groupBy(query_id).applyInPandas(_mmr, out_schema)
+    from ..functions.udf import _pin_group_width
+
+    return (
+        _pin_group_width(grouped, [query_id])
+        .groupBy(query_id)
+        .applyInPandas(_mmr, out_schema)
+    )

@@ -268,3 +268,25 @@ def test_cluster_union_find_matches_distributed_loop(spark):
     }
     assert fast == slow
     assert len(fast) == 30
+
+
+def test_simhash_frame_signatures_bit_equal_to_column_form(spark):
+    """The codegen'd aggregate simhash (simhash_signatures) must be
+    BIT-identical to the reference single-expression column form —
+    same token hashes, v = 2c - n algebra."""
+    from dask_ssh_docker_spark.operators.dedup import (
+        simhash_signature,
+        simhash_signatures,
+    )
+    from dask_ssh_docker_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    ref = {
+        r.id: r.sig
+        for r in docs.select(
+            docs.doc_id.alias("id"), simhash_signature("text").alias("sig")
+        ).collect()
+    }
+    got = {r.id: r.sig for r in simhash_signatures(docs, "text", "doc_id").collect()}
+    assert got == ref
+    assert len(got) == 200
