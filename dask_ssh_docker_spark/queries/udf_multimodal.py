@@ -23,6 +23,18 @@ from ..sources import load_table
 from .registry import query
 
 
+def _synth_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id grain, width-pinned, for the synthesize→decode pipelines:
+    the local documents table scans as ONE file partition, and PNG/WAV
+    synthesis + codec decode are compute-dense map stages that would run
+    single-task on it.  Only the id longs shuffle (blobs are synthesized
+    AFTER the exchange); a production blob scan arrives pre-partitioned
+    and skips this staging entirely."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return docs.repartition(width, "doc_id")
+
+
 @query(
     "multimodal_blob_metadata",
     oracle="""
@@ -146,7 +158,7 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``orderBy`` exists only for the driver's deterministic row order."""
     from ..operators.multimodal import decode_image, synthesize_png_blobs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _synth_base(spark, sf_dir)
     blobs = synthesize_png_blobs(docs, "doc_id")
     return decode_image(blobs, "blob", "doc_id").orderBy("doc_id")
 
@@ -164,7 +176,7 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two chained map-side Arrow stages, zero shuffles."""
     from ..operators.multimodal import decode_audio, synthesize_wav_blobs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _synth_base(spark, sf_dir)
     blobs = synthesize_wav_blobs(docs, "doc_id")
     out = decode_audio(blobs, "blob", "doc_id")
     return out.select(
@@ -258,6 +270,6 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     never pixels."""
     from ..operators.multimodal import image_features, synthesize_png_blobs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _synth_base(spark, sf_dir)
     blobs = synthesize_png_blobs(docs, "doc_id")
     return image_features(blobs, "blob", "doc_id").orderBy("doc_id")
