@@ -1,0 +1,314 @@
+"""Exact-substring duplicate detection (SURVEY.md §2.H dedup family).
+
+Finds character-level duplicated regions across a document corpus — the
+"exact substring dedup" pass of large-scale training-data pipelines
+(Lee et al. 2022, *Deduplicating Training Data Makes Language Models
+Better*, which uses a suffix array; suffix arrays are inherently
+single-machine, so the distributed re-expression here is k-gram
+fingerprinting):
+
+1. **gram pass** (map-side): every document emits its length-``k``
+   character grams at positions ``1, 1+stride, …`` of the normalized
+   text.  With ``stride=1`` this is exact: any substring of length ≥ k
+   duplicated anywhere in the corpus is detected.  Only
+   ``(gram-key, doc_id, pos)`` tuples leave the scan — with
+   ``use_hash=True`` the gram key is a 2×64-bit ``xxhash64`` pair
+   (collision odds ~n²/2¹²⁸), so bodies and gram text never shuffle.
+2. **dup keys** (one shuffle, map-side combined): ``groupBy(key)``
+   keeping keys with ≥ ``min_count`` occurrences corpus-wide.
+3. **mark + merge** (one shuffle per doc key): positions of duplicated
+   grams per doc collapse into maximal spans with the classic
+   gaps-and-islands window (``pos − stride·row_number`` is constant on a
+   run of consecutive sampled positions).
+
+At 100 TB the stride-1 gram stream is ~bytes-of-corpus rows; the scale
+variant is **winnowing** (Schleimer et al. 2003, the MOSS fingerprint
+scheme): per sliding window of ``w`` consecutive gram hashes keep only
+the minimum (rightmost on ties), which cuts the shuffled stream ~w× and
+still GUARANTEES every common substring of length ≥ k + w − 1 shares a
+selected fingerprint, regardless of alignment.  (Naive stride>1 sampling
+has no such guarantee — two occurrences can be misaligned modulo the
+stride — which is why the sampled path is winnowing, not striding.)
+Winnow selection runs as one Arrow-batched ``mapInPandas`` pass (numpy
+sliding windows; hash grams JVM-side would re-enter the interpreted-HOF
+trap documented in PLANS.md), then reuses the same dup-key/island
+machinery.
+
+Reference parity: the reference ships no dedup operators (it is a Dask
+deployment harness, SURVEY.md §0); this family is part of the mandated
+LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text
+
+__all__ = [
+    "char_gram_positions",
+    "substring_duplicate_spans",
+    "substring_dup_stats",
+    "winnow_fingerprints",
+    "winnow_duplicate_spans",
+]
+
+
+def _norm_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("__t")
+    )
+
+
+def char_gram_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 40,
+    stride: int = 1,
+    use_hash: bool = True,
+) -> DataFrame:
+    """(doc_id, pos, key columns) — length-``k`` character grams of the
+    normalized text at stride-sampled positions.  ``use_hash=True`` emits
+    ``(h1, h2)`` = xxhash64(gram), xxhash64('#'+gram) instead of the gram
+    text (the scale path: fixed 16-byte keys; the '#'-salted second hash
+    makes the pair effectively 128-bit)."""
+    norm = _norm_docs(df, text_col, id_col).where(F.length("__t") >= k)
+    pos = norm.select(
+        "doc_id",
+        "__t",
+        F.explode(
+            F.sequence(F.lit(1), F.length("__t") - (k - 1), F.lit(stride))
+        ).alias("pos"),
+    )
+    g = F.col("__t").substr(F.col("pos"), F.lit(k))
+    if use_hash:
+        return pos.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.xxhash64(g).alias("h1"),
+            F.xxhash64(F.concat(F.lit("#"), g)).alias("h2"),
+        )
+    return pos.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), g.alias("g")
+    )
+
+
+def _spans_from_marks(marked: DataFrame, k: int, stride: int) -> DataFrame:
+    """Collapse (doc_id, pos) duplicated-gram marks into maximal spans.
+    Consecutive sampled positions (gap == stride) share
+    ``pos − stride·row_number`` → one group per island."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = marked.withColumn(
+        "grp", F.col("pos") - F.lit(stride) * F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + F.lit(1)).alias("span_len"),
+            "n_grams",
+        )
+    )
+
+
+def _dup_marks(grams: DataFrame, keys: list[str], min_count: int) -> DataFrame:
+    """Positions whose gram key occurs ≥ min_count times corpus-wide.
+    groupBy (map-side combined partial counts) + leftsemi back-join —
+    two hash-key shuffles, AQE-skew-safe for pathological hot grams,
+    and the gram text/bodies never move."""
+    dup_keys = (
+        grams.groupBy(*keys).agg(F.count("*").alias("__n"))
+        .where(F.col("__n") >= min_count)
+        .select(*keys)
+    )
+    return grams.join(dup_keys, keys, "leftsemi").select("doc_id", "pos")
+
+
+def substring_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 40,
+    stride: int = 1,
+    min_count: int = 2,
+    use_hash: bool = True,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len, n_grams) — maximal
+    duplicated regions: every position whose k-gram occurs ≥ ``min_count``
+    times corpus-wide (across documents or repeated within one), merged
+    into spans.  ``stride=1`` is exact for substrings of length ≥ k."""
+    grams = char_gram_positions(df, text_col, id_col, k, stride, use_hash)
+    keys = ["h1", "h2"] if use_hash else ["g"]
+    return _spans_from_marks(_dup_marks(grams, keys, min_count), k, stride)
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 40,
+    stride: int = 1,
+    min_count: int = 2,
+    use_hash: bool = True,
+) -> DataFrame:
+    """(doc_id, dup_chars, n_chars, dup_frac) for EVERY document — the
+    per-doc duplicated-character fraction, the gating metric pipelines
+    threshold on.  Spans can overlap (islands ≥ stride apart but < k
+    apart both extend k−1 chars right), so coverage merges intervals
+    first: running-max end per doc, a new group where start exceeds it."""
+    spans = substring_duplicate_spans(
+        df, text_col, id_col, k, stride, min_count, use_hash
+    )
+    w_order = Window.partitionBy("doc_id").orderBy("span_start", "span_end")
+    prev_max = F.max("span_end").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "__new",
+        F.when(
+            prev_max.isNull() | (F.col("span_start") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    grouped = flagged.withColumn("__grp", F.sum("__new").over(w_order))
+    merged = grouped.groupBy("doc_id", "__grp").agg(
+        F.min("span_start").alias("s"), F.max("span_end").alias("e")
+    )
+    cov = merged.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars")
+    )
+    base = _norm_docs(df, text_col, id_col).select(
+        "doc_id", F.length("__t").cast("long").alias("n_chars")
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            "n_chars",
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 40,
+    window: int = 8,
+) -> DataFrame:
+    """(doc_id, pos, fp) — winnowed fingerprint selection (Schleimer et
+    al. 2003): hash every k-gram, then per sliding window of ``window``
+    consecutive hashes keep the minimum (rightmost position on ties —
+    the 'robust winnowing' tie-break), de-duplicated per document.
+
+    Selection density → ~2/(window+1) of positions, and any common
+    substring of length ≥ k + window − 1 is guaranteed to share a
+    selected fingerprint (the guarantee stride sampling lacks).  One
+    Arrow-batched map pass, zero shuffle; hashing is numpy-vectorized
+    over a byte matrix (64-bit FNV-1a-style poly hash — needs only to be
+    deterministic and well-mixed, never compared with xxhash64 paths)."""
+    import numpy as np  # noqa: F401  (imported for the closure below)
+
+    norm = _norm_docs(df, text_col, id_col).where(F.length("__t") >= k)
+
+    def sel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_pos, out_fp = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["__t"]):
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                n = len(b) - k + 1
+                if n < 1:
+                    continue
+                # 64-bit polynomial rolling-family hash over k-byte rows,
+                # vectorized: h = sum b[i+j] * P^(k-1-j) mod 2^64.
+                # python-int mod-2^64 powers (numpy scalar uint64 ops
+                # emit overflow warnings; array ops wrap silently)
+                P, mod = 1099511628211, 1 << 64  # FNV prime, odd
+                pw, plist = 1, [0] * k
+                for j in range(k - 1, -1, -1):
+                    plist[j] = pw
+                    pw = (pw * P) % mod
+                powers = np.array(plist, dtype=np.uint64)
+                win = np.lib.stride_tricks.sliding_window_view(b, k)
+                h = (win.astype(np.uint64) * powers[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+                h ^= h >> np.uint64(33)  # finalize: mix high bits down
+                h = h * np.uint64(0xFF51AFD7ED558CCD)
+                h ^= h >> np.uint64(33)
+                if n <= window:
+                    idx = np.array([n - 1 - h[::-1].argmin()])
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+                    # rightmost argmin per window
+                    rel = window - 1 - sw[:, ::-1].argmin(axis=1)
+                    idx = np.unique(rel + np.arange(len(sw)))
+                out_id.extend([doc_id] * len(idx))
+                out_pos.extend((idx + 1).tolist())  # 1-based positions
+                out_fp.extend(h[idx].astype(np.int64).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "pos": pd.Series(out_pos, dtype="int64"),
+                    "fp": pd.Series(out_fp, dtype="int64"),
+                }
+            )
+
+    return norm.mapInPandas(sel, schema="doc_id long, pos long, fp long")
+
+
+def winnow_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 40,
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicate spans from winnowed fingerprints — the 100 TB shape:
+    ~window×-fewer tuples shuffle than stride-1, with the ≥ k+window−1
+    detection guarantee.  Islands merge with gap tolerance = window+k−1
+    (selected positions of one duplicated region can be up to ``window``
+    apart, and each gram covers k chars), so ``span_len`` bounds the
+    duplicated region from below/above rather than exactly."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    marked = _dup_marks(fps.withColumnRenamed("fp", "h1"), ["h1"], min_count)
+    gap = window + k - 1
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    grouped = marked.withColumn(
+        "__new",
+        F.when(prev.isNull() | (F.col("pos") - prev > gap), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("__grp", F.sum("__new").over(w))
+    return (
+        grouped.groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count("*").alias("n_fps"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + F.lit(1)).alias("span_len"),
+            "n_fps",
+        )
+    )

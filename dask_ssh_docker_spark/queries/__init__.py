@@ -78,6 +78,10 @@ from . import assoc_analytics  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
+    # -- 0. new this round: first driver evidence --
+    "dedup_substring_spans",
+    "dedup_substring_dupfrac",
+    "dedup_winnow_spans",
     # -- 1. machinery changed this round: re-prove --
     "dedup_clusters_transitive",
     "dedup_clusters_minhash_cc",

@@ -317,3 +317,128 @@ def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (Lee et al. 2022 re-expressed as k-gram
+# fingerprinting — operators/substring.py).  stride=1 → exact: the oracle
+# regenerates every gram in SQL and must agree span-for-span.  The Spark
+# side keys on a 2×xxhash64 gram fingerprint (bodies/grams never shuffle);
+# the oracle groups the gram text itself — identical output unless a
+# 128-bit collision occurs (~n²/2¹²⁸).
+# ---------------------------------------------------------------------------
+
+_SUBSTR_K = 40
+
+_SUBSTR_SPANS_SQL = f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM} AS t FROM documents
+    ),
+    positions AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, length(t) - {_SUBSTR_K - 1}, 1)) AS pos
+      FROM norm
+    ),
+    grams AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             substr(t, CAST(pos AS BIGINT), {_SUBSTR_K}) AS g
+      FROM positions
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+    marked AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+    islands AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id,
+             MIN(pos)                    AS span_start,
+             MAX(pos) + {_SUBSTR_K - 1}  AS span_end,
+             COUNT(*)                    AS n_grams
+      FROM islands GROUP BY doc_id, grp
+    )
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=_SUBSTR_SPANS_SQL
+    + """
+    SELECT doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_end   AS BIGINT) AS span_end,
+           CAST(span_end - span_start + 1 AS BIGINT) AS span_len,
+           n_grams
+    FROM spans
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated character regions (k=40-gram occurs ≥2 times
+    corpus-wide), merged per doc with the gaps-and-islands window."""
+    from ..operators.substring import substring_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_duplicate_spans(docs, "text", "doc_id", k=_SUBSTR_K)
+
+
+@query(
+    "dedup_substring_dupfrac",
+    oracle=_SUBSTR_SPANS_SQL
+    + f"""
+    , flagged AS (
+      SELECT doc_id, span_start, span_end,
+             CASE WHEN MAX(span_end) OVER (
+                    PARTITION BY doc_id ORDER BY span_start, span_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR span_start > MAX(span_end) OVER (
+                    PARTITION BY doc_id ORDER BY span_start, span_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS newgrp
+      FROM spans
+    ),
+    grouped AS (
+      SELECT doc_id, span_start, span_end,
+             SUM(newgrp) OVER (
+               PARTITION BY doc_id ORDER BY span_start, span_end
+             ) AS grp
+      FROM flagged
+    ),
+    merged AS (
+      SELECT doc_id, MIN(span_start) AS s, MAX(span_end) AS e
+      FROM grouped GROUP BY doc_id, grp
+    ),
+    cov AS (
+      SELECT doc_id, SUM(e - s + 1) AS dup_chars FROM merged GROUP BY doc_id
+    )
+    SELECT n.doc_id,
+           CAST(COALESCE(cov.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CAST(length(n.t) AS BIGINT)                AS n_chars,
+           round(COALESCE(cov.dup_chars, 0) * 1.0 / length(n.t), 6) AS dup_frac
+    FROM norm n LEFT JOIN cov ON n.doc_id = cov.doc_id
+    """,
+)
+def dedup_substring_dupfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-character fraction for EVERY document — the
+    threshold metric pipelines gate on (spans merged as intervals first,
+    since adjacent islands' k−1-char tails can overlap)."""
+    from ..operators.substring import substring_dup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dup_stats(docs, "text", "doc_id", k=_SUBSTR_K)
+
+
+@query("dedup_winnow_spans", oracle=None)
+def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed (MOSS, Schleimer et al. 2003) duplicate spans — the 100 TB
+    shape: ~w×-fewer fingerprints shuffle than stride-1 grams with a
+    guaranteed catch of any common substring ≥ k+w−1.  numpy hash scheme
+    has no DuckDB twin → rows-only here; selection density, stride-1
+    parity and the detection guarantee are pytest-pinned
+    (tests/test_substring.py)."""
+    from ..operators.substring import winnow_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_duplicate_spans(docs, "text", "doc_id", k=_SUBSTR_K, window=8)

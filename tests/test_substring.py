@@ -1,0 +1,192 @@
+"""Exact-substring duplicate detection (operators/substring.py):
+stride-1 exactness vs a brute-force python reference, interval-merge
+stats, and the winnowing guarantee (Schleimer et al. 2003)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from dask_ssh_docker_spark.operators.substring import (
+    substring_dup_stats,
+    substring_duplicate_spans,
+    winnow_duplicate_spans,
+    winnow_fingerprints,
+)
+
+
+def _norm(t: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", t.strip().lower())
+
+
+def _ref_spans(texts: dict[int, str], k: int):
+    """Brute-force reference: mark every position whose k-gram occurs ≥2
+    times corpus-wide, merge consecutive marks."""
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        t = _norm(t)
+        for i in range(len(t) - k + 1):
+            grams[t[i : i + k]] += 1
+    spans = []
+    for d, t in texts.items():
+        t = _norm(t)
+        marks = [i + 1 for i in range(len(t) - k + 1) if grams[t[i : i + k]] >= 2]
+        if not marks:
+            continue
+        start = prev = marks[0]
+        n = 1
+        for p in marks[1:]:
+            if p == prev + 1:
+                prev = p
+                n += 1
+            else:
+                spans.append((d, start, prev + k - 1, prev + k - start, n))
+                start = prev = p
+                n = 1
+        spans.append((d, start, prev + k - 1, prev + k - start, n))
+    return sorted(spans)
+
+
+def _mk_docs(spark, texts: dict[int, str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _rand_text(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(20260815)
+    shared = _rand_text(rng, 30)  # planted duplicate region (~180 chars)
+    texts = {}
+    for i in range(20):
+        body = _rand_text(rng, 40)
+        if i % 4 == 0:  # 5 docs embed the shared region at varied offsets
+            cut = rng.randrange(5, 35)
+            toks = body.split()
+            body = " ".join(toks[:cut]) + " " + shared + " " + " ".join(toks[cut:])
+        texts[i] = body
+    return texts
+
+
+def test_spans_match_bruteforce(spark, corpus):
+    k = 40
+    got = sorted(
+        tuple(r)
+        for r in substring_duplicate_spans(_mk_docs(spark, corpus), k=k).collect()
+    )
+    assert got == _ref_spans(corpus, k)
+    # the planted region is found in every carrier doc
+    carriers = {d for d, *_ in got}
+    assert {0, 4, 8, 12, 16} <= carriers
+
+
+def test_spans_hash_vs_plain_keys(spark, corpus):
+    """use_hash=True (scale path, 2×xxhash64 keys) is row-identical to
+    grouping the gram text itself."""
+    a = sorted(
+        map(
+            tuple,
+            substring_duplicate_spans(
+                _mk_docs(spark, corpus), k=40, use_hash=True
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            substring_duplicate_spans(
+                _mk_docs(spark, corpus), k=40, use_hash=False
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_dup_stats_interval_merge(spark):
+    """Overlapping spans must not double-count: doc 1 repeats one phrase
+    with a short unique gap (< k) between copies → two islands whose
+    k−1-char tails overlap."""
+    k = 20
+    phrase = "x" * 25
+    texts = {
+        1: phrase + " qq " + phrase,  # gap 4 < k → overlapping spans
+        2: phrase,  # second corpus occurrence
+        3: "completely unique text with no duplicate region at all ok",
+    }
+    df = _mk_docs(spark, texts)
+    stats = {r["doc_id"]: r for r in substring_dup_stats(df, k=k).collect()}
+    assert set(stats) == {1, 2, 3}  # every doc reported
+    assert stats[3]["dup_chars"] == 0 and stats[3]["dup_frac"] == 0.0
+    # doc 2 is fully duplicated
+    assert stats[2]["dup_chars"] == stats[2]["n_chars"]
+    # doc 1: merged coverage ≤ n_chars (no double count) and covers both
+    # copies of the phrase
+    assert stats[1]["dup_chars"] <= stats[1]["n_chars"]
+    assert stats[1]["dup_chars"] >= 2 * len(phrase)
+
+
+def test_winnow_density_and_positions(spark, corpus):
+    k, w = 40, 8
+    df = _mk_docs(spark, corpus)
+    fps = winnow_fingerprints(df, k=k, window=w).collect()
+    per_doc = {}
+    for r in fps:
+        per_doc.setdefault(r["doc_id"], []).append(r["pos"])
+    for d, t in corpus.items():
+        n = len(_norm(t)) - k + 1
+        if n < 1:
+            continue
+        sel = per_doc[d]
+        assert all(1 <= p <= n for p in sel)
+        # winnowing guarantees ≥ one selection per w-window → gap ≤ w
+        ss = sorted(sel)
+        assert all(b - a <= w for a, b in zip(ss, ss[1:]))
+        # expected density ~2/(w+1); allow wide slack but require real
+        # subsampling vs the n gram positions
+        assert len(sel) < 0.6 * n
+
+
+def test_winnow_detects_planted_duplicates(spark, corpus):
+    """Any common substring of length ≥ k + w − 1 shares a selected
+    fingerprint → every carrier of the ~180-char planted region must
+    appear in the winnowed spans, at roughly the right offsets."""
+    k, w = 40, 8
+    got = winnow_duplicate_spans(_mk_docs(spark, corpus), k=k, window=w).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    exact = _ref_spans(corpus, k)
+    for d, start, end, _, _ in exact:
+        if end - start + 1 < k + w - 1:
+            continue  # below the winnowing guarantee length
+        spans = by_doc.get(d, [])
+        # some winnowed span overlaps the true duplicated region
+        assert any(
+            s["span_start"] <= end and s["span_end"] >= start for s in spans
+        ), (d, start, end, spans)
+
+
+def test_winnow_misaligned_offsets(spark):
+    """The guarantee must hold regardless of alignment: the same region
+    planted at every offset-residue pair mod w."""
+    k, w = 20, 4
+    rng = random.Random(7)
+    shared = _rand_text(rng, 12)
+    assert len(shared) >= k + w - 1
+    texts = {}
+    for i in range(w):
+        texts[i] = "u" * (3 + i) + " " + shared + " " + _rand_text(rng, 5)
+    got = winnow_duplicate_spans(_mk_docs(spark, texts), k=k, window=w).collect()
+    assert {r["doc_id"] for r in got} == set(range(w))
