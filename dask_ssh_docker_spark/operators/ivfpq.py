@@ -1,0 +1,249 @@
+"""IVF-PQ (IVFADC) approximate nearest neighbor — the composed scale
+path: IVF coarse routing × PQ residual compression (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011 §IV;
+the default billion-scale index family in public faiss).
+
+Why the composition matters at 100 TB: IVF alone bounds the SCAN
+FRACTION (nprobe/k_coarse of the corpus per query) but stores raw
+vectors; PQ alone bounds MEMORY (m-byte codes, 16-32× smaller) but ADC
+still scans every code.  IVF-PQ multiplies the two — each query scans
+``nprobe/k_coarse`` of an already-compressed code index, and raw vectors
+are touched only for the final ``k·expand`` re-rank candidates.
+
+Residual encoding: codes quantize ``vec − coarse_centroid(vec)``, not
+the raw vector — residual energy is far smaller than vector energy, so
+the same ks sub-centroids quantize much more finely (the classic IVFADC
+accuracy win over raw-vector PQ at equal bytes).
+
+DataFrame shapes:
+
+- **train**: coarse centroids via the existing distributed Lloyd
+  (``ivf.train_centroids``); residual codebooks driver-side on a bounded
+  deterministic sample (same faiss-standard posture, rationale and
+  helper shared with ``pq.train_pq_codebooks``).
+- **encode**: ONE Arrow-batched ``mapInPandas`` pass — per batch numpy
+  computes coarse assignment, residual, and all m sub-codes; zero
+  shuffle; emits ``(centroid_id, vec_id, codes)``.  In production this
+  frame is written partitioned by ``centroid_id`` so probes read only
+  their inverted lists.
+- **search**: per-query probe selection + per-(query, probe) residual
+  LUTs in one ``mapInPandas`` over the (small) query frame, closing over
+  the collected centroids/codebooks (KBs); the bounded LUT frame is
+  materialized then broadcast-joined to the code index on
+  ``centroid_id`` — with centroid-partitioned lists this is a pruned
+  scan, never a full-index pass; ADC score is a map-side fold of each
+  code array into its LUT; one final per-query rank window; optional
+  exact re-rank of the ``k·expand`` shortlist against raw vectors
+  fetched by id.
+
+Determinism: seeded coarse training, sample-order codebook init, all
+argmin/rank ties broken on lowest cid / vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ivf import train_centroids
+from .pq import _kmeans_subspace_rows, _sub_sq_dist
+
+
+def train_ivfpq(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_coarse: int = 16,
+    coarse_iters: int = 2,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    pq_iters: int = 3,
+    sample_max: int = 100_000,
+    coarse_sample_fraction: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, codebooks): coarse (centroid_id, centroid) +
+    per-subspace residual codebooks (sub, cid, centroid)."""
+    import numpy as np
+
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    cents = train_centroids(
+        corpus,
+        id_col,
+        vec_col,
+        k=k_coarse,
+        iters=coarse_iters,
+        sample_fraction=coarse_sample_fraction,
+    ).localCheckpoint(eager=True)  # consumed ≥3× (train/encode/search)
+    c_rows = cents.collect()  # bounded: k_coarse rows
+    C = np.zeros((max(r["centroid_id"] for r in c_rows) + 1, dim))
+    for r in c_rows:
+        C[r["centroid_id"]] = r["centroid"]
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_max).collect()
+    )
+    if not sample:
+        raise ValueError("train_ivfpq: corpus is empty — no vectors to train on")
+    x = np.asarray([r[1] for r in sample], dtype=np.float64)
+    d2 = ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    resid = x - C[d2.argmin(axis=1)]  # ties -> lowest cid (argmin contract)
+    rows = _kmeans_subspace_rows(resid, m, ks, pq_iters)
+    cb = corpus.sparkSession.createDataFrame(
+        rows, "sub int, cid int, centroid array<double>"
+    )
+    return cents, cb
+
+
+def _collect_tensors(centroids: DataFrame, codebooks: DataFrame, m: int, dim: int):
+    import numpy as np
+
+    subdim = dim // m
+    c_rows = centroids.collect()
+    C = np.zeros((max(r["centroid_id"] for r in c_rows) + 1, dim))
+    for r in c_rows:
+        C[r["centroid_id"]] = r["centroid"]
+    cb_rows = codebooks.collect()
+    n_cids = max(r["cid"] for r in cb_rows) + 1
+    cents = np.zeros((m, n_cids, subdim))
+    have = np.zeros((m, n_cids), dtype=bool)
+    for r in cb_rows:
+        cents[r["sub"], r["cid"]] = r["centroid"]
+        have[r["sub"], r["cid"]] = True
+    return C, cents, have
+
+
+def encode_ivfpq(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(centroid_id, vec_id, codes) — the compressed inverted lists, one
+    Arrow pass, zero shuffle."""
+    import numpy as np
+
+    subdim = dim // m
+    C, cents, have = _collect_tensors(centroids, codebooks, m, dim)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            d2 = ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cid = d2.argmin(axis=1).astype(np.int32)
+            r = (x - C[cid]).reshape(n, m, subdim)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                d = ((r[:, s, None, :] - cents[s][None, :, :]) ** 2).sum(-1)
+                d[:, ~have[s]] = np.inf
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "centroid_id": cid,
+                    id_col: pdf[id_col],
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"centroid_id int, {id_col} {id_type}, codes array<int>"
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame | None = None,
+    k: int = 10,
+    nprobe: int = 4,
+    expand: int = 20,
+    ks: int = 16,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, vec_id, dist|approx_dist, rank) — ADC top-k over the
+    ``nprobe`` probed lists; with ``corpus`` given, exact re-rank of the
+    ``k·expand`` ADC shortlist (the production shape)."""
+    import numpy as np
+
+    subdim = dim // m
+    C, cents, have = _collect_tensors(centroids, codebooks, m, dim)
+    qid_type = queries.schema[query_id].dataType.simpleString()
+
+    def probe_luts(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_q, out_c, out_l = [], [], []
+            for qid, qv in zip(pdf[query_id], pdf[query_vec]):
+                q = np.asarray(qv, dtype=np.float64)
+                d2 = ((q[None, :] - C) ** 2).sum(axis=1)
+                probes = np.argsort(d2, kind="stable")[:nprobe]  # ties->low cid
+                for cid in probes:
+                    r = (q - C[cid]).reshape(m, subdim)
+                    lut = ((r[:, None, :] - cents) ** 2).sum(-1)  # (m, ks)
+                    lut[~have] = np.inf
+                    out_q.append(qid)
+                    out_c.append(int(cid))
+                    out_l.append(lut.reshape(-1).tolist())
+            yield pd.DataFrame(
+                {query_id: out_q, "centroid_id": out_c, "lut": out_l}
+            )
+
+    luts = queries.select(query_id, query_vec).mapInPandas(
+        probe_luts,
+        schema=f"{query_id} {qid_type}, centroid_id int, lut array<double>",
+    )
+    # bounded (|Q|·nprobe rows) but behind a Python map the broadcast
+    # policy cannot bound — materialize before hinting (pq_topk rationale)
+    luts = luts.localCheckpoint(eager=True)
+    scored = index.join(F.broadcast(luts), "centroid_id").withColumn(
+        "approx_dist",
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.col("codes"),
+                lambda s, c: F.col("lut")[s * ks + c],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy("approx_dist", id_col)
+    shortlist_k = k * expand if corpus is not None else k
+    adc = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_k)
+        .select(query_id, id_col, "approx_dist", "rank")
+    )
+    if corpus is None:
+        return adc
+    shortlist = adc.select(
+        query_id, F.col(id_col).alias("cand_id")
+    ).localCheckpoint(eager=True)
+    cand = corpus.join(
+        F.broadcast(shortlist), corpus[id_col] == shortlist["cand_id"]
+    ).select(query_id, "cand_id", F.col(vec_col).alias("cand_vec"))
+    exact = cand.join(F.broadcast(queries), query_id).withColumn(
+        "dist", _sub_sq_dist("cand_vec", query_vec)
+    )
+    w2 = Window.partitionBy(query_id).orderBy("dist", "cand_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, F.col("cand_id").alias(id_col), "dist", "rank")
+    )

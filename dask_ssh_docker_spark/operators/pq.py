@@ -104,28 +104,37 @@ def train_pq_codebooks(
             "train_pq_codebooks: corpus is empty — no vectors to train on"
         )
     x = np.asarray([r[1] for r in sample], dtype=np.float64)  # (n, dim)
-    # fewer sample vectors than requested centroids: train the ones the
-    # data supports (ks distinct centroids cannot exist anyway) instead
-    # of indexing past the sample.
+    rows = _kmeans_subspace_rows(x, m, ks, iters)
+    return corpus.sparkSession.createDataFrame(
+        rows, "sub int, cid int, centroid array<double>"
+    )
+
+
+def _kmeans_subspace_rows(x, m: int, ks: int, iters: int) -> list[tuple]:
+    """Driver-side per-subspace Lloyd over a bounded (n, dim) sample —
+    shared by raw-vector PQ (above) and residual IVF-PQ
+    (operators/ivfpq.py).  Deterministic: init = first ks subvectors in
+    sample order, assignment ties -> lowest cid, empty clusters keep
+    their centroid.  ks clamps to the sample size (fewer distinct
+    centroids cannot exist anyway)."""
+    subdim = x.shape[1] // m
     ks = min(ks, len(x))
     rows: list[tuple] = []
     for sub in range(m):
         s = x[:, sub * subdim : (sub + 1) * subdim]
-        cents = s[:ks].copy()  # init: first ks subvectors by id
+        cents = s[:ks].copy()
         for _ in range(iters):
             # (n, ks) squared distances; argmin ties -> lowest cid
             d2 = ((s[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
             for cid in range(ks):
                 members = s[assign == cid]
-                if len(members):  # empty cluster keeps its centroid
+                if len(members):
                     cents[cid] = members.mean(axis=0)
         rows.extend(
             (sub, cid, [float(v) for v in cents[cid]]) for cid in range(ks)
         )
-    return corpus.sparkSession.createDataFrame(
-        rows, "sub int, cid int, centroid array<double>"
-    )
+    return rows
 
 
 def pq_encode(
