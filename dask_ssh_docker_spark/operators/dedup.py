@@ -348,8 +348,18 @@ def cluster_min_label(
     """
     import warnings
 
-    if driver_max_edges and pairs.limit(driver_max_edges + 1).count() <= driver_max_edges:
-        return _cluster_union_find(pairs, ids)
+    if driver_max_edges:
+        # ONE job probes the bound AND fetches the edges: collect through
+        # limit(bound+1) — if the limit is not hit, these are exactly the
+        # edge rows union-find needs (id pairs only, never bodies); if it
+        # is hit, fall through to the distributed loop.  (Separate
+        # count-then-collect paid two driver round-trips on the suite's
+        # hottest query.)
+        probe = pairs.select("id_a", "id_b").limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            return _cluster_union_find(
+                pairs, ids, collected_rows=probe
+            )
 
     edges = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
@@ -448,13 +458,20 @@ def cluster_min_label(
     return clustered.union(singletons)
 
 
-def _cluster_union_find(pairs: DataFrame, ids: DataFrame) -> DataFrame:
+def _cluster_union_find(
+    pairs: DataFrame, ids: DataFrame, collected_rows: list | None = None
+) -> DataFrame:
     """Driver-side exact closure for a bounded dup graph: collect the id
     pairs, union-find with path compression, re-label every root to the
     MINIMUM member id (the module-wide canonical-survivor rule), then
     union the distributed singleton anti-join — identical output contract
-    to the min-label loop."""
-    rows = pairs.select("id_a", "id_b").collect()
+    to the min-label loop.  ``collected_rows``: (id_a, id_b) rows already
+    collected by the caller's bound probe — skips the second job."""
+    rows = (
+        collected_rows
+        if collected_rows is not None
+        else pairs.select("id_a", "id_b").collect()
+    )
     parent: dict = {}
 
     def find(a):
