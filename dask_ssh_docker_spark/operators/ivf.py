@@ -91,9 +91,9 @@ def train_centroids(
     ).persist()
     try:
         for _ in range(iters):
-            assigned = _assign(vecs, cents)
+            assigned = _assign(vecs, cents, keep_vec=True)
             new = (
-                assigned.join(vecs, "id")
+                assigned
                 .select("centroid_id", F.posexplode(F.transform("v", lambda x: x.cast("double"))))
                 .groupBy("centroid_id", "pos")
                 .agg(F.avg("col").alias("m"))
@@ -121,17 +121,42 @@ def train_centroids(
     return cents
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(id, centroid_id): nearest centroid per vector (broadcast cross)."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "id", "centroid_id", _sq_dist(F.col("v"), F.col("centroid")).alias("d")
-    )
-    w = Window.partitionBy("id").orderBy(F.asc("d"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("id", "centroid_id")
-    )
+def _assign(vecs: DataFrame, cents: DataFrame, keep_vec: bool = False) -> DataFrame:
+    """(id, centroid_id[, v]): nearest centroid per vector — ONE Arrow
+    map pass closing over the collected centroid matrix (bounded k rows;
+    ``cents`` is always materialized upstream, so the collect is a cheap
+    local fetch).  Replaces the broadcast crossJoin + interpreted
+    higher-order distance fold + per-id argmin window: zero shuffle,
+    chunked-GEMM math (``pq._nearest_rows``) — the same interpreted-HOF
+    →Arrow rewrite as the LSH bucket pass (PLANS.md), measured ~10× on
+    the sf1 Lloyd loop.  ``keep_vec`` passes the vector through so the
+    training update needs no join back."""
+    import numpy as np
+
+    from .pq import _nearest_rows
+
+    rows = cents.collect()
+    dim = len(rows[0]["centroid"])
+    C = np.zeros((max(r["centroid_id"] for r in rows) + 1, dim))
+    for r in rows:
+        C[r["centroid_id"]] = r["centroid"]
+    id_t = vecs.schema["id"].dataType.simpleString()
+    v_t = vecs.schema["v"].dataType.simpleString()
+
+    def go(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(list(pdf["v"]), dtype=np.float64)
+            out = {"id": pdf["id"], "centroid_id": _nearest_rows(x, C)}
+            if keep_vec:
+                out["v"] = pdf["v"]
+            yield pd.DataFrame(out)
+
+    schema = f"id {id_t}, centroid_id int" + (f", v {v_t}" if keep_vec else "")
+    return vecs.mapInPandas(go, schema=schema)
 
 
 def build_index(

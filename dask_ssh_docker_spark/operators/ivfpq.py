@@ -46,7 +46,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .ivf import train_centroids
-from .pq import _kmeans_subspace_rows, _sub_sq_dist
+from .pq import (
+    _kmeans_subspace_rows,
+    _nearest_rows,
+    _sub_sq_dist,
+    _subspace_codes,
+)
 
 
 def train_ivfpq(
@@ -85,8 +90,7 @@ def train_ivfpq(
     if not sample:
         raise ValueError("train_ivfpq: corpus is empty — no vectors to train on")
     x = np.asarray([r[1] for r in sample], dtype=np.float64)
-    d2 = ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    resid = x - C[d2.argmin(axis=1)]  # ties -> lowest cid (argmin contract)
+    resid = x - C[_nearest_rows(x, C)]  # ties -> lowest cid (argmin contract)
     rows = _kmeans_subspace_rows(resid, m, ks, pq_iters)
     cb = corpus.sparkSession.createDataFrame(
         rows, "sub int, cid int, centroid array<double>"
@@ -137,14 +141,9 @@ def encode_ivfpq(
             if n == 0:
                 continue
             x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            d2 = ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            cid = d2.argmin(axis=1).astype(np.int32)
+            cid = _nearest_rows(x, C)
             r = (x - C[cid]).reshape(n, m, subdim)
-            codes = np.empty((n, m), dtype=np.int32)
-            for s in range(m):
-                d = ((r[:, s, None, :] - cents[s][None, :, :]) ** 2).sum(-1)
-                d[:, ~have[s]] = np.inf
-                codes[:, s] = d.argmin(axis=1)
+            codes = _subspace_codes(r, cents, have)
             yield pd.DataFrame(
                 {
                     "centroid_id": cid,

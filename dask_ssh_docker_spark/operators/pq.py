@@ -44,6 +44,54 @@ def _sub_sq_dist(a, b):
     )
 
 
+# --- chunked GEMM distance kernels (shared with operators/ivfpq.py) -------
+#
+# ‖x−c‖² = ‖x‖² + ‖c‖² − 2·x·c: one small GEMM per chunk instead of the
+# (n, k, dim) broadcast-subtract temporary.  Chunking keeps every
+# temporary a few MB: the subtract form allocates an n×k×dim scratch per
+# batch, which is both cache-hostile and catastrophically slow on
+# mmap-threshold allocators (measured here: first-touch of an 80 MB
+# numpy temp ~15 s vs 4 ms for 8 MB — 20-30× end-to-end on the encode
+# pass; see BENCH_NOTES "R7 kernels").
+
+_KERNEL_CHUNK = 2048
+
+
+def _nearest_rows(x, C, chunk: int = _KERNEL_CHUNK):
+    """(n,) argmin_c ‖x−c‖² per row; ties -> lowest centroid id."""
+    import numpy as np
+
+    C2 = (C * C).sum(axis=1)
+    CT = np.ascontiguousarray(C.T)
+    out = np.empty(len(x), dtype=np.int32)
+    for i in range(0, len(x), chunk):
+        xc = x[i : i + chunk]
+        d2 = (xc * xc).sum(axis=1)[:, None] + C2[None, :] - 2.0 * (xc @ CT)
+        out[i : i + chunk] = d2.argmin(axis=1)
+    return out
+
+
+def _subspace_codes(r, cents, have, chunk: int = _KERNEL_CHUNK):
+    """(n, m) argmin codes per subspace for r: (n, m, subdim); ``have``
+    masks clamped (untrained) codebook slots to +inf."""
+    import numpy as np
+
+    m = cents.shape[0]
+    c2 = (cents**2).sum(axis=-1)  # (m, ks)
+    centsT = np.ascontiguousarray(cents.transpose(0, 2, 1))  # (m, subdim, ks)
+    miss = ~have
+    out = np.empty((len(r), m), dtype=np.int32)
+    for i in range(0, len(r), chunk):
+        rc = r[i : i + chunk]
+        d = (rc * rc).sum(axis=-1)[..., None] + c2[None, :, :]
+        for s in range(m):
+            d[:, s, :] -= 2.0 * (rc[:, s, :] @ centsT[s])
+        if miss.any():
+            d[:, miss] = np.inf
+        out[i : i + chunk] = d.argmin(axis=-1)
+    return out
+
+
 def _explode_subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, subdim: int) -> DataFrame:
     """(id, sub, subvec): slice each vector into m contiguous subvectors.
     ``slice`` is 1-indexed; pure map-side."""
@@ -124,9 +172,8 @@ def _kmeans_subspace_rows(x, m: int, ks: int, iters: int) -> list[tuple]:
         s = x[:, sub * subdim : (sub + 1) * subdim]
         cents = s[:ks].copy()
         for _ in range(iters):
-            # (n, ks) squared distances; argmin ties -> lowest cid
-            d2 = ((s[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            # chunked-GEMM squared distances; argmin ties -> lowest cid
+            assign = _nearest_rows(s, cents)
             for cid in range(ks):
                 members = s[assign == cid]
                 if len(members):
@@ -179,11 +226,7 @@ def pq_encode(
             x = np.asarray(list(pdf[vec_col]), dtype=np.float64).reshape(
                 n, m, subdim
             )
-            codes = np.empty((n, m), dtype=np.int32)
-            for s in range(m):
-                d = ((x[:, s, None, :] - cents[s][None, :, :]) ** 2).sum(-1)
-                d[:, ~have[s]] = np.inf  # clamped codebook: unused cids
-                codes[:, s] = d.argmin(axis=1)
+            codes = _subspace_codes(x, cents, have)
             yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
 
     return corpus.select(id_col, vec_col).mapInPandas(

@@ -61,6 +61,20 @@ def _norm_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _widen_for_compute(df: DataFrame) -> DataFrame:
+    """Gram hashing / winnow selection are compute-dense map stages whose
+    INPUT is small in bytes (doc bodies) — scan parallelism follows file
+    count, which at bench scale is 1-2 parquet files = 1-2 tasks on 32
+    cores.  Widen by doc_id ONLY when the scan is narrower than the
+    cluster (one body-sized exchange, trivial next to the gram pass it
+    unserializes); a 100 TB scan has thousands of input splits and takes
+    the no-op branch, keeping the map stage shuffle-free."""
+    width = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width, "doc_id")
+
+
 def char_gram_positions(
     df: DataFrame,
     text_col: str = "text",
@@ -74,7 +88,9 @@ def char_gram_positions(
     ``(h1, h2)`` = xxhash64(gram), xxhash64('#'+gram) instead of the gram
     text (the scale path: fixed 16-byte keys; the '#'-salted second hash
     makes the pair effectively 128-bit)."""
-    norm = _norm_docs(df, text_col, id_col).where(F.length("__t") >= k)
+    norm = _widen_for_compute(
+        _norm_docs(df, text_col, id_col).where(F.length("__t") >= k)
+    )
     pos = norm.select(
         "doc_id",
         "__t",
@@ -221,7 +237,9 @@ def winnow_fingerprints(
     deterministic and well-mixed, never compared with xxhash64 paths)."""
     import numpy as np  # noqa: F401  (imported for the closure below)
 
-    norm = _norm_docs(df, text_col, id_col).where(F.length("__t") >= k)
+    norm = _widen_for_compute(
+        _norm_docs(df, text_col, id_col).where(F.length("__t") >= k)
+    )
 
     def sel(batches):
         import numpy as np
@@ -230,7 +248,10 @@ def winnow_fingerprints(
         for pdf in batches:
             out_id, out_pos, out_fp = [], [], []
             for doc_id, t in zip(pdf["doc_id"], pdf["__t"]):
-                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                # UTF-32 → one element per CHARACTER, so positions stay
+                # char-indexed like the stride-1 path (UTF-8 bytes would
+                # drift on any non-ASCII doc)
+                b = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
                 n = len(b) - k + 1
                 if n < 1:
                     continue
@@ -286,7 +307,15 @@ def winnow_duplicate_spans(
     (selected positions of one duplicated region can be up to ``window``
     apart, and each gram covers k chars), so ``span_len`` bounds the
     duplicated region from below/above rather than exactly."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    # lazy lineage cut: the dup-key groupBy AND the semi-join both consume
+    # the fingerprint frame — without the cut the Python selection pass
+    # runs twice over the corpus.  (The stride-1 path deliberately does
+    # NOT materialize its gram stream: grams are cheap JVM recompute from
+    # the scan, and caching ~bytes-of-corpus rows would cost more than
+    # the second map pass.)
+    fps = winnow_fingerprints(df, text_col, id_col, k, window).localCheckpoint(
+        eager=False
+    )
     marked = _dup_marks(fps.withColumnRenamed("fp", "h1"), ["h1"], min_count)
     gap = window + k - 1
     w = Window.partitionBy("doc_id").orderBy("pos")

@@ -390,3 +390,47 @@ def test_global_ordered_summaries_have_no_unpartitioned_window(spark, sf_dir, re
     ):
         df = reg[qname].fn(spark, sf_dir)
         assert unpartitioned_window_count(df) == 0, qname
+
+
+def test_substring_spans_jvm_only_hash_keys(spark, sf_dir, reg):
+    """The stride-1 substring-dedup plan must be pure JVM (gram hashing,
+    dup-key count, semi-join, island window — no Python eval anywhere)
+    and must key on xxhash64 pairs, not gram text."""
+    from dask_ssh_docker_spark.plans import physical_plan
+
+    plan = physical_plan(reg["dedup_substring_spans"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "xxhash64" in plan
+    assert "LeftSemi" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_winnow_spans_one_arrow_pass(spark, sf_dir, reg):
+    """Winnowed dedup crosses Python exactly once: the fingerprint frame
+    is lineage-cut before its two consumers (dup-key groupBy + semi-join),
+    so the plan shows the cut scan, not two MapInPandas instances; all
+    downstream work is JVM."""
+    import re
+
+    from dask_ssh_docker_spark.plans import physical_plan
+
+    plan = physical_plan(reg["dedup_winnow_spans"].fn(spark, sf_dir))
+    # a second MapInPandas instance would mean the Python pass runs twice
+    assert len(re.findall(r"MapInPandas", plan)) == 0
+    assert "BatchEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ivfpq_rerank_broadcasts_bounded_sides(spark, sf_dir, reg):
+    """IVF-PQ search: the Arrow passes (encode, probe/LUT) sit behind
+    lineage cuts — the final plan must contain NO Python eval at all, and
+    no single-partition exchange (the code index and corpus are never
+    collapsed or broadcast; only bounded LUT/shortlist frames are)."""
+    import re
+
+    from dask_ssh_docker_spark.plans import physical_plan
+
+    plan = physical_plan(reg["sim_topk_ivfpq"].fn(spark, sf_dir))
+    assert len(re.findall(r"MapInPandas", plan)) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan

@@ -190,3 +190,27 @@ def test_winnow_misaligned_offsets(spark):
         texts[i] = "u" * (3 + i) + " " + shared + " " + _rand_text(rng, 5)
     got = winnow_duplicate_spans(_mk_docs(spark, texts), k=k, window=w).collect()
     assert {r["doc_id"] for r in got} == set(range(w))
+
+
+def test_winnow_unicode_char_positions(spark):
+    """Fingerprint positions must be CHARACTER-indexed (UTF-32 pass), not
+    UTF-8-byte-indexed: plant a duplicate after a multi-byte prefix and
+    require the winnowed span to sit where the stride-1 exact span sits."""
+    k, w = 20, 4
+    shared = "duplicated region payload zz " * 3
+    texts = {
+        1: "καλημέρα κόσμε ñandú " + shared + " tail one",
+        2: "prefix " + shared + " tail two",
+    }
+    df = _mk_docs(spark, texts)
+    exact = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in substring_duplicate_spans(df, k=k).collect()
+    }
+    got = winnow_duplicate_spans(df, k=k, window=w).collect()
+    by_doc = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in got}
+    for d, (s, e) in exact.items():
+        ws, we = by_doc[d]
+        # winnowed span within the exact span, and overlapping most of it
+        assert s <= ws <= e and s <= we <= e + w, (d, (s, e), (ws, we))
+        assert we - ws >= (e - s) - (w + k), (d, (s, e), (ws, we))
