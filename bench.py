@@ -51,6 +51,10 @@ HEADLINE = [
     "text_bm25_rank",
     "rfm_customer_segments",
     "target_encode_loo",
+    # r7 additions: substring-dedup family + composed IVF-PQ
+    "dedup_substring_spans",
+    "dedup_winnow_spans",
+    "sim_topk_ivfpq",
 ]
 
 

@@ -167,6 +167,27 @@ def substring_duplicate_spans(
     return _spans_from_marks(_dup_marks(grams, keys, min_count), k, stride)
 
 
+def _merged_intervals(spans: DataFrame) -> DataFrame:
+    """(doc_id, s, e) — spans merged into disjoint intervals per doc:
+    running-max end, a new group where start exceeds it (spans can
+    overlap: islands ≥ stride apart but < k apart both extend k−1 chars
+    right)."""
+    w_order = Window.partitionBy("doc_id").orderBy("span_start", "span_end")
+    prev_max = F.max("span_end").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "__new",
+        F.when(
+            prev_max.isNull() | (F.col("span_start") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    grouped = flagged.withColumn("__grp", F.sum("__new").over(w_order))
+    return grouped.groupBy("doc_id", "__grp").agg(
+        F.min("span_start").alias("s"), F.max("span_end").alias("e")
+    )
+
+
 def substring_dup_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -184,20 +205,7 @@ def substring_dup_stats(
     spans = substring_duplicate_spans(
         df, text_col, id_col, k, stride, min_count, use_hash
     )
-    w_order = Window.partitionBy("doc_id").orderBy("span_start", "span_end")
-    prev_max = F.max("span_end").over(
-        w_order.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = spans.withColumn(
-        "__new",
-        F.when(
-            prev_max.isNull() | (F.col("span_start") > prev_max), F.lit(1)
-        ).otherwise(F.lit(0)),
-    )
-    grouped = flagged.withColumn("__grp", F.sum("__new").over(w_order))
-    merged = grouped.groupBy("doc_id", "__grp").agg(
-        F.min("span_start").alias("s"), F.max("span_end").alias("e")
-    )
+    merged = _merged_intervals(spans)
     cov = merged.groupBy("doc_id").agg(
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars")
     )
@@ -214,6 +222,86 @@ def substring_dup_stats(
                 F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6
             ).alias("dup_frac"),
         )
+    )
+
+
+def substring_excise_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 40,
+    min_count: int = 2,
+    use_hash: bool = True,
+) -> DataFrame:
+    """(doc_id, clean_text, n_chars, removed_chars) — the corpus-cleaning
+    deliverable (Lee et al. 2022's "remove all but one occurrence"): every
+    duplicated k-gram occurrence EXCEPT the canonical owner — the
+    lexicographically first (doc_id, pos) per gram — is excised from the
+    normalized text, so exactly one copy of each duplicated region
+    survives corpus-wide.
+
+    Ownership is per gram, so a long shared region resolves to the doc
+    carrying its first occurrence; within-doc repeats keep only their
+    first occurrence.  Marked occurrences merge to disjoint intervals
+    (islands + interval-merge) and the survivor text is rebuilt with one
+    JVM ``aggregate`` fold over each doc's (few) intervals — no Python.
+
+    Shape note: owner selection needs a global order within each gram
+    key, so this uses ONE window shuffle on the gram-hash key (vs the
+    count+semi-join of ``substring_duplicate_spans``); a pathologically
+    hot gram (shared boilerplate) concentrates its occurrence list in
+    one partition — at 100 TB pre-filter such grams with a df-style
+    count cap the way TF-IDF caps stop-terms, or cap with min_count's
+    dual (drop grams with > cap occurrences and excise ALL of them:
+    boilerplate that common has no meaningful owner)."""
+    grams = char_gram_positions(df, text_col, id_col, k, 1, use_hash)
+    keys = ["h1", "h2"] if use_hash else ["g"]
+    wk = Window.partitionBy(*keys)
+    marked = (
+        grams.withColumn(
+            "__rn",
+            F.row_number().over(wk.orderBy("doc_id", "pos")),
+        )
+        .withColumn("__n", F.count("*").over(wk))
+        .where((F.col("__n") >= min_count) & (F.col("__rn") >= 2))
+        .select("doc_id", "pos")
+    )
+    merged = _merged_intervals(_spans_from_marks(marked, k, 1))
+    iv = merged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__iv")
+    )
+    base = _norm_docs(df, text_col, id_col)
+    joined = base.join(iv, "doc_id", "left")
+    rebuilt = F.expr(
+        """
+        aggregate(
+          __iv,
+          struct(cast(1 as bigint) as prev, '' as acc),
+          (a, x) -> struct(
+            x.e + 1 as prev,
+            concat(a.acc,
+                   substring(__t, cast(a.prev as int),
+                             cast(x.s - a.prev as int))) as acc),
+          a -> concat(a.acc,
+                      substring(__t, cast(a.prev as int),
+                                length(__t) - cast(a.prev as int) + 1))
+        )
+        """
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("__iv").isNull(), F.col("__t"))
+        .otherwise(rebuilt)
+        .alias("clean_text"),
+        F.length("__t").cast("long").alias("n_chars"),
+        F.coalesce(
+            F.aggregate(
+                "__iv",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + (x["e"] - x["s"] + F.lit(1)),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("removed_chars"),
     )
 
 

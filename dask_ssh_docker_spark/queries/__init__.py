@@ -82,6 +82,7 @@ _PRIORITY = [
     "dedup_substring_spans",
     "dedup_substring_dupfrac",
     "dedup_winnow_spans",
+    "dedup_substring_excise",
     "sim_topk_ivfpq",
     # -- 1. machinery changed this round: re-prove --
     "dedup_clusters_transitive",

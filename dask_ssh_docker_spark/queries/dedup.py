@@ -442,3 +442,103 @@ def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_duplicate_spans(docs, "text", "doc_id", k=_SUBSTR_K, window=8)
+
+
+@query(
+    "dedup_substring_excise",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM} AS t FROM documents
+    ),
+    positions AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, length(t) - {_SUBSTR_K - 1}, 1)) AS pos
+      FROM norm
+    ),
+    grams AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             substr(t, CAST(pos AS BIGINT), {_SUBSTR_K}) AS g
+      FROM positions
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+             COUNT(*)    OVER (PARTITION BY g)                       AS n
+      FROM grams
+    ),
+    marked AS (SELECT doc_id, pos FROM ranked WHERE n >= 2 AND rn >= 2),
+    islands AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start,
+             MAX(pos) + {_SUBSTR_K - 1} AS span_end
+      FROM islands GROUP BY doc_id, grp
+    ),
+    flagged AS (
+      SELECT doc_id, span_start, span_end,
+             CASE WHEN MAX(span_end) OVER (
+                    PARTITION BY doc_id ORDER BY span_start, span_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR span_start > MAX(span_end) OVER (
+                    PARTITION BY doc_id ORDER BY span_start, span_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS newgrp
+      FROM spans
+    ),
+    grouped AS (
+      SELECT doc_id, span_start, span_end,
+             SUM(newgrp) OVER (
+               PARTITION BY doc_id ORDER BY span_start, span_end
+             ) AS grp
+      FROM flagged
+    ),
+    merged AS (
+      SELECT doc_id, MIN(span_start) AS s, MAX(span_end) AS e
+      FROM grouped GROUP BY doc_id, grp
+    ),
+    keeps AS (
+      SELECT doc_id,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+             s - 1 AS ke
+      FROM merged
+      UNION ALL
+      SELECT m.doc_id, MAX(m.e) + 1 AS ks, MAX(length(n.t)) AS ke
+      FROM merged m JOIN norm n ON m.doc_id = n.doc_id
+      GROUP BY m.doc_id
+    ),
+    clean AS (
+      SELECT k.doc_id,
+             string_agg(
+               CASE WHEN k.ke >= k.ks
+                    THEN substr(n.t, CAST(k.ks AS BIGINT),
+                                CAST(k.ke - k.ks + 1 AS BIGINT))
+                    ELSE '' END, '' ORDER BY k.ks) AS clean_text
+      FROM keeps k JOIN norm n ON k.doc_id = n.doc_id
+      GROUP BY k.doc_id
+    ),
+    removed AS (
+      SELECT doc_id, SUM(e - s + 1) AS removed_chars FROM merged GROUP BY doc_id
+    )
+    SELECT n.doc_id,
+           COALESCE(c.clean_text, n.t) AS clean_text,
+           CAST(length(n.t) AS BIGINT) AS n_chars,
+           CAST(COALESCE(r.removed_chars, 0) AS BIGINT) AS removed_chars
+    FROM norm n
+    LEFT JOIN clean c ON n.doc_id = c.doc_id
+    LEFT JOIN removed r ON n.doc_id = r.doc_id
+    """,
+)
+def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning: excise every duplicated k=40-gram occurrence
+    except the lexicographically-first (doc_id, pos) owner per gram —
+    exactly one copy of each duplicated region survives corpus-wide
+    (Lee et al. 2022 'remove all but one occurrence')."""
+    from ..operators.substring import substring_excise_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_excise_duplicates(docs, "text", "doc_id", k=_SUBSTR_K)

@@ -214,3 +214,40 @@ def test_winnow_unicode_char_positions(spark):
         # winnowed span within the exact span, and overlapping most of it
         assert s <= ws <= e and s <= we <= e + w, (d, (s, e), (ws, we))
         assert we - ws >= (e - s) - (w + k), (d, (s, e), (ws, we))
+
+
+def test_excise_keeps_exactly_one_occurrence(spark, corpus):
+    """After excision exactly ONE copy of the planted duplicated region
+    survives corpus-wide, untouched docs pass through unchanged, and
+    removed_chars accounts the difference."""
+    from dask_ssh_docker_spark.operators.substring import (
+        substring_excise_duplicates,
+    )
+
+    k = 40
+    out = {
+        r["doc_id"]: r
+        for r in substring_excise_duplicates(
+            _mk_docs(spark, corpus), k=k
+        ).collect()
+    }
+    assert set(out) == set(corpus)
+    exact = _ref_spans(corpus, k)
+    dup_docs = {d for d, *_ in exact}
+    joined = " || ".join(out[d]["clean_text"] for d in sorted(out))
+    # the ~180-char planted region: exactly one surviving copy
+    shared_probe = None
+    for d, s, e, *_ in exact:
+        if e - s + 1 > 150:
+            t = _norm(corpus[d])
+            shared_probe = t[s - 1 : s - 1 + 100]
+            break
+    assert shared_probe is not None
+    assert joined.count(shared_probe) == 1
+    for d, t in corpus.items():
+        norm = _norm(t)
+        r = out[d]
+        assert r["n_chars"] == len(norm)
+        assert len(r["clean_text"]) == len(norm) - r["removed_chars"]
+        if d not in dup_docs:
+            assert r["clean_text"] == norm and r["removed_chars"] == 0
