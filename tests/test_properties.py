@@ -479,3 +479,68 @@ def test_target_encode_loo_excludes_self_property(spark, rows):
             # identity: loo = (n*mean - y)/(n-1)
             n = len(grp)
             assert abs(r.loo - (n * mean - float(r.y)) / (n - 1)) < 1e-6
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(5, 15),
+)
+def test_substring_spans_match_bruteforce_any_unicode(spark, texts, k):
+    """Stride-1 substring spans equal the brute-force python reference
+    for ANY unicode corpus and any k — positions char-indexed, hashes
+    collision-free at property scale, short docs dropped cleanly."""
+    import re as _re
+
+    from collections import Counter
+
+    from dask_ssh_docker_spark.operators.substring import (
+        substring_duplicate_spans,
+    )
+
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_duplicate_spans(df, k=k).collect()
+    )
+
+    def norm(t):
+        # mirror Spark exactly: lower → trim (SPACES only) → collapse
+        # JAVA \s runs ([ \t\n\x0b\f\r] — ASCII, unlike python's
+        # unicode-aware \s, which would diverge on e.g. \xa0)
+        return _re.sub(r"[ \t\n\x0b\f\r]+", " ", t.lower().strip(" "))
+
+    grams = Counter()
+    for t in docs.values():
+        t = norm(t)
+        for i in range(len(t) - k + 1):
+            grams[t[i : i + k]] += 1
+    want = []
+    for d, t in docs.items():
+        t = norm(t)
+        marks = [
+            i + 1 for i in range(len(t) - k + 1) if grams[t[i : i + k]] >= 2
+        ]
+        if not marks:
+            continue
+        start = prev = marks[0]
+        for p in marks[1:]:
+            if p != prev + 1:
+                want.append((d, start, prev + k - 1))
+                start = p
+            prev = p
+        want.append((d, start, prev + k - 1))
+    assert got == sorted(want)
