@@ -325,6 +325,7 @@ def winnow_fingerprints(
     deterministic and well-mixed, never compared with xxhash64 paths)."""
     import numpy as np  # noqa: F401  (imported for the closure below)
 
+    id_t = df.schema[id_col].dataType.simpleString()
     norm = _widen_for_compute(
         _norm_docs(df, text_col, id_col).where(F.length("__t") >= k)
     )
@@ -372,13 +373,13 @@ def winnow_fingerprints(
                 out_fp.extend(h[idx].astype(np.int64).tolist())
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "doc_id": pd.Series(out_id),
                     "pos": pd.Series(out_pos, dtype="int64"),
                     "fp": pd.Series(out_fp, dtype="int64"),
                 }
             )
 
-    return norm.mapInPandas(sel, schema="doc_id long, pos long, fp long")
+    return norm.mapInPandas(sel, schema=f"doc_id {id_t}, pos long, fp long")
 
 
 def winnow_duplicate_spans(

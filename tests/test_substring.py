@@ -251,3 +251,14 @@ def test_excise_keeps_exactly_one_occurrence(spark, corpus):
         assert len(r["clean_text"]) == len(norm) - r["removed_chars"]
         if d not in dup_docs:
             assert r["clean_text"] == norm and r["removed_chars"] == 0
+
+
+def test_winnow_string_ids(spark):
+    """id column type passes through (schema is derived, not hardcoded)."""
+    df = spark.createDataFrame(
+        [("a", "shared payload text here okay " * 3),
+         ("b", "shared payload text here okay " * 3)],
+        "doc_id string, text string",
+    )
+    got = winnow_duplicate_spans(df, k=20, window=4).collect()
+    assert {r["doc_id"] for r in got} == {"a", "b"}
