@@ -227,6 +227,13 @@ def minhash_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
+    # lazy lineage cut: BOTH sides of the bucket self-join consume this
+    # frame, and AQE broadcasts one side rather than reusing an exchange —
+    # without the cut the whole shingle→signature aggregation (the
+    # corpus-scaling map work) executes twice.  The cached frame is
+    # |docs|×bands (id, band_idx, band_hash) tuples — the same volume the
+    # LSH shuffle moves anyway; localCheckpoint spills to disk at scale.
+    banded = banded.localCheckpoint(eager=False)
     left = banded.alias("a")
     right = banded.alias("b")
     return (
