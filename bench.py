@@ -55,6 +55,10 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_winnow_spans",
     "sim_topk_ivfpq",
+    # r7 additions: semantic dedup, incremental bloom dedup, corpus overlap
+    "dedup_semantic_semdedup",
+    "dedup_incremental_bloom",
+    "corpus_overlap_sources",
 ]
 
 

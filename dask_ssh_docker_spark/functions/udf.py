@@ -181,3 +181,10 @@ def groupby_apply(
     algebraic built-ins when the aggregation decomposes.
     """
     return _pin_group_width(df, keys).groupBy(*keys).applyInPandas(fn, schema)
+
+
+# This module ships closures to Python workers; make them self-contained
+# (see functions/shipping.py — no package install needed on executors).
+from .shipping import ship_module_by_value as _ship
+
+_ship(__name__)

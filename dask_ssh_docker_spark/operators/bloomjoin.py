@@ -73,6 +73,62 @@ def bloom_prefilter(probe: DataFrame, bitmap: DataFrame, key: str, m_bits: int =
     return out
 
 
+def bloom_maybe_flag(
+    probe: DataFrame, bitmap: DataFrame, key: str, m_bits: int = 65536
+) -> DataFrame:
+    """``probe`` + boolean ``__bloom_maybe``: True iff all K bloom probes
+    hit (key is *possibly* in the build set), False iff any probe missed
+    (key is DEFINITELY absent — blooms have no false negatives).
+
+    The complement-preserving sibling of :func:`bloom_prefilter`: three
+    broadcast LEFT joins against the ≤ ``m_bits/64``-row bitmap, so no
+    probe row is dropped and no exchange is added — the anti-join path
+    needs both halves of the split."""
+    out = probe
+    hits = []
+    for i in range(_K):
+        pos = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+        w, b = f"__w{i}", f"__bits{i}"
+        mask = F.expr(
+            f"shiftleft(1L, cast(pmod(xxhash64({key}, {i}), {m_bits}) % 64 as int))"
+        )
+        out = out.withColumn(w, (pos / 64).cast("bigint")).join(
+            F.broadcast(bitmap.select(F.col("word").alias(w), F.col("bits").alias(b))),
+            on=w,
+            how="left",
+        )
+        hits.append(F.col(b).isNotNull() & ((F.col(b).bitwiseAND(mask)) == mask))
+        out = out.drop(w)
+    cond = hits[0]
+    for h in hits[1:]:
+        cond = cond & h
+    return out.withColumn("__bloom_maybe", cond).drop(
+        *[f"__bits{i}" for i in range(_K)]
+    )
+
+
+def bloom_anti_join(
+    probe: DataFrame, build: DataFrame, probe_key: str, build_key: str,
+    m_bits: int = 65536,
+) -> DataFrame:
+    """``probe LEFT ANTI JOIN build`` with a bloom split ahead of the
+    exchange — the incremental-dedup shape: "which incoming rows are NEW
+    vs the historical corpus".
+
+    Rows failing any bloom probe are definitely new and flow through
+    with ZERO shuffle; only the maybe-duplicate fraction (true dups +
+    the bloom's false-positive rate of the non-dups) pays the exact
+    anti-join exchange.  The result is EXACTLY the plain anti join's —
+    the bloom only routes rows, it never decides membership alone."""
+    keys = build.select(F.col(build_key).alias(probe_key)).distinct()
+    bitmap = bloom_bitmap(keys, probe_key, m_bits).localCheckpoint(eager=True)
+    flagged = bloom_maybe_flag(probe, bitmap, probe_key, m_bits)
+    definite_new = flagged.filter(~F.col("__bloom_maybe")).drop("__bloom_maybe")
+    maybe = flagged.filter(F.col("__bloom_maybe")).drop("__bloom_maybe")
+    verified_new = maybe.join(keys, on=probe_key, how="left_anti")
+    return definite_new.unionByName(verified_new)
+
+
 def bloom_semi_join(
     probe: DataFrame, build: DataFrame, probe_key: str, build_key: str,
     m_bits: int = 65536,

@@ -98,3 +98,10 @@ def centroids_by_label(
             "n_vectors",
         )
     )
+
+
+# This module ships closures to Python workers; make them self-contained
+# (see functions/shipping.py — no package install needed on executors).
+from ..functions.shipping import ship_module_by_value as _ship
+
+_ship(__name__)

@@ -211,3 +211,10 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+# This module ships closures to Python workers; make them self-contained
+# (see functions/shipping.py — no package install needed on executors).
+from ..functions.shipping import ship_module_by_value as _ship
+
+_ship(__name__)

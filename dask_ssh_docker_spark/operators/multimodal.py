@@ -710,3 +710,10 @@ def image_features(
     return df.select(id_col, blob_col).mapInArrow(
         extract, f"{id_col} {id_type}, {IMAGE_FEATURE_SCHEMA}"
     )
+
+
+# This module ships closures to Python workers; make them self-contained
+# (see functions/shipping.py — no package install needed on executors).
+from ..functions.shipping import ship_module_by_value as _ship
+
+_ship(__name__)

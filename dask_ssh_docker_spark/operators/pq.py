@@ -337,3 +337,10 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("cand_id").alias("vec_id"), "dist", "rank")
     )
+
+
+# This module ships closures to Python workers; make them self-contained
+# (see functions/shipping.py — no package install needed on executors).
+from ..functions.shipping import ship_module_by_value as _ship
+
+_ship(__name__)

@@ -395,3 +395,10 @@ def mmr_rerank(
         .groupBy(query_id)
         .applyInPandas(_mmr, out_schema)
     )
+
+
+# This module ships closures to Python workers; make them self-contained
+# (see functions/shipping.py — no package install needed on executors).
+from ..functions.shipping import ship_module_by_value as _ship
+
+_ship(__name__)

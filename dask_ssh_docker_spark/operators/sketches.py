@@ -126,3 +126,10 @@ def heavy_hitters(df: DataFrame, key: str, k: int) -> DataFrame:
         .filter(F.col("n_key") * (k + 1) > F.col("n_total"))
         .select(key, "n_key")
     )
+
+
+# This module ships closures to Python workers; make them self-contained
+# (see functions/shipping.py — no package install needed on executors).
+from ..functions.shipping import ship_module_by_value as _ship
+
+_ship(__name__)

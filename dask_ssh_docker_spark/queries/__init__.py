@@ -79,6 +79,9 @@ from . import assoc_analytics  # noqa: E402,F401
 
 _PRIORITY = [
     # -- 0. new this round: first driver evidence --
+    "dedup_incremental_bloom",
+    "corpus_overlap_sources",
+    "dedup_semantic_semdedup",
     "dedup_substring_spans",
     "dedup_substring_dupfrac",
     "dedup_winnow_spans",

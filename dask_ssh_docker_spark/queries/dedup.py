@@ -542,3 +542,142 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return substring_excise_duplicates(docs, "text", "doc_id", k=_SUBSTR_K)
+
+
+@query(
+    "dedup_incremental_bloom",
+    oracle=f"""
+    WITH hist AS (
+      SELECT md5({_NORM}) AS fp FROM documents WHERE doc_id % 2 = 0
+    ),
+    incoming AS (
+      SELECT doc_id, md5({_NORM}) AS fp FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, fp FROM incoming
+    WHERE fp NOT IN (SELECT fp FROM hist)
+    """,
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an incoming batch against a historical corpus
+    (even doc_ids = history, odd = incoming): keep incoming docs whose
+    content fingerprint is NEW.
+
+    Scale path (``operators/bloomjoin.py:bloom_anti_join``): a bloom
+    bitmap of the historical fingerprints is broadcast to the incoming
+    scan; rows failing any probe are definitely-new and never shuffle —
+    only the maybe-duplicate sliver pays the exact anti-join exchange.
+    The exact verify clears bloom false positives, so the result equals
+    the plain anti join bit-for-bit (hence the full SQL oracle)."""
+    from ..functions.text import md5_fingerprint
+    from ..operators.bloomjoin import bloom_anti_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0).select(
+        md5_fingerprint("text").alias("fp")
+    )
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", md5_fingerprint("text").alias("fp")
+    )
+    return bloom_anti_join(incoming, hist, "fp", "fp").select("doc_id", "fp")
+
+
+@query(
+    "corpus_overlap_sources",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, unnest({_SHINGLES}) AS shingle FROM base
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard,
+           round(CAST(n_common AS DOUBLE)
+                 / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 6) AS containment
+    FROM common
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+)
+def corpus_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap: exact shingle-set Jaccard and
+    containment per source pair — the "how much of source B is already
+    in source A" audit that decides whether a new crawl adds anything.
+
+    Scale shape: per-source DISTINCT shingles is one partial-agg'd
+    shuffle keyed by (source, shingle); the pair counts shuffle only
+    (shingle → source list) tuples, never documents, and the pair
+    cardinality is bounded by |sources|² which is human-scale.  (The
+    estimation-grade sibling is a per-source MinHash signature — this
+    exact form is itself cheap because shingles collapse per source
+    first.)"""
+    from ..operators.dedup import _staged_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        _staged_shingles(docs, "text", "doc_id", 3)
+        .join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .select("source", F.explode("__sh").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+@query("dedup_semantic_semdedup", oracle=None)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the embeddings table (Abbas et al.
+    2023): k-means clusters (k=16, deterministic seeded Lloyd's), then a
+    greedy within-cluster cosine prune at tau=0.95 — ``keep`` marks the
+    survivor set, ``max_sim`` the similarity that condemned a dropped
+    row.  k-means is not SQL-expressible → rows-only here; the survivor
+    semantics are pytest-pinned against a pure-numpy reference and
+    property-checked (survivors pairwise < tau; every drop has a kept
+    cluster-mate ≥ tau) in ``tests/test_semdedup.py``."""
+    from ..operators.semdedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(emb, "vec_id", "embedding", k=16, tau=0.95, iters=3)
+    return out.select(
+        "vec_id", "cluster_id", "keep", F.round("max_sim", 6).alias("max_sim")
+    )

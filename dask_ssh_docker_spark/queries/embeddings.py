@@ -172,3 +172,10 @@ def embedding_quantize_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("sat_frac"),
         (F.lit(1000000.0) * (F.sum(err * err) / F.count("*"))).alias("mse_ppm"),
     )
+
+
+# This module ships closures to Python workers; make them self-contained
+# (see functions/shipping.py — no package install needed on executors).
+from ..functions.shipping import ship_module_by_value as _ship
+
+_ship(__name__)

@@ -214,3 +214,10 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(queries_df, corpus, k=5, pool=20, lam=0.7).orderBy(
         "query_id", "rank"
     )
+
+
+# This module ships closures to Python workers; make them self-contained
+# (see functions/shipping.py — no package install needed on executors).
+from ..functions.shipping import ship_module_by_value as _ship
+
+_ship(__name__)

@@ -403,3 +403,10 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(psi + F.lit(0.0), 6).alias("psi"),
     )
+
+
+# This module ships closures to Python workers; make them self-contained
+# (see functions/shipping.py — no package install needed on executors).
+from ..functions.shipping import ship_module_by_value as _ship
+
+_ship(__name__)

@@ -273,3 +273,10 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _synth_base(spark, sf_dir)
     blobs = synthesize_png_blobs(docs, "doc_id")
     return image_features(blobs, "blob", "doc_id").orderBy("doc_id")
+
+
+# This module ships closures to Python workers; make them self-contained
+# (see functions/shipping.py — no package install needed on executors).
+from ..functions.shipping import ship_module_by_value as _ship
+
+_ship(__name__)

@@ -203,3 +203,10 @@ class NpyStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         pass
+
+
+# This module ships closures to Python workers; make them self-contained
+# (see functions/shipping.py — no package install needed on executors).
+from ..functions.shipping import ship_module_by_value as _ship
+
+_ship(__name__)
