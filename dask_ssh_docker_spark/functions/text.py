@@ -218,3 +218,55 @@ def word_shingles(c: Column | str, k: int = 3) -> Column:
     (this simply delegates, so the two can never diverge).
     """
     return word_shingles_from_tokens(tokens(c), normalize_text(c), k)
+
+
+def word_shingles_exploded(
+    df, text_col: str, id_col: str, k: int = 3, extra_cols: tuple[str, ...] = ()
+):
+    """(id, *extra_cols, shingle) ROWS — the codegen path for shingle
+    generation.
+
+    The array-building HOF forms above run interpreted (higher-order
+    functions never enter whole-stage codegen) and, worse, Catalyst's
+    projection collapsing can in-line the tokenize chain back into every
+    ``element_at``: measured 10 s for 260k shingles at sf0.1 vs 1.9 s for
+    this form.  Here tokens are POSEXPLODED once and each k-gram is a
+    ``concat_ws`` over ``lead()`` window frames — every expression
+    codegen-friendly; the one exchange (by ``id_col``) replaces
+    per-element interpreted evaluation and is the same width the caller's
+    next aggregation would shuffle anyway.
+
+    Semantics match ``word_shingles_from_tokens`` + the SQL oracles'
+    CASE fallback: docs with ≥ k tokens emit their k-grams (NOT
+    de-duplicated within doc — apply ``distinct()`` downstream if set
+    semantics are needed); shorter docs emit their whole normalized text
+    as the single shingle."""
+    from pyspark.sql import Window
+
+    t = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *extra_cols,
+        t.alias("__t"),
+        normalize_text(text_col).alias("__norm"),
+    )
+    long_docs = base.filter(F.size("__t") >= k)
+    tk = long_docs.select(
+        "id", *extra_cols, F.posexplode("__t").alias("__pos", "__tok")
+    )
+    w = Window.partitionBy("id").orderBy("__pos")
+    leads = [F.col("__tok")] + [F.lead("__tok", j).over(w) for j in range(1, k)]
+    grams = (
+        tk.select(
+            "id",
+            *extra_cols,
+            F.concat_ws(" ", *leads).alias("shingle"),
+            leads[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+    short = base.filter(F.size("__t") < k).select(
+        "id", *extra_cols, F.col("__norm").alias("shingle")
+    )
+    return grams.unionByName(short)

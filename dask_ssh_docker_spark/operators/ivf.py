@@ -61,6 +61,8 @@ def train_centroids(
     re-training after a re-partitioned re-read may select a different
     (equally valid) sample.  Centroids are deterministic given the same
     input layout, not across layouts."""
+    import numpy as np
+
     if sample_fraction is not None:
         if not (0.0 < sample_fraction <= 1.0):
             raise ValueError("sample_fraction must be in (0, 1]")
@@ -76,49 +78,77 @@ def train_centroids(
         .select(
             F.transform(vec_col, lambda x: x.cast("double")).alias("centroid"),
         )
-        .rdd.zipWithIndex()
-        .map(lambda p: (p[1], p[0][0]))
-        .toDF(["centroid_id", "centroid"])
+        .collect()
     )
-    # Eager localCheckpoint (k rows, ≪1 MB): materializes each iteration's
-    # centroids AND cuts lineage, so (a) no chain of grouped aggregates
-    # accumulates under the broadcast hint across iterations, (b) the
-    # previous iteration's blocks become unreachable and ContextCleaner
-    # frees them — no session-lifetime cache leak from repeated persist().
-    cents = init.localCheckpoint()
+    C = np.asarray([r["centroid"] for r in init], dtype=np.float64)
     vecs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).persist()
     try:
         for _ in range(iters):
-            assigned = _assign(vecs, cents, keep_vec=True)
-            new = (
-                assigned
-                .select("centroid_id", F.posexplode(F.transform("v", lambda x: x.cast("double"))))
-                .groupBy("centroid_id", "pos")
-                .agg(F.avg("col").alias("m"))
-                .groupBy("centroid_id")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-                .select(
-                    "centroid_id",
-                    F.transform("pm", lambda s: s["m"]).alias("centroid"),
-                )
-            )
-            # A centroid whose cluster went empty gets no groupBy row; keep
-            # its previous position instead of silently shrinking k (which
-            # would break the nprobe/k scan-fraction contract downstream).
-            new = (
-                cents.select("centroid_id", F.col("centroid").alias("__prev"))
-                .join(new, "centroid_id", "left")
-                .select(
-                    "centroid_id",
-                    F.coalesce("centroid", "__prev").alias("centroid"),
-                )
-            )
-            cents = new.localCheckpoint()
+            # ONE Arrow job per Lloyd iteration: each partition assigns its
+            # vectors to the closed-over centroid matrix (chunked-GEMM,
+            # pq._nearest_rows) and emits k partial (count, sum-vector)
+            # rows — corpus vectors never explode into (row × dim) tuples
+            # and never shuffle; only partitions×k partials come back.
+            # The driver reduces the partials in sorted order, so repeat
+            # runs on the same layout sum identical multisets identically
+            # (the run-to-run determinism the sample-training test pins).
+            rows = _partial_sums(vecs, C).collect()
+            counts = np.zeros(len(C))
+            sums = np.zeros_like(C)
+            for r in sorted(rows, key=lambda r: (r["cid"], r["n"], r["s"])):
+                counts[r["cid"]] += r["n"]
+                sums[r["cid"]] += np.asarray(r["s"])
+            # A centroid whose cluster went empty keeps its previous
+            # position instead of silently shrinking k (which would break
+            # the nprobe/k scan-fraction contract downstream).
+            nonempty = counts > 0
+            C = np.where(nonempty[:, None], sums / np.where(nonempty, counts, 1.0)[:, None], C)
     finally:
         vecs.unpersist()
-    return cents
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(len(C))],
+        schema="centroid_id int, centroid array<double>",
+    )
+
+
+def _partial_sums(vecs: DataFrame, C) -> DataFrame:
+    """(cid, n, s): per-partition per-centroid count and sum-vector
+    partials for one Lloyd update — ≤ partitions×k rows total.  At 100 TB
+    train on ``sample_fraction`` (bounded partitions) so the driver-side
+    reduce stays small; the partials themselves are the map-side-combine
+    this update needs, computed in the SAME pass as the assignment."""
+    import numpy as np
+
+    from .pq import _nearest_rows
+
+    def go(batches):
+        import pandas as pd
+
+        counts = np.zeros(len(C))
+        sums = np.zeros_like(C)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(list(pdf["v"]), dtype=np.float64)
+            cid = _nearest_rows(x, C)
+            for c in np.unique(cid):
+                m = cid == c
+                counts[c] += int(m.sum())
+                sums[c] += x[m].sum(axis=0)
+        hit = np.nonzero(counts)[0]
+        if len(hit):
+            yield pd.DataFrame(
+                {
+                    "cid": hit.astype("int32"),
+                    "n": counts[hit],
+                    "s": [list(sums[c]) for c in hit],
+                }
+            )
+
+    return vecs.mapInPandas(go, schema="cid int, n double, s array<double>")
 
 
 def _assign(vecs: DataFrame, cents: DataFrame, keep_vec: bool = False) -> DataFrame:

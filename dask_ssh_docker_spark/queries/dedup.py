@@ -611,34 +611,49 @@ def corpus_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment per source pair — the "how much of source B is already
     in source A" audit that decides whether a new crawl adds anything.
 
-    Scale shape: per-source DISTINCT shingles is one partial-agg'd
-    shuffle keyed by (source, shingle); the pair counts shuffle only
-    (shingle → source list) tuples, never documents, and the pair
-    cardinality is bounded by |sources|² which is human-scale.  (The
-    estimation-grade sibling is a per-source MinHash signature — this
-    exact form is itself cheap because shingles collapse per source
-    first.)"""
-    from ..operators.dedup import _staged_shingles
+    Scale shape: NO self-join — the corpus collapses to one
+    vocabulary-keyed aggregate of (shingle → sorted source set), and
+    every downstream quantity derives from that one frame map-side:
+    pair counts explode each set's C(s,2) ordered pairs (s is bounded
+    by |sources|, human-scale), per-source sizes explode the sets
+    themselves.  Shingle TEXT shuffles exactly once (into the distinct);
+    after that only source names move.  (The estimation-grade sibling
+    is a per-source MinHash signature if even one vocabulary aggregate
+    is too much.)"""
+    from ..functions.text import word_shingles_exploded
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        _staged_shingles(docs, "text", "doc_id", 3)
-        .join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
-        .select("source", F.explode("__sh").alias("shingle"))
-        .distinct()
+    sh = word_shingles_exploded(
+        docs, "text", "doc_id", 3, extra_cols=("source",)
+    ).select("source", "shingle")
+    # one row per shingle: the sorted set of sources containing it —
+    # collect_set IS the distinct (no separate distinct() shuffle), and
+    # the localCheckpoint lets both consumers below reuse the frame
+    # instead of re-running the tokenize→shingle pipeline
+    srcs = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .select("ss")
+        .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sizes = (
+        srcs.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    # all ordered pairs within each source set: (x_i, y_j) for i < j
+    pair_expr = F.flatten(
+        F.transform(
+            "ss",
+            lambda x, i: F.transform(
+                F.slice("ss", i + F.lit(2), F.size("ss")),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
     common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
-        )
+        srcs.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
