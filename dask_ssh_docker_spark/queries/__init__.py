@@ -81,6 +81,8 @@ _PRIORITY = [
     # -- 0. new this round: first driver evidence --
     "dedup_incremental_bloom",
     "corpus_overlap_sources",
+    "corpus_overlap_minhash",
+    "text_quality_linear_score",
     "dedup_semantic_semdedup",
     "dedup_substring_spans",
     "dedup_substring_dupfrac",

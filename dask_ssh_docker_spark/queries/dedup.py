@@ -696,3 +696,44 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "cluster_id", "keep", F.round("max_sim", 6).alias("max_sim")
     )
+
+
+@query("corpus_overlap_minhash", oracle=None)
+def corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimation-grade sibling of ``corpus_overlap_sources``: per-source
+    MinHash signatures (H=128 seeded xxhash64 minima over shingle
+    hashes) → pairwise Jaccard estimate = matching-slot fraction.
+
+    Scale: ONE partial-agg'd aggregate per source computes all 128
+    minima map-side (the corpus never re-shuffles per hash); the
+    signature table is |sources| rows × 128 longs, so the pair scoring
+    is a driver-scale crossJoin.  Standard error √(J(1−J)/128) ≈ 0.04 —
+    pinned against the exact query in tests/test_semdedup.py.  xxhash64
+    has no DuckDB twin → rows-only."""
+    from ..functions.text import word_shingles_exploded
+
+    H = 128
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles_exploded(
+        docs, "text", "doc_id", 3, extra_cols=("source",)
+    ).select("source", F.xxhash64("shingle").alias("__h"))
+    sig = sh.groupBy("source").agg(
+        F.array(
+            *[F.min(F.xxhash64("__h", F.lit(i))).alias(f"m{i}") for i in range(H)]
+        ).alias("sig")
+    )
+    a = sig.select(F.col("source").alias("src_a"), F.col("sig").alias("sa"))
+    b = sig.select(F.col("source").alias("src_b"), F.col("sig").alias("sb"))
+    matches = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.round(matches.cast("double") / F.lit(float(H)), 6).alias(
+                "jaccard_est"
+            ),
+        )
+    )

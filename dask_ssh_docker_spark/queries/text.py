@@ -401,3 +401,46 @@ def text_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("is_contaminated"),
         )
     )
+
+
+@query(
+    "text_quality_linear_score",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+    w AS (
+      SELECT doc_id,
+             (CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 1000
+                   AS DOUBLE) / 999.0) - 0.5 AS w
+      FROM tok
+    )
+    SELECT doc_id,
+           round(avg(w), 6) AS score,
+           CASE WHEN avg(w) >= 0.0 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM w GROUP BY doc_id
+    """,
+)
+def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring at corpus scale — the fasttext-
+    style 'hash every token to a learned weight, average, threshold'
+    shape (weights here are a DETERMINISTIC md5-derived stand-in so both
+    engines compute bit-identical scores; swapping in real learned
+    weights changes one expression, not the plan).
+
+    Scale: pure map-side explode + partial-agg'd per-doc mean — no
+    shuffle beyond the doc-keyed aggregation, no Python, no model
+    broadcast (the 'model' is a hash expression; a real weight table
+    ≤ vocab size would broadcast-join the same plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    w = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % 1000
+    ).cast("double") / 999.0 - 0.5
+    return (
+        tok.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("w"), 6).alias("score"),
+            F.when(F.avg("w") >= 0.0, "keep").otherwise("drop").alias("verdict"),
+        )
+    )

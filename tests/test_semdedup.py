@@ -122,3 +122,23 @@ def test_bloom_anti_join_equals_plain_anti(spark):
     w = sorted(tuple(r) for r in want.collect())
     assert g == w
     assert len(g) > 0
+
+
+def test_corpus_overlap_minhash_tracks_exact(spark):
+    """The H=128 MinHash estimate stays within 3·SE(≈0.13) + a small
+    floor of the exact per-source-pair Jaccard on the sf0.001 corpus."""
+    from dask_ssh_docker_spark.queries import REGISTRY
+
+    exact = {
+        (r.src_a, r.src_b): r.jaccard
+        for r in REGISTRY["corpus_overlap_sources"].fn(spark, SF_DIR).collect()
+    }
+    est = {
+        (r.src_a, r.src_b): r.jaccard_est
+        for r in REGISTRY["corpus_overlap_minhash"].fn(spark, SF_DIR).collect()
+    }
+    # the exact query emits only pairs sharing >=1 shingle; the estimator
+    # emits every source pair (absent => exact jaccard 0)
+    assert set(exact) <= set(est)
+    worst = max(abs(est[k] - exact.get(k, 0.0)) for k in est)
+    assert worst <= 0.15, f"minhash overlap estimate off by {worst}"
