@@ -50,3 +50,21 @@ def test_prefilter_is_map_side(spark):
 
     # only broadcast exchanges allowed; no shuffle exchange in the probe path
     assert not re.search(r"Exchange (hashpartitioning|rangepartitioning)", plan)
+
+
+def test_anti_join_definite_branch_is_map_side(spark):
+    """bloom_maybe_flag (the anti-join split) must stay map-side like the
+    prefilter: 3 broadcast LEFT joins, zero shuffle exchanges — the
+    definitely-new branch of an incremental dedup never pays an
+    exchange."""
+    import re
+
+    from dask_ssh_docker_spark.operators.bloomjoin import bloom_maybe_flag
+
+    build = spark.range(0, 100).select(F.col("id").alias("k"))
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    bm = bloom_bitmap(build, "k").localCheckpoint(eager=True)
+    flagged = bloom_maybe_flag(probe, bm, "k")
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3
+    assert not re.search(r"Exchange (hashpartitioning|rangepartitioning)", plan)

@@ -142,3 +142,28 @@ def test_corpus_overlap_minhash_tracks_exact(spark):
     assert set(exact) <= set(est)
     worst = max(abs(est[k] - exact.get(k, 0.0)) for k in est)
     assert worst <= 0.15, f"minhash overlap estimate off by {worst}"
+
+
+def test_semdedup_single_shuffle_after_assignment(spark):
+    """The verdict frame's plan: Arrow assignment is map-side (no
+    exchange) and the greedy prune costs exactly ONE shuffle — the
+    cluster-id exchange into applyInPandas.  Vector bodies move once."""
+    from dask_ssh_docker_spark.plans import count_exchanges
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = semdedup(emb, "vec_id", "embedding", k=4, tau=TAU, iters=1)
+    assert count_exchanges(out) == 1
+
+
+def test_corpus_overlap_plan_partitioned_windows_no_python(spark):
+    """Overlap audit: every window is doc-partitioned (the lead() k-gram
+    builder) — no global-order window, no Python eval anywhere."""
+    from dask_ssh_docker_spark.plans import (
+        unpartitioned_window_count,
+        uses_python_eval,
+    )
+    from dask_ssh_docker_spark.queries import REGISTRY
+
+    df = REGISTRY["corpus_overlap_sources"].fn(spark, SF_DIR)
+    assert unpartitioned_window_count(df) == 0
+    assert not uses_python_eval(df)
