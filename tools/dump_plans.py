@@ -44,6 +44,10 @@ QUERIES = [
     ("bootstrap_ci_revenue", "Poisson bootstrap: map-side x50 explode + 50-group partial agg (q1 shape) + 50-row rank window"),
     ("cusum_changepoint_daily", "CUSUM: day-grain agg first; ordered scan + exact decimal x integer statistic over the bounded daily summary"),
     ("ks_binned_click_view", "binned KS: map-side bin + <=256-cell agg; CDF window over the bounded summary only"),
+    ("dedup_incremental_bloom", "incremental dedup: bloom bitmap broadcast + map-side probes; definitely-new rows shuffle-free, exact anti join on the maybe sliver only"),
+    ("corpus_overlap_sources", "source overlap: codegen lead() k-grams, ONE vocabulary collect_set agg, per-shingle pair explode — no self-join"),
+    ("dedup_semantic_semdedup", "SemDeDup: map-side Arrow centroid assignment + ONE cluster-id exchange into the greedy prune"),
+    ("text_quality_linear_score", "linear quality scorer: token explode + hash-weight map-side, one doc-keyed partial agg"),
 ]
 
 
