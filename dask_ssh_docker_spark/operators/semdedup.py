@@ -45,13 +45,16 @@ def _greedy_semdedup(U, order, tau):
     n = len(U)
     keep = np.zeros(n, dtype=bool)
     max_sim = np.full(n, -1.0)
-    kept_rows: list[int] = []
+    # contiguous kept-vector buffer, grown in place: the per-block screen
+    # is then one GEMM against a stable matrix instead of re-gathering
+    # U[kept_rows] (an O(|kept|·dim) copy per block) as the set grows
+    K = np.empty_like(U)
+    n_kept = 0
     for s in range(0, n, _BLOCK):
         blk = order[s : s + _BLOCK]
         B = U[blk]
-        if kept_rows:
-            S_prev = B @ U[kept_rows].T  # (b, |kept|)
-            prev_max = S_prev.max(axis=1)
+        if n_kept:
+            prev_max = (B @ K[:n_kept].T).max(axis=1)
         else:
             prev_max = np.full(len(blk), -1.0)
         S_blk = B @ B.T  # (b, b) — within-block pairs
@@ -64,7 +67,9 @@ def _greedy_semdedup(U, order, tau):
             if m < tau:
                 keep[row] = True
                 kept_in_blk.append(j)
-        kept_rows.extend(int(blk[j]) for j in kept_in_blk)
+        for j in kept_in_blk:
+            K[n_kept] = B[j]
+            n_kept += 1
     return keep, max_sim
 
 
