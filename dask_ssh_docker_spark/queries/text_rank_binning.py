@@ -52,6 +52,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("t").alias("doc_len"), F.explode("t").alias("term")
     )
     tf = exploded.groupBy("doc_id", "doc_len", "term").agg(F.count("*").alias("cnt"))
+    # lazy lineage cut: tf feeds BOTH the df derivation and the scoring
+    # join — without it the tokenize→explode→count pipeline executes
+    # twice (A/B sf1: 5.1→3.1 s); the cut materializes it once at the
+    # volume the scoring join shuffles anyway
+    tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     # n_docs as a broadcast 1-row aggregate (mirrors the oracle's CROSS
     # JOIN n) — keeps the plan lazy and single-scan instead of an eager

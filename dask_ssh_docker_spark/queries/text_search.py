@@ -95,6 +95,10 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = exploded.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # lazy lineage cut: tf feeds both the df derivation and the scoring
+    # join — one cut saves the second corpus tokenize/explode scan
+    # (tfidf rationale; tf here is tiny, ≤3 terms' postings)
+    tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
