@@ -202,7 +202,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = staged.select("doc_id", F.explode(pairs).alias("bg")).select(
         "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
+    # lazy lineage cuts: bi feeds the LM counts AND the scoring join;
+    # cnt feeds the unigram marginals AND the probability join — without
+    # them the bigram explode executes twice and the count shuffle twice
+    bi = bi.localCheckpoint(eager=False)
     cnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cnt = cnt.localCheckpoint(eager=False)
     c1 = cnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # term-cardinality tables: no forced broadcast (see module scale notes)
     p = cnt.join(c1, "w1").select(
@@ -257,6 +262,9 @@ def text_dup_sentence_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("sent") >= 20)
     )
+    # lazy lineage cut: s feeds the corpus sentence counts AND the
+    # join back — one cut, one sentence-explode execution
+    s = s.localCheckpoint(eager=False)
     cnt = s.groupBy("sent").agg(F.count("*").alias("n_docs"))
     return (
         s.join(cnt, "sent")
