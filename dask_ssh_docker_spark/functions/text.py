@@ -221,7 +221,12 @@ def word_shingles(c: Column | str, k: int = 3) -> Column:
 
 
 def word_shingles_exploded(
-    df, text_col: str, id_col: str, k: int = 3, extra_cols: tuple[str, ...] = ()
+    df,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    extra_cols: tuple[str, ...] = (),
+    short_fallback: bool = True,
 ):
     """(id, *extra_cols, shingle) ROWS — the codegen path for shingle
     generation.
@@ -266,6 +271,10 @@ def word_shingles_exploded(
         .filter(F.col("__last").isNotNull())
         .drop("__last")
     )
+    if not short_fallback:
+        # kgram convention (word_kgrams_from_tokens): a doc shorter than
+        # the gram emits nothing
+        return grams
     short = base.filter(F.size("__t") < k).select(
         "id", *extra_cols, F.col("__norm").alias("shingle")
     )

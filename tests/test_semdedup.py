@@ -167,3 +167,23 @@ def test_corpus_overlap_plan_partitioned_windows_no_python(spark):
     df = REGISTRY["corpus_overlap_sources"].fn(spark, SF_DIR)
     assert unpartitioned_window_count(df) == 0
     assert not uses_python_eval(df)
+
+
+def test_word_shingles_exploded_short_fallback_modes(spark):
+    """short_fallback=True emits the whole normalized text for docs
+    shorter than k (the dedup-shingle/SQL-oracle convention);
+    short_fallback=False emits nothing for them (the kgram convention)."""
+    import pandas as pd
+
+    from dask_ssh_docker_spark.functions.text import word_shingles_exploded
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "hi"]})
+    )
+    with_fb = word_shingles_exploded(df, "text", "doc_id", 3).collect()
+    got = {(r.id, r.shingle) for r in with_fb}
+    assert got == {(1, "a b c"), (1, "b c d"), (2, "hi")}
+    no_fb = word_shingles_exploded(
+        df, "text", "doc_id", 3, short_fallback=False
+    ).collect()
+    assert {(r.id, r.shingle) for r in no_fb} == {(1, "a b c"), (1, "b c d")}
