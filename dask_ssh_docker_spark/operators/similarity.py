@@ -304,21 +304,40 @@ def lsh_neardup_pairs(
     """Near-dup pairs restricted to LSH-bucket cohabitants — the scale
     path: |rows|·T bucket tuples shuffle instead of n² pairs.  Pass
     ``dim`` to keep plan construction job-free (see ``lsh_bucketed``)."""
+    from ..functions.vector import dot, l2_norm
+
     bkt = lsh_bucketed(df, id_col, vec_col, bits, tables, seed, dim=dim)
-    a = bkt.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-        "table_idx", "bucket",
-    )
-    b = bkt.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-        "table_idx", "bucket",
-    )
-    sim = cosine_similarity("__va", "__vb")
-    return (
+    a = bkt.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
+    b = bkt.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
+    # candidate DEDUP moves vector bodies NOWHERE: only (id_a, id_b)
+    # tuples pass through the bucket join and the distinct — carrying
+    # both 64-float payloads through the dedup exchange made the "scale
+    # path" slower than the all-pairs baseline (272 s vs 100 s at sf1;
+    # this shape: 4.5 s).  Vectors re-attach once per side afterwards,
+    # with per-vector norms hoisted into the projection (same in-order
+    # JVM fold — oracle doubles untouched).
+    cands = (
         a.join(b, ["table_idx", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__va", "__vb")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(vec_col).alias("__na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(vec_col).alias("__nb"),
+    )
+    sim = dot("__va", "__vb") / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
