@@ -528,10 +528,17 @@ def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documented in SCALE.md)."""
     orders = load_table(spark, sf_dir, "orders")
     yd = F.col("o_totalprice").cast("double")
+    # one array-percentile aggregate: one sorted buffer per group, not
+    # three (group_quantiles_exact note)
     q = orders.groupBy("o_orderpriority").agg(
-        F.percentile(yd, F.lit(0.25)).alias("p25"),
-        F.percentile(yd, F.lit(0.5)).alias("p50"),
-        F.percentile(yd, F.lit(0.75)).alias("p75"),
+        F.percentile(
+            yd, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("__p")
+    ).select(
+        "o_orderpriority",
+        F.col("__p")[0].alias("p25"),
+        F.col("__p")[1].alias("p50"),
+        F.col("__p")[2].alias("p75"),
     )
     return orders.join(q, "o_orderpriority").select(
         "o_orderkey",
@@ -610,8 +617,10 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum("us").cast("double") / F.count(F.lit(1)) / 1000000.0
         ).alias("mean_latency_s"),
-        (F.percentile("us", F.lit(0.5)) / 1000000.0).alias("p50_latency_s"),
-        (F.percentile("us", F.lit(0.9)) / 1000000.0).alias("p90_latency_s"),
+        (F.percentile("us", F.array(F.lit(0.5), F.lit(0.9)))[0] / 1000000.0
+         ).alias("p50_latency_s"),
+        (F.percentile("us", F.array(F.lit(0.5), F.lit(0.9)))[1] / 1000000.0
+         ).alias("p90_latency_s"),
     )
 
 

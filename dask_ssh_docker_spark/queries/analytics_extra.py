@@ -395,10 +395,16 @@ def qcut_order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-aggregate the full column; ``approx_percentile`` is the
     documented 100 TB substitution (see approx_distinct_quantiles)."""
     o = load_table(spark, sf_dir, "orders")
+    # ONE array-percentile aggregate: scalar percentile() calls each
+    # build their own sorted value buffer (group_quantiles_exact note)
     q = o.agg(
-        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
-        F.percentile("o_totalprice", F.lit(0.50)).alias("q2"),
-        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+        F.percentile(
+            "o_totalprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+        ).alias("__q")
+    ).select(
+        F.col("__q")[0].alias("q1"),
+        F.col("__q")[1].alias("q2"),
+        F.col("__q")[2].alias("q3"),
     )
     v = F.col("o_totalprice")
     return (
@@ -650,9 +656,15 @@ def winsorize_bounds_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "value", F.col("value").cast("double")
     )
+    # one array-percentile aggregate (group_quantiles_exact note)
     b = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("p05"),
-        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.percentile(
+            "value", F.array(F.lit(0.05), F.lit(0.95))
+        ).alias("__p")
+    ).select(
+        "event_type",
+        F.col("__p")[0].alias("p05"),
+        F.col("__p")[1].alias("p95"),
     )
     return (
         ev.join(b, "event_type")

