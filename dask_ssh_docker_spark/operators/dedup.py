@@ -680,6 +680,10 @@ def simhash_dedup_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
+    # lazy lineage cut (minhash_candidates rationale): both sides of the
+    # band self-join consume this frame — without the cut the whole
+    # token→signature aggregation executes twice
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     dist = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
@@ -694,8 +698,11 @@ def simhash_dedup_pairs(
             F.col("b.id").alias("id_b"),
             dist.alias("hamming"),
         )
-        .distinct()
+        # hamming filter BEFORE the pair dedup: the xor+bit_count is a
+        # free map-side expression, so failing candidates never enter
+        # the distinct exchange
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
