@@ -658,9 +658,13 @@ def corpus_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+    # sizes is a GROUPED aggregate (|sources| rows) — per the repo
+    # broadcast policy it is never force-hinted; AQE broadcasts it at
+    # any realistic source cardinality and shuffle-joins past the
+    # threshold (plan-swept by tests/test_plans.py)
     return (
-        common.join(F.broadcast(sa), "src_a")
-        .join(F.broadcast(sb), "src_b")
+        common.join(sa, "src_a")
+        .join(sb, "src_b")
         .select(
             "src_a",
             "src_b",
