@@ -35,15 +35,26 @@ def bloom_bitmap(build_keys: DataFrame, key: str, m_bits: int = 65536) -> DataFr
     """(word, bits): the bloom bitmap of the build side's ``key`` column
     as a ≤ ``m_bits/64``-row frame.  One partial-agg'd shuffle on word id
     (≤1024 groups)."""
-    pairs = []
-    for i in range(_K):
-        pos = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
-        pairs.append(F.struct(
-            (pos / 64).cast("bigint").alias("word"),
-            F.expr(f"shiftleft(1L, cast(pmod(xxhash64({key}, {i}), {m_bits}) % 64 as int))").alias("bit"),
-        ))
+    # positions land in INTERNAL columns first, so the shiftleft expr
+    # never splices a user column name into SQL (backtick-needing names
+    # broke parsing) and each xxhash64 is computed exactly once
+    tmp = build_keys.select(
+        *[
+            F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits)).alias(
+                f"__p{i}"
+            )
+            for i in range(_K)
+        ]
+    )
+    pairs = [
+        F.struct(
+            (F.col(f"__p{i}") / 64).cast("bigint").alias("word"),
+            F.expr(f"shiftleft(1L, cast(__p{i} % 64 as int))").alias("bit"),
+        )
+        for i in range(_K)
+    ]
     return (
-        build_keys.select(F.explode(F.array(*pairs)).alias("p"))
+        tmp.select(F.explode(F.array(*pairs)).alias("p"))
         .select("p.word", "p.bit")
         .groupBy("word")
         .agg(F.bit_or("bit").alias("bits"))
@@ -57,18 +68,22 @@ def bloom_prefilter(probe: DataFrame, bitmap: DataFrame, key: str, m_bits: int =
     the probe side."""
     out = probe
     for i in range(_K):
-        pos = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
-        w, b, m = f"__w{i}", f"__bits{i}", f"__mask{i}"
+        w, b, m, p = f"__w{i}", f"__bits{i}", f"__mask{i}", f"__pos{i}"
         out = (
-            out.withColumn(w, (pos / 64).cast("bigint"))
-            .withColumn(m, F.expr(f"shiftleft(1L, cast(pmod(xxhash64({key}, {i}), {m_bits}) % 64 as int))"))
+            # internal temp column: one hash computation, and the expr
+            # references only our own name (never the caller's key)
+            out.withColumn(
+                p, F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+            )
+            .withColumn(w, (F.col(p) / 64).cast("bigint"))
+            .withColumn(m, F.expr(f"shiftleft(1L, cast({p} % 64 as int))"))
             .join(
                 F.broadcast(bitmap.select(F.col("word").alias(w), F.col("bits").alias(b))),
                 on=w,
                 how="inner",  # absent word ⇒ definitely not a member ⇒ drop
             )
             .filter((F.col(b).bitwiseAND(F.col(m))) == F.col(m))
-            .drop(w, b, m)
+            .drop(w, b, m, p)
         )
     return out
 
@@ -87,23 +102,30 @@ def bloom_maybe_flag(
     out = probe
     hits = []
     for i in range(_K):
-        pos = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
-        w, b = f"__w{i}", f"__bits{i}"
-        mask = F.expr(
-            f"shiftleft(1L, cast(pmod(xxhash64({key}, {i}), {m_bits}) % 64 as int))"
+        w, b, p = f"__w{i}", f"__bits{i}", f"__pos{i}"
+        # internal temp column: one hash computation per probe, and the
+        # mask expr references only our own name (never the caller's key)
+        out = (
+            out.withColumn(
+                p, F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+            )
+            .withColumn(w, (F.col(p) / 64).cast("bigint"))
+            .join(
+                F.broadcast(
+                    bitmap.select(F.col("word").alias(w), F.col("bits").alias(b))
+                ),
+                on=w,
+                how="left",
+            )
+            .drop(w)
         )
-        out = out.withColumn(w, (pos / 64).cast("bigint")).join(
-            F.broadcast(bitmap.select(F.col("word").alias(w), F.col("bits").alias(b))),
-            on=w,
-            how="left",
-        )
+        mask = F.expr(f"shiftleft(1L, cast({p} % 64 as int))")
         hits.append(F.col(b).isNotNull() & ((F.col(b).bitwiseAND(mask)) == mask))
-        out = out.drop(w)
     cond = hits[0]
     for h in hits[1:]:
         cond = cond & h
     return out.withColumn("__bloom_maybe", cond).drop(
-        *[f"__bits{i}" for i in range(_K)]
+        *[c for i in range(_K) for c in (f"__bits{i}", f"__pos{i}")]
     )
 
 

@@ -95,7 +95,12 @@ def pagerank(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
-    )
+    ).filter(F.col("w").isNotNull())
+    # NULL-weight edges are dropped up front: the distributed aggregates
+    # (sum-ignores-null) and the numpy fast path must see the SAME edge
+    # set or they diverge on dirty inputs (ADVICE r7) — e.g. a src whose
+    # only edges are null-weight is dangling on both paths, not
+    # "non-dangling but contributes nothing" on one of them.
     if nodes is None:
         nodes = (
             e.select(F.col("src").alias("id"))
@@ -195,6 +200,11 @@ def _pagerank_bounded(
         if si is None:
             continue
         has_out[si] = True
+        # NULL ratio (w_out == 0 ⇒ Spark div-by-zero yields NULL): the
+        # distributed sum skips the term but the src stays non-dangling
+        # via the ratio-table src set — mirror both halves here.
+        if r["ratio"] is None:
+            continue
         di = pos.get(r["dst"])
         if di is not None:
             src_l.append(si)
@@ -264,11 +274,20 @@ def shortest_paths(
 
     ``sources``: one-column DataFrame of start nodes (distance 0).
     """
-    e = edges.select(
-        F.col(src).alias("src"),
-        F.col(dst).alias("dst"),
-        (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
-    ).persist()
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
+        )
+        # NULL-weight edges dropped so the distributed loop (whose min
+        # ignores the NULL relaxations anyway) and the driver-side
+        # Bellman–Ford (where `du + w` would raise on None) agree on
+        # dirty inputs (ADVICE r7); a node reachable only via null-weight
+        # edges is simply unreachable on both paths.
+        .filter(F.col("w").isNotNull())
+        .persist()
+    )
     n_edges = e.count()  # materialize once; reused every iteration
 
     if driver_max_edges and n_edges <= driver_max_edges:

@@ -113,7 +113,10 @@ def _collect_tensors(centroids: DataFrame, codebooks: DataFrame, m: int, dim: in
     for r in cb_rows:
         cents[r["sub"], r["cid"]] = r["centroid"]
         have[r["sub"], r["cid"]] = True
-    return C, cents, have
+    # n_cids is the TRAINED codebook width — may be < the nominal ks when
+    # _kmeans_subspace_rows clamped to the sample size; it is the only
+    # valid LUT stride (ADVICE r7).
+    return C, cents, have, n_cids
 
 
 def encode_ivfpq(
@@ -130,7 +133,7 @@ def encode_ivfpq(
     import numpy as np
 
     subdim = dim // m
-    C, cents, have = _collect_tensors(centroids, codebooks, m, dim)
+    C, cents, have, _ = _collect_tensors(centroids, codebooks, m, dim)
     id_type = corpus.schema[id_col].dataType.simpleString()
 
     def enc(batches):
@@ -180,7 +183,7 @@ def ivfpq_topk(
     import numpy as np
 
     subdim = dim // m
-    C, cents, have = _collect_tensors(centroids, codebooks, m, dim)
+    C, cents, have, n_cids = _collect_tensors(centroids, codebooks, m, dim)
     qid_type = queries.schema[query_id].dataType.simpleString()
 
     def probe_luts(batches):
@@ -210,13 +213,16 @@ def ivfpq_topk(
     # bounded (|Q|·nprobe rows) but behind a Python map the broadcast
     # policy cannot bound — materialize before hinting (pq_topk rationale)
     luts = luts.localCheckpoint(eager=True)
+    # LUT stride is the TRAINED width n_cids, not the nominal ks — the
+    # codebook clamps to the sample size, and the LUT above is built at
+    # shape (m, n_cids); indexing by ks would read wrong cells (ADVICE r7).
     scored = index.join(F.broadcast(luts), "centroid_id").withColumn(
         "approx_dist",
         F.aggregate(
             F.zip_with(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 F.col("codes"),
-                lambda s, c: F.col("lut")[s * ks + c],
+                lambda s, c: F.col("lut")[s * n_cids + c],
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,

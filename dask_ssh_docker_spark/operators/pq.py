@@ -273,13 +273,19 @@ def pq_topk(
     # grouped aggregate (which the broadcast-policy sweep rightly bans —
     # it cannot see that the grouping key here is the bounded side).
     luts = luts.localCheckpoint(eager=True)
+    # Stride derives from the LUT itself (len = m·n_cids), NOT the ks
+    # parameter: _kmeans_subspace_rows clamps ks to the training-sample
+    # size, so a small corpus yields a narrower codebook and indexing by
+    # the nominal ks would read wrong cells (ADVICE r7).  The slot sort
+    # above stays correct under clamping (cid < ks ⇒ order preserved).
+    stride = (F.size(F.col("lut")) / F.lit(m)).cast("int")
     scored = index.crossJoin(F.broadcast(luts)).withColumn(
         "approx_dist",
         F.aggregate(
             F.zip_with(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 F.col("codes"),
-                lambda s, c: F.col("lut")[s * ks + c],
+                lambda s, c: F.col("lut")[s * stride + c],
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,

@@ -312,8 +312,8 @@ def winnow_fingerprints(
     k: int = 40,
     window: int = 8,
 ) -> DataFrame:
-    """(doc_id, pos, fp) — winnowed fingerprint selection (Schleimer et
-    al. 2003): hash every k-gram, then per sliding window of ``window``
+    """(doc_id, pos, fp, fp2) — winnowed fingerprint selection (Schleimer
+    et al. 2003): hash every k-gram, then per sliding window of ``window``
     consecutive hashes keep the minimum (rightmost position on ties —
     the 'robust winnowing' tie-break), de-duplicated per document.
 
@@ -322,7 +322,15 @@ def winnow_fingerprints(
     selected fingerprint (the guarantee stride sampling lacks).  One
     Arrow-batched map pass, zero shuffle; hashing is numpy-vectorized
     over a byte matrix (64-bit FNV-1a-style poly hash — needs only to be
-    deterministic and well-mixed, never compared with xxhash64 paths)."""
+    deterministic and well-mixed, never compared with xxhash64 paths).
+
+    ``fp2`` is a SECOND polynomial hash over the same gram with an
+    independent prime/finalizer: winnow SELECTION keys on ``fp`` alone,
+    but duplicate DETECTION matches on the (fp, fp2) pair — 2×64-bit like
+    the stride-1 path, because at ~10¹³ fingerprints (the 100 TB corpus
+    this path is advertised for) single-64-bit collisions are
+    statistically certain and would manufacture false duplicate spans
+    (ADVICE r7)."""
     import numpy as np  # noqa: F401  (imported for the closure below)
 
     id_t = df.schema[id_col].dataType.simpleString()
@@ -335,7 +343,7 @@ def winnow_fingerprints(
         import pandas as pd
 
         for pdf in batches:
-            out_id, out_pos, out_fp = [], [], []
+            out_id, out_pos, out_fp, out_fp2 = [], [], [], []
             for doc_id, t in zip(pdf["doc_id"], pdf["__t"]):
                 # UTF-32 → one element per CHARACTER, so positions stay
                 # char-indexed like the stride-1 path (UTF-8 bytes would
@@ -348,19 +356,28 @@ def winnow_fingerprints(
                 # vectorized: h = sum b[i+j] * P^(k-1-j) mod 2^64.
                 # python-int mod-2^64 powers (numpy scalar uint64 ops
                 # emit overflow warnings; array ops wrap silently)
-                P, mod = 1099511628211, 1 << 64  # FNV prime, odd
-                pw, plist = 1, [0] * k
-                for j in range(k - 1, -1, -1):
-                    plist[j] = pw
-                    pw = (pw * P) % mod
-                powers = np.array(plist, dtype=np.uint64)
-                win = np.lib.stride_tricks.sliding_window_view(b, k)
-                h = (win.astype(np.uint64) * powers[None, :]).sum(
-                    axis=1, dtype=np.uint64
+                # two independent primes: selection keys on h, detection
+                # on (h, h2) — collisions must hit BOTH 64-bit spaces
+                P, P2, mod = 1099511628211, 0x100000001B3 ^ 0xA5A5A5A5A5A5A5A4, 1 << 64
+                win = np.lib.stride_tricks.sliding_window_view(b, k).astype(
+                    np.uint64
                 )
-                h ^= h >> np.uint64(33)  # finalize: mix high bits down
-                h = h * np.uint64(0xFF51AFD7ED558CCD)
-                h ^= h >> np.uint64(33)
+                hs = []
+                for prime, mix in (
+                    (P, 0xFF51AFD7ED558CCD),
+                    (P2 | 1, 0xC4CEB9FE1A85EC53),
+                ):
+                    pw, plist = 1, [0] * k
+                    for j in range(k - 1, -1, -1):
+                        plist[j] = pw
+                        pw = (pw * prime) % mod
+                    powers = np.array(plist, dtype=np.uint64)
+                    hh = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+                    hh ^= hh >> np.uint64(33)  # finalize: mix high bits down
+                    hh = hh * np.uint64(mix)
+                    hh ^= hh >> np.uint64(33)
+                    hs.append(hh)
+                h, h2 = hs
                 if n <= window:
                     idx = np.array([n - 1 - h[::-1].argmin()])
                 else:
@@ -371,15 +388,19 @@ def winnow_fingerprints(
                 out_id.extend([doc_id] * len(idx))
                 out_pos.extend((idx + 1).tolist())  # 1-based positions
                 out_fp.extend(h[idx].astype(np.int64).tolist())
+                out_fp2.extend(h2[idx].astype(np.int64).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out_id),
                     "pos": pd.Series(out_pos, dtype="int64"),
                     "fp": pd.Series(out_fp, dtype="int64"),
+                    "fp2": pd.Series(out_fp2, dtype="int64"),
                 }
             )
 
-    return norm.mapInPandas(sel, schema=f"doc_id {id_t}, pos long, fp long")
+    return norm.mapInPandas(
+        sel, schema=f"doc_id {id_t}, pos long, fp long, fp2 long"
+    )
 
 
 def winnow_duplicate_spans(
@@ -405,7 +426,11 @@ def winnow_duplicate_spans(
     fps = winnow_fingerprints(df, text_col, id_col, k, window).localCheckpoint(
         eager=False
     )
-    marked = _dup_marks(fps.withColumnRenamed("fp", "h1"), ["h1"], min_count)
+    marked = _dup_marks(
+        fps.withColumnRenamed("fp", "h1").withColumnRenamed("fp2", "h2"),
+        ["h1", "h2"],  # 2×64-bit key, same collision posture as stride-1
+        min_count,
+    )
     gap = window + k - 1
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)

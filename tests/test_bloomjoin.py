@@ -68,3 +68,32 @@ def test_anti_join_definite_branch_is_map_side(spark):
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 3
     assert not re.search(r"Exchange (hashpartitioning|rangepartitioning)", plan)
+
+
+def test_awkward_column_names(spark):
+    # ADVICE r7: the mask exprs spliced the raw key name into SQL — a
+    # name needing backticks (space, dot, reserved word) broke parsing.
+    # Positions now land in internal temp columns first.
+    from dask_ssh_docker_spark.operators.bloomjoin import (
+        bloom_anti_join,
+        bloom_maybe_flag,
+    )
+
+    build = spark.range(0, 80).select((F.col("id") * 3).alias("the key"))
+    probe = spark.range(0, 400).select(F.col("id").alias("the key"))
+    bm = bloom_bitmap(build, "the key").localCheckpoint(eager=True)
+    kept = bloom_prefilter(probe, bm, "the key")
+    truth = {r[0] for r in build.collect()} & {r[0] for r in probe.collect()}
+    got = {r[0] for r in kept.collect()}
+    assert truth <= got  # superset: no false negatives
+    flagged = bloom_maybe_flag(probe, bm, "the key")
+    assert flagged.filter(~F.col("__bloom_maybe")).count() == 400 - flagged.filter(
+        F.col("__bloom_maybe")
+    ).count()
+    anti = bloom_anti_join(probe, build, "the key", "the key")
+    plain = probe.join(
+        build.withColumnRenamed("the key", "__k"),
+        probe["the key"] == F.col("__k"),
+        "left_anti",
+    )
+    assert {r[0] for r in anti.collect()} == {r[0] for r in plain.collect()}

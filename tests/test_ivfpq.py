@@ -165,3 +165,22 @@ def test_registered_query_recall_sf01(spark):
         exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
     recalls = [len(ivfpq_sets[q] & exact_sets[q]) / 10 for q in exact_sets]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_adc_stride_on_clamped_codebook(spark):
+    # ADVICE r7 (mirror of the PQ pin): residual codebooks clamp to the
+    # training sample; the LUT stride must be the TRAINED width n_cids,
+    # not the nominal ks, or ADC reads wrong cells.  5-vector corpus,
+    # nominal ks=16 -> trained width 5; self-retrieval must stay exact.
+    emb = load_table(spark, SF01, "embeddings").filter("vec_id < 5")
+    cents, cb = train_ivfpq(emb, k_coarse=2, coarse_iters=1, m=M, ks=KS, dim=DIM)
+    assert cb.count() == M * 5  # clamped
+    idx = encode_ivfpq(emb, cents, cb, m=M, dim=DIM)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ivfpq_topk(
+        queries, idx, cents, cb, corpus=None, k=1, nprobe=2, ks=KS, m=M, dim=DIM
+    ).collect()
+    assert {r.query_id: r.vec_id for r in got} == {q: q for q in range(5)}
+    assert all(r.approx_dist is not None for r in got)

@@ -119,3 +119,22 @@ def test_codebook_empty_corpus_raises(spark):
 
     with _pytest.raises(ValueError, match="empty"):
         train_pq_codebooks(emb, m=M, ks=KS, dim=DIM, iters=1)
+
+
+def test_adc_stride_on_clamped_codebook(spark):
+    # ADVICE r7: the ADC LUT fold indexed by the NOMINAL ks while the
+    # trained codebook (and hence the LUT) was clamped to the corpus
+    # size — reading wrong cells / nulls.  Stride now derives from
+    # size(lut)/m.  Self-retrieval on a 5-vector corpus (ks'=5) is the
+    # sharpest check: a mis-strided LUT cannot rank every query's own
+    # vector first.
+    emb = load_table(spark, SF01, "embeddings").filter("vec_id < 5")
+    cb = train_pq_codebooks(emb, m=M, ks=KS, dim=DIM, iters=1)
+    assert cb.count() == M * 5  # clamped: 5 < nominal ks=16
+    idx = pq_encode(emb, cb, m=M, dim=DIM)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = pq_topk(queries, idx, cb, k=1, ks=KS, m=M, dim=DIM).collect()
+    assert {r.query_id: r.vec_id for r in got} == {q: q for q in range(5)}
+    assert all(r.approx_dist is not None for r in got)

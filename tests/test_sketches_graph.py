@@ -178,3 +178,48 @@ def test_sssp_bounded_matches_distributed(spark):
     assert fast == slow  # exact float equality, not approx
     assert fast[3] == 1.5 + 0.25 + 0.125
     assert 4 not in fast  # unreachable from source
+
+
+def test_pagerank_null_weights_both_paths_agree(spark):
+    # ADVICE r7: NULL-weight edges crashed the driver fast path (`du + w`
+    # on None / np.asarray over a None ratio) while the distributed
+    # aggregates silently null-skipped.  Both paths now DROP null-weight
+    # edges at prep, so dirty inputs give identical results.
+    rows = [(0, 1, 2.0), (1, 2, None), (1, 0, 1.0), (2, 0, 3.0), (3, 2, None)]
+    edges = spark.createDataFrame(rows, "src int, dst int, w double")
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    fast = {
+        r.node: r["rank"]
+        for r in pagerank(edges, nodes=nodes, weight="w", iters=4).collect()
+    }
+    slow = {
+        r.node: r["rank"]
+        for r in pagerank(
+            edges, nodes=nodes, weight="w", iters=4, driver_iter_max_nodes=0
+        ).collect()
+    }
+    assert set(fast) == set(slow) == {0, 1, 2, 3}
+    for k in fast:
+        assert math.isclose(fast[k], slow[k], abs_tol=1e-9), k
+    # node 3's only edge is null-weight => dangling on BOTH paths
+    assert math.isclose(sum(fast.values()), 1.0, rel_tol=1e-9)
+
+
+def test_sssp_null_weights_both_paths_agree(spark):
+    from dask_ssh_docker_spark.operators.graph import shortest_paths
+
+    rows = [(0, 1, 1.0), (1, 2, None), (0, 3, 2.5), (3, 2, 1.5)]
+    edges = spark.createDataFrame(rows, "src int, dst int, w double")
+    sources = spark.createDataFrame([(0,)], ["id"])
+    fast = {
+        r.node: r.dist
+        for r in shortest_paths(edges, sources, weight="w").collect()
+    }
+    slow = {
+        r.node: r.dist
+        for r in shortest_paths(
+            edges, sources, weight="w", driver_max_edges=0
+        ).collect()
+    }
+    assert fast == slow  # bit-equal, including on dirty input
+    assert fast[2] == 4.0  # reached only via the non-null 0->3->2 path

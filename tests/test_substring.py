@@ -262,3 +262,30 @@ def test_winnow_string_ids(spark):
     )
     got = winnow_duplicate_spans(df, k=20, window=4).collect()
     assert {r["doc_id"] for r in got} == {"a", "b"}
+
+
+def test_winnow_second_hash_independent(spark, corpus):
+    # ADVICE r7: detection keys on a 2x64-bit (fp, fp2) pair like the
+    # stride-1 path — at ~10^13 fingerprints single-64-bit collisions are
+    # certain.  Pin that fp2 exists, is deterministic, and is NOT a
+    # function collapse of fp (same fp stream under a bijective remix
+    # would inherit every collision).
+    df = _mk_docs(spark, corpus)
+    rows = winnow_fingerprints(df, k=40, window=8).collect()
+    assert rows and all(r["fp2"] is not None for r in rows)
+    assert any(r["fp"] != r["fp2"] for r in rows)
+    # deterministic across runs
+    again = winnow_fingerprints(df, k=40, window=8).collect()
+    assert sorted((r["doc_id"], r["pos"], r["fp"], r["fp2"]) for r in rows) == sorted(
+        (r["doc_id"], r["pos"], r["fp"], r["fp2"]) for r in again
+    )
+    # identical grams agree on BOTH hashes (detection soundness): dup
+    # positions found by the pair key must equal those found by fp alone
+    # on this clean corpus
+    from collections import Counter
+
+    c1 = Counter(r["fp"] for r in rows)
+    c2 = Counter((r["fp"], r["fp2"]) for r in rows)
+    assert sum(v for v in c1.values() if v >= 2) == sum(
+        v for v in c2.values() if v >= 2
+    )
