@@ -19,6 +19,7 @@ from ..operators.dedup import (
     simhash_dedup_pairs,
 )
 from ..sources import load_table
+from ._util import validation_cap
 from .registry import query
 
 _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -83,8 +84,12 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.35) — the
-    correctness baseline for the approximate dedup paths."""
-    docs = load_table(spark, sf_dir, "documents")
+    correctness baseline for the approximate dedup paths.  Input is
+    capped at validation scale (``_util.validation_cap``): this query is
+    an oracle for the MinHash/SimHash twins, never a 100 TB product."""
+    docs = validation_cap(
+        load_table(spark, sf_dir, "documents"), "doc_id", "dedup_jaccard_pairs"
+    )
     return jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.35)
 
 
@@ -142,7 +147,11 @@ def dedup_clusters_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal (tests/test_dedup.py)."""
     from ..operators.dedup import cluster_min_label
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = validation_cap(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "dedup_clusters_transitive",
+    )
     pairs = jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.35)
     ids = docs.select(F.col("doc_id").alias("id"))
     out = cluster_min_label(pairs.select("id_a", "id_b"), ids, driver_max_edges=0)

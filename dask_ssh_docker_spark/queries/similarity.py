@@ -18,6 +18,7 @@ from ..operators.similarity import (
     lsh_topk,
 )
 from ..sources import load_table
+from ._util import validation_cap
 from .registry import query
 
 # manual double-precision dot/norm so DuckDB sums the same operands in the
@@ -81,8 +82,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-duplicate pairs (cosine ≥ 0.4)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Exact embedding near-duplicate pairs (cosine ≥ 0.4).  Input is
+    capped at validation scale (``_util.validation_cap``): this is the
+    oracle for the LSH-bucketed twin, never a 100 TB product."""
+    emb = validation_cap(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "sim_neardup_pairs"
+    )
     return embedding_neardup_pairs(emb, threshold=0.4)
 
 
