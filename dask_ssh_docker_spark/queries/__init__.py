@@ -63,74 +63,36 @@ from . import assoc_analytics  # noqa: E402,F401
 # bounded budget (each round records exactly the first 50 names); the window
 # rotates every round so no query's newest driver row goes stale
 # (tools/check_all.sh enforces that every registry name has appeared in at
-# least one recorded window).  Round-7 window:
-#   1. queries whose machinery CHANGED this round and must re-prove green:
-#      the cluster_min_label consumers (bounded union-find fast path +
-#      forced-distributed transitive query), pagerank (bounded driver-side
-#      iteration), the PQ query (Arrow-batched encode), the four
-#      global-ranking consumers (NULL-key ordering pin, ADVICE r6), and
-#      the futures/delayed smokes (gather-set + scatter-in-set fixes).
-#   2. the 38 stalest names — queries whose newest driver row is still
-#      round 1.  The session-level AQE coalescing change (session.py)
-#      touches EVERY plan, so breadth here doubles as re-proof.  The 5
-#      remaining r1-stale names rotate into the r8 window.
+# least one recorded window, and tools/check_never_checked.py additionally
+# reports per-name staleness).  Round-8 window, ordered by
+# (touched-this-round, rounds-since-last-driver-check) per VERDICT r7
+# item 6:
+#   0. queries whose machinery CHANGED in r8 (ADC LUT stride fix, graph
+#      null-weight parity, winnow 2x64-bit keys, bloom mask rebuild,
+#      validation-scale caps) plus text_langid, whose r7 broadcast-marker
+#      rewrite landed after that round's evidence was recorded;
+#   1. the 15 names whose newest driver row is still round 1 (the r7
+#      window listed them but they sat past position 50);
+#   2. fill to 50 with the oldest (r2-checked) names in registry order,
+#      swapping in setsim_prefix_pairs + interpolate_time_linear because
+#      the r8 shuffle-conf bisect re-shapes their plans.
 # Names not listed keep their import order after the listed ones.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- 0. new this round: first driver evidence --
-    "dedup_incremental_bloom",
-    "corpus_overlap_sources",
-    "corpus_overlap_minhash",
-    "text_quality_linear_score",
-    "dedup_semantic_semdedup",
-    "dedup_substring_spans",
-    "dedup_substring_dupfrac",
-    "dedup_winnow_spans",
-    "dedup_substring_excise",
+    # -- 0. machinery changed r8 (or r7-post-evidence): re-prove first --
     "sim_topk_ivfpq",
-    # -- 1. machinery changed this round: re-prove --
-    "dedup_clusters_transitive",
-    "dedup_clusters_minhash_cc",
-    "dedup_canonical_survivors",
-    "dedup_minhash_clusters",
-    "pagerank_nation_trade",
     "sim_topk_pq",
-    "rfm_customer_segments",
-    "gini_revenue_concentration",
-    "abc_part_classification",
-    "mannwhitney_click_view",
-    "futures_api_smoke",
-    "delayed_api_smoke",
-    # -- 2. stalest driver evidence (last checked r1) --
-    "join_semi_orders",
-    "join_anti_customers",
-    "join_left_order_counts",
-    "join_cross_nation_region",
-    "filter_project_lineitem",
-    "sample_systematic",
-    "null_handling",
-    "agg_global_stats",
-    "agg_rollup",
-    "value_counts_events",
-    "agg_corr_stats",
-    "topk_orders",
-    "dedup_keep_first",
-    "distinct_pairs",
-    "set_intersect",
-    "set_except",
-    "concat_union",
-    "join_full_outer",
-    "union_missing_columns",
-    "merge_indicator",
-    "explode_outer_null_preserving",
-    "str_functions",
-    "str_split_explode",
-    "date_functions",
-    "math_functions",
-    "json_extract_props",
-    "json_map_schema",
-    "cast_surface",
+    "pagerank_nation_trade",
+    "sssp_nation_trade",
+    "dedup_winnow_spans",
+    "dedup_substring_spans",
+    "dedup_incremental_bloom",
+    "dedup_jaccard_pairs",
+    "dedup_clusters_transitive",
+    "sim_neardup_pairs",
+    "text_langid",
+    # -- 1. stalest driver evidence (last checked r1) --
     "str_functions_extended",
     "fuzzy_levenshtein_pairs",
     "numeric_format_conv",
@@ -141,6 +103,36 @@ _PRIORITY = [
     "window_rolling_range_1h",
     "resample_hourly",
     "sliding_window_30m",
+    "sessionize_10m",
+    "window_forward_fill",
+    "rollup_cascade_daily",
+    "window_rank_fractions",
+    "asof_backward_tolerance",
+    # -- 2. next-stalest (last checked r2), plus the two bisect targets --
+    "setsim_prefix_pairs",
+    "interpolate_time_linear",
+    "join_range_theta",
+    "read_fwf_roundtrip",
+    "window_cummax",
+    "window_cummin",
+    "window_cumprod",
+    "asof_forward",
+    "asof_nearest",
+    "text_stats",
+    "text_fingerprint",
+    "text_gopher_quality",
+    "docs_source_mix",
+    "text_contamination_flags",
+    "stream_tumbling_counts",
+    "multimodal_blob_metadata",
+    "udf_groupby_apply_median",
+    "udf_frame_offsets",
+    "map_overlap_centered_mean",
+    "agg_cube",
+    "custom_agg_geomean",
+    "describe_summary",
+    "group_quantiles_exact",
+    "subq_scalar_small_orders",
 ]
 
 

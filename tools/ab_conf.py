@@ -47,21 +47,30 @@ QUERIES = [
 
 CORE15 = QUERIES[:15]
 
-# conf deltas relative to the CURRENT default_conf (r7 state)
+# conf deltas relative to the CURRENT default_conf (r7 state).
+#
+# Round 2 ordering: REVERSED vs round 1 (r7_asis last) so the
+# first-variant JVM-JIT warmup penalty lands on the opposite end — a
+# variant that wins in BOTH orders wins for real.  comboA tests the two
+# flag reverts together while keeping the 8m advisory.
 VARIANTS: dict[str, dict[str, str]] = {
-    "r7_asis": {},
-    "advisory64m": {"spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m"},
-    "parallelismFirst": {
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true"
-    },
-    "noCachedReplan": {
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "false"
+    "comboA": {
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "false",
     },
     "r6_conf": {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "false",
     },
+    "noCachedReplan": {
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "false"
+    },
+    "parallelismFirst": {
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true"
+    },
+    "advisory64m": {"spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m"},
+    "r7_asis": {},
 }
 
 

@@ -6,6 +6,8 @@ set -e
 cd "$(dirname "$0")/.."
 echo "== never-checked guard =="
 python tools/check_never_checked.py
+echo "== doc-count guard =="
+python tools/check_doc_counts.py
 echo "== pytest =="
 python -m pytest tests/ -q
 echo "== oracle (engine session) =="

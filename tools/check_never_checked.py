@@ -19,9 +19,11 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 WINDOW = 50  # driver samples exactly the first 50 registry names per round
+STALE_ROUNDS = 5  # warn when a name's newest driver row is this many rounds old
 
 
 def main() -> int:
@@ -30,9 +32,17 @@ def main() -> int:
     from dask_ssh_docker_spark.queries import REGISTRY
 
     checked: set[str] = set()
+    last_round: dict[str, int] = {}
+    rounds: list[int] = []
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        rounds.append(rnd)
         with open(path) as fh:
-            checked |= set(json.load(fh).keys())
+            keys = set(json.load(fh).keys())
+        checked |= keys
+        for k in keys:
+            last_round[k] = max(last_round.get(k, 0), rnd)
 
     names = list(REGISTRY)
     upcoming = set(names[:WINDOW])
@@ -44,6 +54,34 @@ def main() -> int:
         f"never-checked={len(never)} (queued in next window: "
         f"{len(never) - len(orphans)})"
     )
+
+    # Staleness report (VERDICT r7 item 6): a query last driver-checked
+    # more than STALE_ROUNDS ago should rotate back into the window soon;
+    # this is a WARNING, not a failure — the window holds 50 of 200+, so
+    # some staleness is structural.  Names already queued next round are
+    # excluded (they're about to refresh).
+    if rounds:
+        newest = max(rounds)
+        stale = sorted(
+            (
+                (n, last_round[n])
+                for n in names
+                if n in last_round
+                and newest - last_round[n] >= STALE_ROUNDS
+                and n not in upcoming
+            ),
+            key=lambda t: t[1],
+        )
+        if stale:
+            print(
+                f"WARN: {len(stale)} queries last driver-checked ≥"
+                f"{STALE_ROUNDS} rounds ago and NOT queued next round "
+                f"(oldest first):"
+            )
+            for n, r in stale[:15]:
+                print(f"  - {n} (last r{r})")
+            if len(stale) > 15:
+                print(f"  ... and {len(stale) - 15} more")
     if orphans:
         print("FAIL: never driver-checked and NOT in the upcoming 50-name window:")
         for n in orphans:
