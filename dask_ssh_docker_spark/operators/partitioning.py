@@ -172,3 +172,32 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def pin_compute_width(df: DataFrame, *cols: str) -> DataFrame:
+    """Pin a compute-dense small-byte stage's shuffle width — but ONLY
+    when the session coalesces by size.
+
+    Under ``coalescePartitions.parallelismFirst=false`` (this engine's
+    CLUSTER posture — see session.py), AQE targets the advisory byte
+    size, and a stage whose rows are KBs but whose per-row work is heavy
+    (per-bucket O(L²) prefix matching, per-candidate exact cosines)
+    gets folded onto 1-2 tasks — measured 4× at sf0.1.  An explicit
+    repartition is exempt from coalescing, so pinning restores
+    parallelism there.
+
+    Under ``parallelismFirst=true`` (the LOCAL posture) AQE already
+    keeps these stages wide, and the pin only replaces an adaptive
+    exchange with a static one — measured pure overhead (r8 fresh-
+    process A/B: setsim 0.9→2.0 s with pins under true).  So: no-op.
+    """
+    spark = df.sparkSession
+    pfirst = str(
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
+        )
+    ).lower()
+    if pfirst != "false":
+        return df
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(width, *cols)

@@ -54,6 +54,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import pin_compute_width
+
 
 def setsim_pairs_prefix(
     df: DataFrame,
@@ -86,12 +88,11 @@ def setsim_pairs_prefix(
     sh2 = harr.select("id", F.explode("__sh").alias("__h"))
     # This pipeline's stages are COMPUTE-dense per byte (per-bucket
     # O(L²) prefix matching, array-merge intersections on KB-sized
-    # rows), so the session's size-targeted AQE coalescing (session.py)
-    # would serialize them onto one task; pin the static shuffle width
-    # at the three hot exchanges instead (explicit repartitions are
-    # exempt from coalescing — measured 4× at sf0.1 when left to the
-    # 64 MB advisory size).
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # rows): under the CLUSTER posture (size-targeted AQE coalescing,
+    # parallelismFirst=false) they'd be folded onto one task, so
+    # pin_compute_width pins the three hot exchanges there — and is a
+    # NO-OP under the local posture, where AQE already keeps them wide
+    # and static pins measured pure overhead (r8 fresh-process A/B).
     # global rarity order = (document frequency asc, shingle hash asc);
     # vocabulary-bounded aggregate, long-keyed join
     sh_df = sh2.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
@@ -100,8 +101,7 @@ def setsim_pairs_prefix(
     # exactly the global rarity order.  Persisted: feeds the prefix
     # explode AND both verify sides.
     arr = (
-        sh2.join(sh_df, "__h")
-        .repartition(width, "id")  # groupBy reuses; cache stays at width
+        pin_compute_width(sh2.join(sh_df, "__h"), "id")  # groupBy reuses
         .groupBy("id")
         .agg(
             F.transform(
@@ -129,8 +129,8 @@ def setsim_pairs_prefix(
         F.posexplode(F.slice("__hs", 1, p)).alias("__pos0", "__h"),
     ).select("id", "n_sh", (F.col("__pos0") + 1).alias("__pos"), "__h")
 
-    # pin the prefix-join matching width (see `width` note above)
-    prefix = prefix.repartition(width, "__h")
+    # pin the prefix-join matching width (see pin_compute_width note)
+    prefix = pin_compute_width(prefix, "__h")
     a, b = prefix.alias("a"), prefix.alias("b")
     na, nb = F.col("a.n_sh"), F.col("b.n_sh")
     pa, pb = F.col("a.__pos"), F.col("b.__pos")
@@ -151,11 +151,11 @@ def setsim_pairs_prefix(
             & (F.lit(1) + F.least(na - pa, nb - pb) >= alpha),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        # pinned-width dedup: the downstream array verify is broadcast
-        # (map-side), so it inherits THIS exchange's partitioning
-        .repartition(width, "id_a", "id_b")
-        .dropDuplicates()
     )
+    # width-pinned (cluster posture only) dedup: the downstream array
+    # verify is broadcast (map-side), so it inherits THIS exchange's
+    # partitioning
+    cands = pin_compute_width(cands, "id_a", "id_b").dropDuplicates()
 
     # Exact verification: one row per candidate pair, intersection of the
     # two sorted hash arrays counted in the JVM — no row explosion.

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, l2_norm
+from .partitioning import pin_compute_width
 
 
 def brute_force_topk(
@@ -220,20 +221,20 @@ def lsh_topk(
     cb = lsh_bucketed(corpus, corpus_id, vec_col, bits, tables, seed, dim=dim).select(
         corpus_id, F.col(vec_col).alias("__cvec"), "table_idx", "bucket"
     )
-    # id-keyed dedup at pinned width: rows with equal ids are identical
-    # (same vectors), so deduping on the id pair alone is equivalent to
-    # distinct() over the full row — without shuffling vector payloads
-    # through an all-column aggregate.  The explicit width keeps the
-    # per-candidate exact scoring parallel (the candidate frame is small
-    # in BYTES but compute-dense — the session's size-targeted AQE
-    # coalescing would serialize it; same rationale as operators/setsim).
-    width = int(queries.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cands = (
-        qb.join(cb, ["table_idx", "bucket"])
-        .select(query_id, corpus_id, "__qvec", "__cvec")
-        .repartition(width, query_id, corpus_id)
-        .dropDuplicates([query_id, corpus_id])
-    )
+    # id-keyed dedup: rows with equal ids are identical (same vectors),
+    # so deduping on the id pair alone is equivalent to distinct() over
+    # the full row — without shuffling vector payloads through an
+    # all-column aggregate.  Width-pinned ONLY under the cluster posture
+    # (size-targeted coalescing would serialize the compute-dense
+    # per-candidate scoring; pin_compute_width is a no-op locally —
+    # same rationale as operators/setsim).
+    cands = pin_compute_width(
+        qb.join(cb, ["table_idx", "bucket"]).select(
+            query_id, corpus_id, "__qvec", "__cvec"
+        ),
+        query_id,
+        corpus_id,
+    ).dropDuplicates([query_id, corpus_id])
     sim = cosine_similarity("__qvec", "__cvec")
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
     return (

@@ -70,21 +70,26 @@ def default_conf(parallelism: int | None = None, master: str | None = None) -> d
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        # Coalesce to the advisory TARGET SIZE, not to core count: with
-        # the default parallelismFirst=true a KB-sized shuffle still
-        # fans out into |cores| near-empty tasks, and iterative operators
-        # (CC, pagerank) pay that scheduling floor once per round.  The
-        # Spark tuning guide itself recommends false; large shuffles are
-        # unaffected (they exceed the advisory size per partition).
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-        # Local masters lower the advisory size 64m -> 8m: bench-scale
-        # window/agg shuffles land in the 10-100 MB band where 64m
-        # would coalesce a compute-heavy stage onto 1-2 of the 32 cores
-        # (measured: 2-5x on the window-family at sf1), while 8m still
-        # collapses KB-sized iteration frames to one task.  Cluster
-        # masters keep Spark's 64m default — at TB shuffle volumes a
-        # small advisory size over-partitions.
-        **({"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"} if local else {}),
+        # Coalescing posture is SCOPED by master (VERDICT r7 item 1 —
+        # the r8 two-pass A/B, AB_CONF_r08*.json, isolated the r7
+        # core-suite regression to parallelismFirst=false on local):
+        #
+        # - LOCAL: Spark's default parallelismFirst=true.  Shuffle bytes
+        #   are a bad proxy for compute density at bench scale — a 10 MB
+        #   compute-dense stage (windows, candidate verification) that
+        #   size-targeted coalescing folds onto 1-2 of 32 cores costs
+        #   2x (interpolate_time_linear measured 0.6-0.9 s under true vs
+        #   1.3-1.6 s under false in BOTH A/B passes).  KB-sized
+        #   iteration frames still collapse: everything under
+        #   minPartitionSize merges regardless of this flag, and cached
+        #   plans re-coalesce via canChangeCachedPlanOutputPartitioning.
+        # - CLUSTER: parallelismFirst=false with the 64m advisory — the
+        #   Spark tuning-guide posture; at TB shuffle volumes per-stage
+        #   byte size IS the right coalescing target, and max-parallelism
+        #   coalescing would pin thousands of near-empty reducers.
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": (
+            "true" if local else "false"
+        ),
         # Let AQE re-coalesce CACHED plans too: a persisted 256-row
         # frame otherwise pins the full shuffle-partition fan-out for
         # every downstream stage.  Tradeoff (possible extra exchange
