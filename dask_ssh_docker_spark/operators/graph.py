@@ -230,9 +230,20 @@ def _pagerank_bounded(
             StructField("rank", DoubleType(), False),
         ]
     )
-    return nodes.sparkSession.createDataFrame(
-        [(v, float(rank[pos[v]])) for v in ids], out_schema
+    # Arrow-path createDataFrame (pandas input): a python-list frame
+    # scans through a pickled Python RDD with no size statistics and
+    # re-serializes per action — consumers that join/aggregate this
+    # result would plan sort-merge against it (same fix as
+    # dedup._cluster_union_find).
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "node": pd.Series(list(ids), dtype=object),
+            "rank": [float(rank[pos[v]]) for v in ids],
+        }
     )
+    return nodes.sparkSession.createDataFrame(pdf, out_schema)
 
 
 def shortest_paths(
@@ -361,9 +372,17 @@ def _shortest_paths_bounded(
             StructField("dist", DoubleType(), False),
         ]
     )
-    return e.sparkSession.createDataFrame(
-        [(k, float(v)) for k, v in dist.items()], out_schema
+    # Arrow-path createDataFrame — see _pagerank_bounded for rationale.
+    import pandas as pd
+
+    items = list(dist.items())
+    pdf = pd.DataFrame(
+        {
+            "node": pd.Series([k for k, _ in items], dtype=object),
+            "dist": [float(v) for _, v in items],
+        }
     )
+    return e.sparkSession.createDataFrame(pdf, out_schema)
 
 
 def label_propagation(
