@@ -165,3 +165,26 @@ def test_zorder_write_shrinks_both_column_ranges(spark, tmp_path):
     assert z["o_totalprice"] < 0.75, z
     # round-trip integrity
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_pin_compute_width_scoped_by_posture(spark):
+    """pin_compute_width pins a static shuffle width ONLY under the
+    cluster coalescing posture (parallelismFirst=false); under the local
+    posture it must be a plan no-op (r8: static pins measured as pure
+    overhead when AQE already keeps stages wide)."""
+    from dask_ssh_docker_spark.operators.partitioning import pin_compute_width
+
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 as k")
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "true")
+        local_plan = pin_compute_width(df, "k")._jdf.queryExecution().optimizedPlan().toString()
+        assert "Repartition" not in local_plan  # no-op locally
+        spark.conf.set(key, "false")
+        cluster_plan = pin_compute_width(df, "k")._jdf.queryExecution().optimizedPlan().toString()
+        assert "RepartitionByExpression" in cluster_plan  # pinned on cluster posture
+        # and the result is the same rows either way
+        assert pin_compute_width(df, "k").count() == 1000
+    finally:
+        spark.conf.set(key, orig)
