@@ -175,29 +175,27 @@ def zorder_write(
 
 
 def pin_compute_width(df: DataFrame, *cols: str) -> DataFrame:
-    """Pin a compute-dense small-byte stage's shuffle width — but ONLY
-    when the session coalesces by size.
+    """Pin a compute-dense small-byte stage's shuffle width, ALWAYS.
 
-    Under ``coalescePartitions.parallelismFirst=false`` (this engine's
-    CLUSTER posture — see session.py), AQE targets the advisory byte
-    size, and a stage whose rows are KBs but whose per-row work is heavy
-    (per-bucket O(L²) prefix matching, per-candidate exact cosines)
-    gets folded onto 1-2 tasks — measured 4× at sf0.1.  An explicit
-    repartition is exempt from coalescing, so pinning restores
-    parallelism there.
+    AQE coalesces a shuffle by its INPUT bytes, under every posture:
+    size-targeted coalescing (``parallelismFirst=false``) folds a
+    few-MB exchange to 1-2 tasks outright, and parallelism-first
+    coalescing still merges it down to ``minPartitionSize`` chunks.
+    That is correct for scan/agg stages — and catastrophically wrong
+    for the exchanges feeding a stage whose OUTPUT explodes relative
+    to its input (per-bucket O(L²) prefix matching, per-candidate
+    exact cosines): the few-MB prefix frame at sf1 expands to ~35M
+    candidate pairs inside the join, and 2 tasks grind it on 2 cores.
+    An explicit repartition is exempt from coalescing, so pinning the
+    static session width restores parallelism where AQE cannot see it
+    is needed.
 
-    Under ``parallelismFirst=true`` (the LOCAL posture) AQE already
-    keeps these stages wide, and the pin only replaces an adaptive
-    exchange with a static one — measured pure overhead (r8 fresh-
-    process A/B: setsim 0.9→2.0 s with pins under true).  So: no-op.
+    Measured (r8): at sf1, setsim 161 s unpinned vs ~20 s pinned — an
+    8× collapse; at sf0.1 the pin costs ~0.15 s of static-exchange
+    overhead on a ~1 s query.  The sf1 cliff dominates: always pin.
+    (An r8 interim version gated the pin on the coalescing posture;
+    the sf1 sweep caught the collapse the sf0.1 A/B could not see.)
     """
     spark = df.sparkSession
-    pfirst = str(
-        spark.conf.get(
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
-        )
-    ).lower()
-    if pfirst != "false":
-        return df
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(width, *cols)

@@ -86,13 +86,12 @@ def setsim_pairs_prefix(
     # the cached arrays, so they need no persist of their own.
     harr = _hashed_shingles(df, text_col, id_col, shingle_k).persist()
     sh2 = harr.select("id", F.explode("__sh").alias("__h"))
-    # This pipeline's stages are COMPUTE-dense per byte (per-bucket
-    # O(L²) prefix matching, array-merge intersections on KB-sized
-    # rows): under the CLUSTER posture (size-targeted AQE coalescing,
-    # parallelismFirst=false) they'd be folded onto one task, so
-    # pin_compute_width pins the three hot exchanges there — and is a
-    # NO-OP under the local posture, where AQE already keeps them wide
-    # and static pins measured pure overhead (r8 fresh-process A/B).
+    # This pipeline's stages are COMPUTE-dense per byte: the few-MB
+    # prefix frame explodes to ~35M candidate pairs INSIDE the self-join
+    # at sf1, which AQE (sizing by exchange INPUT bytes, under every
+    # posture) would coalesce onto 1-2 tasks — measured 8× (161 s vs
+    # ~20 s).  pin_compute_width pins the three hot exchanges at the
+    # static session width; see its docstring for the full tradeoff.
     # global rarity order = (document frequency asc, shingle hash asc);
     # vocabulary-bounded aggregate, long-keyed join
     sh_df = sh2.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))

@@ -224,10 +224,10 @@ def lsh_topk(
     # id-keyed dedup: rows with equal ids are identical (same vectors),
     # so deduping on the id pair alone is equivalent to distinct() over
     # the full row — without shuffling vector payloads through an
-    # all-column aggregate.  Width-pinned ONLY under the cluster posture
-    # (size-targeted coalescing would serialize the compute-dense
-    # per-candidate scoring; pin_compute_width is a no-op locally —
-    # same rationale as operators/setsim).
+    # all-column aggregate.  Width-pinned: the per-candidate exact
+    # scoring is compute-dense relative to the exchange's input bytes,
+    # which is the one case AQE coalescing mis-sizes (see
+    # pin_compute_width's docstring; same rationale as operators/setsim).
     cands = pin_compute_width(
         qb.join(cb, ["table_idx", "bucket"]).select(
             query_id, corpus_id, "__qvec", "__cvec"

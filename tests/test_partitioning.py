@@ -167,24 +167,27 @@ def test_zorder_write_shrinks_both_column_ranges(spark, tmp_path):
     assert spark.read.parquet(zpath).count() == orders.count()
 
 
-def test_pin_compute_width_scoped_by_posture(spark):
-    """pin_compute_width pins a static shuffle width ONLY under the
-    cluster coalescing posture (parallelismFirst=false); under the local
-    posture it must be a plan no-op (r8: static pins measured as pure
-    overhead when AQE already keeps stages wide)."""
+def test_pin_compute_width_always_pins(spark):
+    """pin_compute_width must pin a static shuffle width under EVERY
+    coalescing posture: AQE sizes a shuffle by its input bytes, which
+    under-parallelizes stages whose output explodes relative to input
+    (r8 sf1 sweep: setsim 161 s unpinned vs ~20 s pinned — the sf0.1
+    A/B alone could not see the cliff)."""
     from dask_ssh_docker_spark.operators.partitioning import pin_compute_width
 
     df = spark.range(0, 1000).selectExpr("id", "id % 7 as k")
     key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     orig = spark.conf.get(key)
     try:
-        spark.conf.set(key, "true")
-        local_plan = pin_compute_width(df, "k")._jdf.queryExecution().optimizedPlan().toString()
-        assert "Repartition" not in local_plan  # no-op locally
-        spark.conf.set(key, "false")
-        cluster_plan = pin_compute_width(df, "k")._jdf.queryExecution().optimizedPlan().toString()
-        assert "RepartitionByExpression" in cluster_plan  # pinned on cluster posture
-        # and the result is the same rows either way
+        for posture in ("true", "false"):
+            spark.conf.set(key, posture)
+            plan = (
+                pin_compute_width(df, "k")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .toString()
+            )
+            assert "RepartitionByExpression" in plan, posture
         assert pin_compute_width(df, "k").count() == 1000
     finally:
         spark.conf.set(key, orig)
