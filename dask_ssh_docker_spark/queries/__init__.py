@@ -81,6 +81,8 @@ from . import assoc_analytics  # noqa: E402,F401
 
 _PRIORITY = [
     # -- 0. machinery changed r8 (or r7-post-evidence): re-prove first --
+    "profile_orders_columns",
+    "bootstrap_ci_revenue",
     "sim_topk_ivfpq",
     "sim_topk_pq",
     "pagerank_nation_trade",
@@ -131,8 +133,6 @@ _PRIORITY = [
     "agg_cube",
     "custom_agg_geomean",
     "describe_summary",
-    "group_quantiles_exact",
-    "subq_scalar_small_orders",
 ]
 
 

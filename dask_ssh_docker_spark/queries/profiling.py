@@ -61,51 +61,46 @@ def _profile_oracle() -> str:
 
 @query("profile_orders_columns", oracle=_profile_oracle())
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass column profile of ``orders`` in long format: row count,
-    null count, EXACT distinct count, and typed min/max per column.
+    """Column profile of ``orders`` in long format: row count, null
+    count, EXACT distinct count, and typed min/max per column.
 
-    Plan shape: a single global aggregate computes every column's
-    statistics in one scan (the multi-count-distinct expands the input
-    ~|cols|× inside the aggregate — the price of exactness; the 100 TB
-    variant swaps in ``approx_count_distinct`` sketches, same plan
-    otherwise), then the 1-row result explodes into one row per column —
-    no second scan, no driver loop."""
+    Plan shape: one single-column aggregate PER COLUMN, unioned (the
+    same shape as the oracle's UNION ALL).  The tempting alternative —
+    every ``count_distinct`` in ONE aggregate — planned as an Expand
+    that duplicates each input row (|distinct-aggs|+1)× at full row
+    width before aggregating: measured 20.7 s vs 1.5 s at sf1 (r8).
+    Per-column branches each scan ONE parquet column (pruning does the
+    IO split), aggregate partially map-side, and ship 1 row; all
+    branches run in one job.  The 100 TB variant swaps
+    ``approx_count_distinct`` sketches into the same plan."""
     orders = load_table(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c, kind in _ORDERS_COLS:
-        aggs.append(F.count(c).alias(f"__cnt_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
-        if kind == "num":
-            aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
-            aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
-        else:
-            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
-    row = orders.agg(*aggs)
-    structs = []
+    parts = []
     for c, kind in _ORDERS_COLS:
         num = kind == "num"
-        structs.append(
-            F.struct(
+        parts.append(
+            orders.select(c).agg(
                 F.lit(c).alias("column_name"),
-                F.col("__n").alias("n"),
-                (F.col("__n") - F.col(f"__cnt_{c}")).alias("n_null"),
-                F.col(f"__nd_{c}").alias("n_distinct"),
-                (F.col(f"__min_{c}") if num else F.lit(None).cast("double")).alias(
-                    "min_num"
-                ),
-                (F.col(f"__max_{c}") if num else F.lit(None).cast("double")).alias(
-                    "max_num"
-                ),
-                (F.lit(None).cast("string") if num else F.col(f"__min_{c}")).alias(
-                    "min_str"
-                ),
-                (F.lit(None).cast("string") if num else F.col(f"__max_{c}")).alias(
-                    "max_str"
-                ),
+                F.count(F.lit(1)).alias("n"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                (
+                    F.min(c).cast("double") if num else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.max(c).cast("double") if num else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.lit(None).cast("string") if num else F.min(c).cast("string")
+                ).alias("min_str"),
+                (
+                    F.lit(None).cast("string") if num else F.max(c).cast("string")
+                ).alias("max_str"),
             )
         )
-    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 _SKEW_TOPK = 20
