@@ -434,3 +434,15 @@ def test_ivfpq_rerank_broadcasts_bounded_sides(spark, sf_dir, reg):
     assert len(re.findall(r"MapInPandas", plan)) == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_profile_no_expand(spark, sf_dir):
+    """profile_orders_columns must stay the union-of-single-column-
+    aggregates shape: a multi-count-distinct Expand duplicates every
+    input row (|distinct aggs|+1)x at full width (r8: 20.7 s vs 1.5 s
+    at sf1)."""
+    from dask_ssh_docker_spark.queries import REGISTRY
+
+    df = REGISTRY["profile_orders_columns"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
