@@ -179,7 +179,12 @@ def ivfpq_topk(
 ) -> DataFrame:
     """(query_id, vec_id, dist|approx_dist, rank) — ADC top-k over the
     ``nprobe`` probed lists; with ``corpus`` given, exact re-rank of the
-    ``k·expand`` ADC shortlist (the production shape)."""
+    ``k·expand`` ADC shortlist (the production shape).
+
+    ``ks`` is accepted for signature symmetry with ``train_ivfpq`` but
+    IGNORED: the LUT stride must be the TRAINED codebook width (which
+    clamps to the training sample size), read from the codebook frame
+    itself — indexing by a nominal ks reads wrong cells (ADVICE r7)."""
     import numpy as np
 
     subdim = dim // m
