@@ -99,8 +99,13 @@ def setsim_pairs_prefix(
     # array_sort on struct<__df,__h> orders field-lexicographically —
     # exactly the global rarity order.  Persisted: feeds the prefix
     # explode AND both verify sides.
+    # NOT pinned: this exchange's input is the full shingle explode —
+    # big in BYTES — so AQE sizes it correctly on its own; a static pin
+    # here measured ~0.3 s pure overhead at sf0.1 and nothing at sf1
+    # (r8 per-site pin A/B).  Only the exchanges whose OUTPUT explodes
+    # relative to input (prefix join, pair dedup) need pinning.
     arr = (
-        pin_compute_width(sh2.join(sh_df, "__h"), "id")  # groupBy reuses
+        sh2.join(sh_df, "__h")
         .groupBy("id")
         .agg(
             F.transform(
