@@ -591,8 +591,14 @@ def simhash_signature(text_col: str, bits: int = 64) -> F.Column:
     ``shiftleft`` wrapper can't take a Column shift amount, so this lives
     in a SQL expression where ``shiftleft(1, b)`` is fine).
     """
+    # backtick-quote the caller's column name — this Column builder is
+    # the one simhash surface that must splice a USER name into SQL
+    # (shiftleft-by-column has no PySpark wrapper), so names with
+    # spaces/dots/reserved words need escaping (same class as the r7
+    # bloomjoin ADVICE finding)
+    quoted = "`" + text_col.replace("`", "``") + "`"
     toks = (
-        f"split(regexp_replace(trim(lower({text_col})), '\\\\s+', ' '), ' ')"
+        f"split(regexp_replace(trim(lower({quoted})), '\\\\s+', ' '), ' ')"
     )
     return F.expr(
         f"""

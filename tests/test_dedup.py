@@ -290,3 +290,14 @@ def test_simhash_frame_signatures_bit_equal_to_column_form(spark):
     got = {r.id: r.sig for r in simhash_signatures(docs, "text", "doc_id").collect()}
     assert got == ref
     assert len(got) == 200
+
+
+def test_simhash_signature_awkward_column_name(spark):
+    # r8 audit (same class as the bloomjoin ADVICE finding): the one
+    # simhash surface that splices a user column name into SQL must
+    # backtick-escape it.
+    from dask_ssh_docker_spark.operators.dedup import simhash_signature
+
+    df = spark.createDataFrame([("hello world",), ("hello world",)], ["the text"])
+    sigs = [r.sig for r in df.select(simhash_signature("the text").alias("sig")).collect()]
+    assert sigs[0] == sigs[1] and sigs[0] != 0
