@@ -76,6 +76,26 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial job so q1 doesn't pay startup costs
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Spark-side floor, STABILIZED before the headline queries: a fresh
+    # JVM's tiered JIT takes minutes to reach steady state (measured r9:
+    # first floor pass 3.53 s vs 0.89 s after the suite — 4×, invisible
+    # to the DuckDB floor), so without this loop the first queries pay a
+    # window-dependent cold tax that reads as a code regression.  Repeat
+    # the probes until the latest total is within 15% of the best seen
+    # (max 8 passes), then measure queries in steady state.  The full
+    # pass history is recorded so a window that NEVER stabilizes (true
+    # sandbox throttle, not JIT) is visible in the JSON.
+    floor_pre = spark_floor(spark)
+    floor_hist = [floor_pre["total"]]
+    while len(floor_hist) < 8:
+        nxt = spark_floor(spark)
+        prev = floor_hist[-1]
+        floor_pre = nxt
+        floor_hist.append(nxt["total"])
+        if abs(nxt["total"] - prev) <= 0.12 * prev:
+            break  # two consecutive passes agree → steady state
+    floor_pre["stabilize_history"] = floor_hist
+
     # One warm-up + measured runs per query (steady-state, JMH-style):
     # the first execution of each plan shape pays one-time codegen
     # compilation and file-listing costs that are not the operator's cost;
@@ -91,6 +111,9 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Re-probe the Spark floor AFTER the suite: if post diverges from pre,
+    # the window throttled mid-run and the per-query walls are suspect.
+    floor_pre["post_total"] = spark_floor(spark)["total"]
     print(
         json.dumps(
             {
@@ -101,9 +124,75 @@ def main() -> None:
                 "sf": sf,
                 "mode": "steady_state_best_of_3",
                 "duckdb_floor": duckdb_floor(sf_dir),
+                "spark_floor": floor_pre,
             }
         )
     )
+
+
+def spark_floor(spark) -> dict[str, float]:
+    """Fixed Spark-side micro-suite measured in the SAME JVM window.
+
+    Why (VERDICT r8 item 1): the DuckDB floor is C++ and cannot see
+    JVM-side throttling — r8's driver vs builder windows read 16.21 vs
+    11.78 s core-15 at *equal* DuckDB floors (1.085/1.089), so the C++
+    control alone cannot tell a code regression from a throttled JVM.
+    Three fixed probes cover the three cost regimes of the suite:
+
+    - ``codegen``: whole-stage-codegen arithmetic over ``range`` — pure
+      JVM/JIT compute, no I/O, no Python.
+    - ``shuffle``: a 1000-group hash aggregate over 4M rows — one
+      exchange, the suite's dominant physical op.
+    - ``arrow``: a ``mapInPandas`` identity + sum over 1M rows — the
+      Python-worker/Arrow serialization path the UDF-backed queries use.
+
+    Best-of-3 after one warm-up each, mirroring the query measurement
+    mode.  NEVER change the probe shapes or sizes — cross-round
+    comparability is the point.  Round-over-round bench claims are
+    stated normalized by BOTH floors (BENCH_NOTES).
+    """
+    from pyspark.sql import functions as F
+
+    probes = {}
+
+    def _codegen():
+        spark.range(50_000_000).selectExpr(
+            "sum(id * 3 + (id & 7))"
+        ).collect()
+
+    def _shuffle():
+        (
+            spark.range(4_000_000)
+            .groupBy((F.col("id") % 1000).alias("k"))
+            .agg(F.sum("id").alias("s"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    def _arrow():
+        import pandas as pd  # noqa: F401
+
+        def _ident(it):
+            for pdf in it:
+                yield pdf
+
+        (
+            spark.range(1_000_000)
+            .mapInPandas(_ident, "id long")
+            .selectExpr("sum(id)")
+            .collect()
+        )
+
+    for name, fn in (("codegen", _codegen), ("shuffle", _shuffle),
+                     ("arrow", _arrow)):
+        fn()  # warm-up (JIT, python worker spin-up)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        probes[name] = round(best, 3)
+    probes["total"] = round(sum(probes.values()), 3)
+    return probes
 
 
 #: fixed control queries for the sandbox-variance floor (never change these

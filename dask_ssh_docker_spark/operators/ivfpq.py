@@ -202,7 +202,7 @@ def ivfpq_topk(
                 probes = np.argsort(d2, kind="stable")[:nprobe]  # ties->low cid
                 for cid in probes:
                     r = (q - C[cid]).reshape(m, subdim)
-                    lut = ((r[:, None, :] - cents) ** 2).sum(-1)  # (m, ks)
+                    lut = ((r[:, None, :] - cents) ** 2).sum(-1)  # (m, n_cids)
                     lut[~have] = np.inf
                     out_q.append(qid)
                     out_c.append(int(cid))

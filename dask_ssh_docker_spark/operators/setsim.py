@@ -156,9 +156,9 @@ def setsim_pairs_prefix(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
-    # width-pinned (cluster posture only) dedup: the downstream array
-    # verify is broadcast (map-side), so it inherits THIS exchange's
-    # partitioning
+    # width-pinned dedup (always — see pin_compute_width): the
+    # downstream array verify is broadcast (map-side), so it inherits
+    # THIS exchange's partitioning
     cands = pin_compute_width(cands, "id_a", "id_b").dropDuplicates()
 
     # Exact verification: one row per candidate pair, intersection of the

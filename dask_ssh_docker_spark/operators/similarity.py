@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, l2_norm
-from .partitioning import pin_compute_width
 
 
 def brute_force_topk(
@@ -215,26 +214,33 @@ def lsh_topk(
             f"lsh_topk requires dim= (the length of the {vec_col!r} "
             "arrays); plan construction must not run jobs"
         )
+    # Late materialization (r9 per-site audit — same shape that fixed
+    # lsh_neardup_pairs in r6, 272 s → 4.5 s at sf1): the bucket join and
+    # the candidate dedup move NO vector bodies — ``lsh_bucketed``'s
+    # ``tables×`` explode would otherwise multiply every 64-float payload
+    # T times through the join and the dedup exchange (and the Python-UDF
+    # node upstream hides size stats, so that byte-heavy exchange can't
+    # even be planned well).  Only (query_id, corpus_id) tuples shuffle;
+    # vectors re-attach ONCE per side afterwards, keyed by id.  This
+    # replaces the r8 width-pin question entirely: the bare-id exchange
+    # is tiny under every posture, and the join-back exchanges carry each
+    # vector once instead of T times — the property that survives 100×.
     qb = lsh_bucketed(queries, query_id, vec_col, bits, tables, seed, dim=dim).select(
-        query_id, F.col(vec_col).alias("__qvec"), "table_idx", "bucket"
+        query_id, "table_idx", "bucket"
     )
     cb = lsh_bucketed(corpus, corpus_id, vec_col, bits, tables, seed, dim=dim).select(
-        corpus_id, F.col(vec_col).alias("__cvec"), "table_idx", "bucket"
+        corpus_id, "table_idx", "bucket"
     )
     # id-keyed dedup: rows with equal ids are identical (same vectors),
     # so deduping on the id pair alone is equivalent to distinct() over
-    # the full row — without shuffling vector payloads through an
-    # all-column aggregate.  Width-pinned: the per-candidate exact
-    # scoring is compute-dense relative to the exchange's input bytes,
-    # which is the one case AQE coalescing mis-sizes (see
-    # pin_compute_width's docstring; same rationale as operators/setsim).
-    cands = pin_compute_width(
-        qb.join(cb, ["table_idx", "bucket"]).select(
-            query_id, corpus_id, "__qvec", "__cvec"
-        ),
-        query_id,
-        corpus_id,
-    ).dropDuplicates([query_id, corpus_id])
+    # the full candidate row.
+    cands = (
+        qb.join(cb, ["table_idx", "bucket"])
+        .select(query_id, corpus_id)
+        .dropDuplicates([query_id, corpus_id])
+        .join(queries.select(query_id, F.col(vec_col).alias("__qvec")), query_id)
+        .join(corpus.select(corpus_id, F.col(vec_col).alias("__cvec")), corpus_id)
+    )
     sim = cosine_similarity("__qvec", "__cvec")
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
     return (

@@ -356,8 +356,10 @@ def winnow_fingerprints(
                 # vectorized: h = sum b[i+j] * P^(k-1-j) mod 2^64.
                 # python-int mod-2^64 powers (numpy scalar uint64 ops
                 # emit overflow warnings; array ops wrap silently)
-                # two independent primes: selection keys on h, detection
-                # on (h, h2) — collisions must hit BOTH 64-bit spaces
+                # two independent ODD multipliers (odd suffices for a
+                # mod-2^64 polynomial hash; P2 is odd-by-construction,
+                # not prime): selection keys on h, detection on (h, h2)
+                # — collisions must hit BOTH 64-bit spaces
                 P, P2, mod = 1099511628211, 0x100000001B3 ^ 0xA5A5A5A5A5A5A5A4, 1 << 64
                 win = np.lib.stride_tricks.sliding_window_view(b, k).astype(
                     np.uint64
@@ -365,7 +367,7 @@ def winnow_fingerprints(
                 hs = []
                 for prime, mix in (
                     (P, 0xFF51AFD7ED558CCD),
-                    (P2 | 1, 0xC4CEB9FE1A85EC53),
+                    (P2, 0xC4CEB9FE1A85EC53),
                 ):
                     pw, plist = 1, [0] * k
                     for j in range(k - 1, -1, -1):

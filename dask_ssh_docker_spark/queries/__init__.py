@@ -64,75 +64,73 @@ from . import assoc_analytics  # noqa: E402,F401
 # rotates every round so no query's newest driver row goes stale
 # (tools/check_all.sh enforces that every registry name has appeared in at
 # least one recorded window, and tools/check_never_checked.py additionally
-# reports per-name staleness).  Round-8 window, ordered by
-# (touched-this-round, rounds-since-last-driver-check) per VERDICT r7
-# item 6:
-#   0. queries whose machinery CHANGED in r8 (ADC LUT stride fix, graph
-#      null-weight parity, winnow 2x64-bit keys, bloom mask rebuild,
-#      validation-scale caps) plus text_langid, whose r7 broadcast-marker
-#      rewrite landed after that round's evidence was recorded;
-#   1. the 15 names whose newest driver row is still round 1 (the r7
-#      window listed them but they sat past position 50);
-#   2. fill to 50 with the oldest (r2-checked) names in registry order,
-#      swapping in setsim_prefix_pairs + interpolate_time_linear because
-#      the r8 shuffle-conf bisect re-shapes their plans.
-# Names not listed keep their import order after the listed ones.
+# reports per-name staleness).  Round-9 window (VERDICT r8 item 4 —
+# rotate the 60 queries last driver-checked ≥5 rounds ago):
+#   0. queries whose machinery CHANGED in r9 (lsh candidate-exchange pin
+#      dropped after the sf1 per-site audit; validation_cap bound-probe
+#      short-circuit; minhash signature + bootstrap uniform A/B targets);
+#   1. all 20 names whose newest driver row is round 2 (the oldest
+#      evidence in the registry), in registry order;
+#   2. fill to 50 with the oldest r3-checked names in registry order.
+# This covers 44 of the 60 stale names; the remaining 16 r3/r5 names
+# rotate in next round.  Names not listed keep their import order after
+# the listed ones.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- 0. machinery changed r8 (or r7-post-evidence): re-prove first --
-    "profile_orders_columns",
+    # -- 0. machinery changed r9: re-prove first --
+    "dedup_minhash_clusters",
     "bootstrap_ci_revenue",
-    "sim_topk_ivfpq",
-    "sim_topk_pq",
-    "pagerank_nation_trade",
-    "sssp_nation_trade",
-    "dedup_winnow_spans",
-    "dedup_substring_spans",
-    "dedup_incremental_bloom",
+    "sim_topk_lsh",
     "dedup_jaccard_pairs",
     "dedup_clusters_transitive",
     "sim_neardup_pairs",
-    "text_langid",
-    # -- 1. stalest driver evidence (last checked r1) --
-    "str_functions_extended",
-    "fuzzy_levenshtein_pairs",
-    "numeric_format_conv",
-    "window_ranking",
-    "window_lag_lead",
-    "window_cumsum",
-    "window_rolling_rows",
-    "window_rolling_range_1h",
-    "resample_hourly",
-    "sliding_window_30m",
-    "sessionize_10m",
-    "window_forward_fill",
-    "rollup_cascade_daily",
-    "window_rank_fractions",
-    "asof_backward_tolerance",
-    # -- 2. next-stalest (last checked r2), plus the two bisect targets --
-    "setsim_prefix_pairs",
-    "interpolate_time_linear",
-    "join_range_theta",
-    "read_fwf_roundtrip",
-    "window_cummax",
-    "window_cummin",
-    "window_cumprod",
-    "asof_forward",
-    "asof_nearest",
-    "text_stats",
-    "text_fingerprint",
-    "text_gopher_quality",
-    "docs_source_mix",
-    "text_contamination_flags",
-    "stream_tumbling_counts",
-    "multimodal_blob_metadata",
-    "udf_groupby_apply_median",
-    "udf_frame_offsets",
-    "map_overlap_centered_mean",
-    "agg_cube",
-    "custom_agg_geomean",
-    "describe_summary",
+    # -- 1. stalest driver evidence (last checked r2) --
+    "group_quantiles_exact",
+    "subq_scalar_small_orders",
+    "subq_exists_bulk",
+    "subq_not_in_parts",
+    "subq_having_big_customers",
+    "sql_api_window_share",
+    "map_functions_props",
+    "pivot_returnflag",
+    "melt_unpivot",
+    "sort_global",
+    "categorical_encode",
+    "get_dummies_segment",
+    "groupby_transform_scale",
+    "agg_first_last_by_time",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "q19_disjunctive_predicates",
+    "histogram_order_prices",
+    # -- 2. next-stalest (last checked r3) --
+    "array_higher_order",
+    "funnel_view_click_purchase",
+    "dedup_simhash_pairs",
+    "sim_neardup_lsh",
+    "stream_interval_join_pairs",
+    "stream_hourly_ohlc",
+    "stream_sessionize",
+    "multimodal_decode_stub",
+    "approx_distinct_quantiles",
+    "text_chunk_windows",
+    "split_train_val_md5",
+    "sample_stratified_by_source",
+    "sample_temperature_sqrt",
+    "pack_sequences_greedy",
+    "text_pii_redaction",
+    "top_terms_per_source",
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_suppliers",
+    "q13_customer_distribution",
+    "q15_top_supplier",
 ]
 
 

@@ -71,9 +71,14 @@ def validation_cap(df, id_col: str, label: str, bound: int = VALIDATION_MAX_ROWS
     scale) the frame passes through unchanged."""
     import sys
 
-    n = df.count()
-    if n <= bound:
+    # Cheap bound probe first (ADVICE r8): a pruned-to-id_col scan that
+    # stops at bound+1 rows, so the driver-oracle / bench scales — where
+    # the cap never binds — pay one bounded CollectLimit job instead of a
+    # full-table count.  The exact count runs only when the cap binds
+    # (sf≥1 sweeps), where it is trivial next to the O(n²) it prevents.
+    if df.select(id_col).limit(bound + 1).count() <= bound:
         return df
+    n = df.count()
     print(
         f"[validation-cap] {label}: input has {n} rows > bound {bound}; "
         f"keeping the {bound} smallest {id_col} values "

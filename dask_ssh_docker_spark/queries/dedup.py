@@ -81,6 +81,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(n_common AS DOUBLE)
           / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.35
     """,
+    validation_capped=True,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.35) — the
@@ -128,6 +129,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT x AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY x
     """,
+    validation_capped=True,
 )
 def dedup_clusters_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters over the EXACT Jaccard pair graph:

@@ -15,19 +15,32 @@ class QuerySpec:
     name: str
     fn: QueryFn
     oracle: str | None  # DuckDB ANSI SQL, or None → driver rows-only check
+    #: True = O(n²) validation baseline whose INPUT is capped above
+    #: ``_util.VALIDATION_MAX_ROWS`` — diverges from its full-table oracle
+    #: at sf≥1.  The sweep's [validation-cap] annotation and the oracle
+    #: gate's --skip-capped set are DERIVED from this flag (single source
+    #: of truth; ADVICE r8).
+    validation_capped: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | None = None, validation_capped: bool = False):
     """Register a query. ``oracle=None`` marks a non-SQL-expressible op
-    (approx sketches, ML-backed LSH, streaming) → weaker rows-only check."""
+    (approx sketches, ML-backed LSH, streaming) → weaker rows-only check.
+    ``validation_capped=True`` marks O(n²) baselines input-capped above
+    validation scale (their oracle only matches at sf ≤ 0.1)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle)
+        REGISTRY[name] = QuerySpec(name, fn, oracle, validation_capped)
         return fn
 
     return deco
+
+
+def validation_capped_names() -> set[str]:
+    """Names of all registered input-capped validation baselines."""
+    return {n for n, s in REGISTRY.items() if s.validation_capped}

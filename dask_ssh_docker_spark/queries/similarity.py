@@ -80,6 +80,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, round(raw_sim, 6) AS sim
     FROM p WHERE raw_sim >= 0.4
     """,
+    validation_capped=True,
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-duplicate pairs (cosine ≥ 0.4).  Input is

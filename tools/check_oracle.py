@@ -131,18 +131,28 @@ def main() -> int:
     # sf0.01 gate never uses this
     ulp_tol = 0
     skip: set[str] = set()
+    skip_capped = False
     for a in sys.argv[1:]:
         if a.startswith("--ulp"):
             ulp_tol = int(a.split("=")[1]) if "=" in a else 2
+        elif a == "--skip-capped":
+            # for sf≥1 sweeps: exclude every registry query flagged
+            # validation_capped=True (input-capped O(n²) baselines whose
+            # oracle only matches at sf≤0.1) — DERIVED from the registry,
+            # no hand-maintained list (ADVICE r8)
+            skip_capped = True
         elif a.startswith("--skip="):
-            # for sf≥1 sweeps: exclude documented O(n²) validation-scale
-            # baselines whose scale twins are checked instead; each skip
-            # is printed so the log stays honest about what did not run
+            # ad-hoc exclusions; each skip is printed so the log stays
+            # honest about what did not run
             skip = set(a.split("=", 1)[1].split(","))
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     from dask_ssh_docker_spark.queries import REGISTRY
+    from dask_ssh_docker_spark.queries.registry import validation_capped_names
+
+    if skip_capped:
+        skip |= validation_capped_names()
 
     if plain:
         # driver simulation: a bare session with none of the engine's conf —

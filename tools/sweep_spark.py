@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: overhead (state store commits, checkpoint fsyncs), not compute
 WALL_BOUND_PREFIX = "stream_"
 
-#: O(n²) validation baselines with the _util.validation_cap input bound
+#: O(n²) validation baselines with the _util.validation_cap input bound —
+#: DERIVED from the registry flag at runtime (single source of truth,
+#: ADVICE r8); this literal only documents the expected members and is
+#: cross-checked against the registry in main().
 VALIDATION_CAPPED = {
     "dedup_jaccard_pairs",
     "dedup_clusters_transitive",
@@ -40,10 +43,34 @@ def main() -> None:
     only = set(sys.argv[3:]) or None
 
     from dask_ssh_docker_spark.queries import REGISTRY
+    from dask_ssh_docker_spark.queries.registry import validation_capped_names
     from dask_ssh_docker_spark.session import get_session
+
+    capped = validation_capped_names()
+    if capped != VALIDATION_CAPPED:  # literal above is documentation only
+        print(f"# NOTE: registry validation_capped set is {sorted(capped)} "
+              f"(module literal is stale)", flush=True)
 
     spark = get_session("spark-graft-sweep")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    # Stabilize + stamp the Spark-side floor (VERDICT r8 items 1/5): a
+    # fresh JVM reads 2-4× slow for minutes (tiered JIT), so un-floored
+    # cold sweeps are not comparable across windows.  Same loop as
+    # bench.py; the stamp goes in the log header.
+    from bench import spark_floor  # repo root is on sys.path
+
+    fl = spark_floor(spark)
+    hist = [fl["total"]]
+    while len(hist) < 8:
+        nxt = spark_floor(spark)
+        prev = hist[-1]
+        fl = nxt
+        hist.append(nxt["total"])
+        if abs(nxt["total"] - prev) <= 0.12 * prev:
+            break
+    floor_line = f"# spark_floor: {fl} stabilize_history={hist}"
+    print(floor_line, flush=True)
 
     lines = [
         f"# Spark-only per-query wall times at {sf_dir} (cold, single run, "
@@ -52,6 +79,7 @@ def main() -> None:
         "#   trigger/state-store overhead, not compute;",
         "# [validation-cap] = O(n^2) exact baseline, input capped at",
         "#   validation scale (the query logs what it skipped).",
+        floor_line,
     ]
     for name, spec in REGISTRY.items():
         if only and name not in only:
@@ -59,7 +87,7 @@ def main() -> None:
         tags = []
         if name.startswith(WALL_BOUND_PREFIX):
             tags.append("[wall-bound]")
-        if name in VALIDATION_CAPPED:
+        if name in capped:
             tags.append("[validation-cap]")
         t0 = time.perf_counter()
         try:
