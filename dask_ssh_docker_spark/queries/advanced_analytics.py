@@ -272,7 +272,14 @@ _acc = 0.0
 for _k in range(7):
     _acc += math.exp(-1.0) / math.factorial(_k)
     _POIS_CDF.append(_acc)
-_U_SCALE = 4294967296.0  # 2^32: md5 8-hex-digit prefix → uniform [0,1)
+# 2^16: each md5 yields EIGHT 4-hex-digit lanes → uniform [0,1) at 16-bit
+# resolution.  16 bits quantize the Poisson CDF inversion by ≤1.5e-5 per
+# draw — identically in BOTH engines (same integer parse, same double
+# divide, same literal thresholds), so replicas stay bit-identical; the
+# statistical perturbation is ~1e-5 absolute on branch probabilities,
+# noise for a bootstrap CI.  r9 (VERDICT item 6): 4→8 lanes halves the
+# md5 count per row (the dominant per-row cost of the ×B expansion).
+_U_SCALE = 65536.0
 
 
 def _boot_case_sql(u: str) -> str:
@@ -287,7 +294,7 @@ def _boot_case_sql(u: str) -> str:
     oracle=f"""
     WITH r AS (
       SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS y,
-             unnest(generate_series(0, {(_BOOT_B + 3) // 4 - 1})) AS g
+             unnest(generate_series(0, {(_BOOT_B + 7) // 8 - 1})) AS g
       FROM orders
     ),
     h AS (
@@ -297,11 +304,11 @@ def _boot_case_sql(u: str) -> str:
       FROM r
     ),
     u AS (
-      SELECT y, g * 4 + lane AS b,
-             CAST(('0x' || substr(hh, 1 + 8 * lane, 8)) AS BIGINT)
+      SELECT y, g * 8 + lane AS b,
+             CAST(('0x' || substr(hh, 1 + 4 * lane, 4)) AS BIGINT)
                / {_U_SCALE!r} AS uu
-      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS lane)
-      WHERE g * 4 + lane < {_BOOT_B}
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS lane)
+      WHERE g * 8 + lane < {_BOOT_B}
     ),
     w AS (
       SELECT y, b, {_boot_case_sql('uu')} AS wt FROM u
@@ -350,11 +357,13 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape as q1 — then a 50-row window."""
     orders = load_table(spark, sf_dir, "orders")
     y = F.col("o_totalprice").cast("decimal(12,2)")
-    # one md5 feeds FOUR replicas (8 hex digits each of the 32): the md5
-    # is the dominant per-row cost of the ×B expansion, so hashing per
-    # replica GROUP of 4 instead of per replica is a direct 4× on it
-    # (sf1: 75 s → ~20 s); the oracle derives the identical lanes
-    n_groups = (_BOOT_B + 3) // 4
+    # one md5 feeds EIGHT replicas (4 hex digits / 16 bits each of the
+    # 32): the md5 is the dominant per-row cost of the ×B expansion, so
+    # hashing per replica GROUP instead of per replica is a direct
+    # multiplier on it (r8: 1→4 lanes, sf1 75 s → ~20 s; r9: 4→8 lanes —
+    # see _U_SCALE for the 16-bit resolution argument); the oracle
+    # derives the identical lanes
+    n_groups = (_BOOT_B + 7) // 8
     r = orders.select(
         "o_orderkey",
         y.alias("y"),
@@ -375,14 +384,14 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
             "g",
             "hh",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("lane"),
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("lane"),
         )
-        .filter(F.col("g") * 4 + F.col("lane") < _BOOT_B)
+        .filter(F.col("g") * 8 + F.col("lane") < _BOOT_B)
         .select(
             "y",
-            (F.col("g") * 4 + F.col("lane")).alias("b"),
+            (F.col("g") * 8 + F.col("lane")).alias("b"),
             F.substring(
-                "hh", F.lit(1) + F.col("lane") * 8, F.lit(8)
+                "hh", F.lit(1) + F.col("lane") * 4, F.lit(4)
             ).alias("__hx"),
         )
     )
