@@ -14,5 +14,5 @@ echo "== oracle (engine session) =="
 python tools/check_oracle.py
 echo "== oracle (plain driver-like session) =="
 python tools/check_oracle.py /root/testdata/sf0.01 --plain
-echo "== bench =="
-python bench.py
+echo "== bench (3-pass fresh-JVM fleet; VERDICT r8 item 7) =="
+python tools/bench_fleet.py 3 BENCH_local_fleet.json
