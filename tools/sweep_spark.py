@@ -81,6 +81,14 @@ def main() -> None:
         "#   validation scale (the query logs what it skipped).",
         floor_line,
     ]
+    # Mid-sweep floor re-probes (r9): the header floor alone proved
+    # insufficient — throttle arrived MID-sweep in the r9 run (floors
+    # 0.9→1.6+ within one sweep), so a single-probe checkpoint every
+    # REPROBE_EVERY queries is interleaved into the log.  One pass (not
+    # the full stabilization loop — the JVM is already warm here) costs
+    # ~1-3 s; readers discount the surrounding lines by the nearest stamp.
+    REPROBE_EVERY = 25
+    i = 0
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
@@ -98,6 +106,12 @@ def main() -> None:
             line = f"{name} ERROR {type(exc).__name__}: {str(exc)[:120]}"
         print(line, flush=True)
         lines.append(line)
+        i += 1
+        if i % REPROBE_EVERY == 0:
+            probe = spark_floor(spark)["total"]
+            pline = f"# spark_floor re-probe after {i} queries: {probe}"
+            print(pline, flush=True)
+            lines.append(pline)
 
     if out_path:
         with open(out_path, "w") as fh:
