@@ -81,8 +81,8 @@ def main() -> None:
     # first floor pass 3.53 s vs 0.89 s after the suite — 4×, invisible
     # to the DuckDB floor), so without this loop the first queries pay a
     # window-dependent cold tax that reads as a code regression.  Repeat
-    # the probes until the latest total is within 15% of the best seen
-    # (max 8 passes), then measure queries in steady state.  The full
+    # the probes until two consecutive passes agree within 12% (max 8
+    # passes), then measure queries in steady state.  The full
     # pass history is recorded so a window that NEVER stabilizes (true
     # sandbox throttle, not JIT) is visible in the JSON.
     floor_pre = spark_floor(spark)

@@ -67,6 +67,10 @@ def main() -> None:
 
     names = list(passes[0]["queries"])
     best = {q: round(min(p["queries"][q] for p in passes), 3) for q in names}
+    med = {
+        q: round(sorted(p["queries"][q] for p in passes)[n // 2], 3)
+        for q in names
+    }
     summary = {
         "metric": "headline_suite_total",
         "value": round(sum(best.values()), 3),
@@ -75,6 +79,8 @@ def main() -> None:
         "sf": passes[0]["sf"],
         "mode": f"fleet_min_of_{n}_fresh_jvms",
         "core15": round(sum(best[q] for q in CORE15), 3),
+        "queries_median": med,
+        "core15_median": round(sum(med[q] for q in CORE15), 3),
         "duckdb_floor": min(
             (p["duckdb_floor"] for p in passes), key=lambda f: f["total"]
         ),
