@@ -446,3 +446,29 @@ def test_profile_no_expand(spark, sf_dir):
     df = REGISTRY["profile_orders_columns"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_lsh_topk_dedups_bare_ids(spark, sf_dir, reg):
+    """r9 late materialization (operators/similarity.py:lsh_topk): the
+    bucket-join candidate dedup must move NO vector payloads — the
+    ``lsh_bucketed`` explode would otherwise multiply every embedding
+    ×tables through the exchange, behind a Python-UDF node that hides
+    size stats from the planner (the shape that cost lsh_neardup_pairs
+    272 s at sf1 before its r6 fix).  The Deduplicate node's output must
+    be exactly the two id columns, no array types."""
+    from dask_ssh_docker_spark.plans import _iter_plan_nodes
+
+    df = reg["sim_topk_lsh"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed()
+    dedups = [
+        n
+        for n in _iter_plan_nodes(plan)
+        if n.getClass().getSimpleName() == "Deduplicate"
+    ]
+    assert dedups, "expected a Deduplicate (dropDuplicates) node in sim_topk_lsh"
+    for n in dedups:
+        out = n.output()
+        names = sorted(out.apply(i).name() for i in range(out.length()))
+        assert names == ["query_id", "vec_id"], names
+        types = [out.apply(i).dataType().simpleString() for i in range(out.length())]
+        assert not any("array" in t for t in types), types
