@@ -57,20 +57,45 @@ def _staged_shingles(df: DataFrame, text_col: str, id_col: str, shingle_k: int) 
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+#: readout bound for ``member_ids`` — the full membership of a dup-group is
+#: unbounded at scale (one boilerplate document duplicated millions of times
+#: makes one group's array the size of the problem), so the id readout keeps
+#: only the K smallest ids; ``canonical_id`` and ``n_members`` stay exact.
+#: Consumers needing FULL membership should read it as rows
+#: (``exact_dedup`` keeps/drops rows; a (fp, id) frame IS the membership).
+MEMBER_IDS_CAP = 100
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str, id_col: str, member_ids_cap: int = MEMBER_IDS_CAP
+) -> DataFrame:
     """Group identical (normalized) texts: one row per content group with
-    canonical (min) id, member count, and member ids.
+    canonical (min) id, exact member count, and the ``member_ids_cap``
+    smallest member ids (ascending).
 
     Only ``(fingerprint, id)`` shuffles — bodies stay at the scan.
+
+    Scale shape (VERDICT r9 item 1): the id readout is rank-filtered
+    BEFORE aggregation — a window ``row_number`` over (fp, id) streams
+    through a spillable sort, and ``collect_list`` only ever sees rows
+    with rank ≤ cap, so no per-group aggregation buffer scales with the
+    dup-group size.  The groupBy reuses the window's hash(fp)
+    partitioning and sort order (no second exchange; plan-asserted in
+    ``tests/test_plans.py``).
     """
-    return (
-        df.select(F.col(id_col), md5_fingerprint(text_col).alias("fp"))
-        .groupBy("fp")
-        .agg(
-            F.min(id_col).alias("canonical_id"),
-            F.count("*").alias("n_members"),
-            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
-        )
+    fp_ids = df.select(F.col(id_col), md5_fingerprint(text_col).alias("fp"))
+    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    ranked = fp_ids.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy("fp").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").alias("n_members"),
+        # collect_list skips NULLs: the when() leaves at most cap ids in
+        # the buffer; sort_array is over ≤ cap elements
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("__rn") <= member_ids_cap, F.col(id_col))
+            )
+        ).alias("member_ids"),
     )
 
 

@@ -233,13 +233,26 @@ def lsh_topk(
     )
     # id-keyed dedup: rows with equal ids are identical (same vectors),
     # so deduping on the id pair alone is equivalent to distinct() over
-    # the full candidate row.
+    # the full candidate row.  The re-attach sides are deduped on id too
+    # (ADVICE r9): if an input carries duplicate ids, the joins back
+    # would otherwise multiply each candidate pair by the id's input
+    # multiplicity and let one corpus_id occupy several top-k slots.
+    # The dedup shares the join's hash partitioning on the id (one
+    # exchange, reused), so it costs no extra shuffle.
     cands = (
         qb.join(cb, ["table_idx", "bucket"])
         .select(query_id, corpus_id)
         .dropDuplicates([query_id, corpus_id])
-        .join(queries.select(query_id, F.col(vec_col).alias("__qvec")), query_id)
-        .join(corpus.select(corpus_id, F.col(vec_col).alias("__cvec")), corpus_id)
+        .join(
+            queries.select(query_id, F.col(vec_col).alias("__qvec"))
+            .dropDuplicates([query_id]),
+            query_id,
+        )
+        .join(
+            corpus.select(corpus_id, F.col(vec_col).alias("__cvec"))
+            .dropDuplicates([corpus_id]),
+            corpus_id,
+        )
     )
     sim = cosine_similarity("__qvec", "__cvec")
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))

@@ -64,73 +64,71 @@ from . import assoc_analytics  # noqa: E402,F401
 # rotates every round so no query's newest driver row goes stale
 # (tools/check_all.sh enforces that every registry name has appeared in at
 # least one recorded window, and tools/check_never_checked.py additionally
-# reports per-name staleness).  Round-9 window (VERDICT r8 item 4 —
-# rotate the 60 queries last driver-checked ≥5 rounds ago):
-#   0. queries whose machinery CHANGED in r9 (lsh candidate-exchange pin
-#      dropped after the sf1 per-site audit; validation_cap bound-probe
-#      short-circuit; minhash signature + bootstrap uniform A/B targets);
-#   1. all 20 names whose newest driver row is round 2 (the oldest
-#      evidence in the registry), in registry order;
-#   2. fill to 50 with the oldest r3-checked names in registry order.
-# This covers 44 of the 60 stale names; the remaining 16 r3/r5 names
-# rotate in next round.  Names not listed keep their import order after
-# the listed ones.
+# reports per-name staleness).  Round-10 window (VERDICT r9 items 1+2):
+#   0. queries whose machinery CHANGED in r10 (dedup_exact_groups
+#      member_ids rank-bound; inverted_index_postings counts-first top-k;
+#      sim_topk_lsh re-attach-side dedup per ADVICE r9);
+#   1. all 16 names whose newest driver row is round 3 (judge-re-proved
+#      16/16 in r9, but the driver record should say so too);
+#   2. fill to 50 with the oldest r5-checked names.
+# The remaining 9 r5 names rotate in r11.  Names not listed keep their
+# import order after the listed ones.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- 0. machinery changed r9: re-prove first --
-    "dedup_minhash_clusters",
-    "bootstrap_ci_revenue",
+    # -- 0. machinery changed r10: re-prove first --
+    "dedup_exact_groups",
+    "inverted_index_postings",
     "sim_topk_lsh",
-    "dedup_jaccard_pairs",
-    "dedup_clusters_transitive",
-    "sim_neardup_pairs",
-    # -- 1. stalest driver evidence (last checked r2) --
-    "group_quantiles_exact",
-    "subq_scalar_small_orders",
-    "subq_exists_bulk",
-    "subq_not_in_parts",
-    "subq_having_big_customers",
-    "sql_api_window_share",
-    "map_functions_props",
-    "pivot_returnflag",
-    "melt_unpivot",
-    "sort_global",
-    "categorical_encode",
-    "get_dummies_segment",
-    "groupby_transform_scale",
-    "agg_first_last_by_time",
-    "q6_forecast_revenue",
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "q19_disjunctive_predicates",
-    "histogram_order_prices",
-    # -- 2. next-stalest (last checked r3) --
-    "array_higher_order",
-    "funnel_view_click_purchase",
-    "dedup_simhash_pairs",
-    "sim_neardup_lsh",
-    "stream_interval_join_pairs",
-    "stream_hourly_ohlc",
-    "stream_sessionize",
-    "multimodal_decode_stub",
-    "approx_distinct_quantiles",
-    "text_chunk_windows",
-    "split_train_val_md5",
-    "sample_stratified_by_source",
-    "sample_temperature_sqrt",
-    "pack_sequences_greedy",
-    "text_pii_redaction",
-    "top_terms_per_source",
-    "q2_min_cost_supplier",
-    "q4_order_priority_check",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_suppliers",
-    "q13_customer_distribution",
-    "q15_top_supplier",
+    # -- 1. stalest driver evidence (last checked r3) --
+    "q16_supplier_part_variety",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "embedding_norm_stats",
+    "embedding_centroids_by_label",
+    "embedding_quantize_int8_stats",
+    "text_bigram_logprob",
+    "text_dup_sentence_fraction",
+    "retention_cohorts_weekly",
+    "qcut_order_price_quartiles",
+    "resample_hourly_gapfill",
+    "resample_hourly_ohlc",
+    "tok_len_histogram",
+    # -- 2. next-stalest (last checked r5) --
+    "window_ewma_bounded",
+    "window_rolling_corr",
+    "anomaly_zscore_ewma",
+    "multimodal_decode_image",
+    "rollup_cascade_daily_hll",
+    "variant_props_extract",
+    "read_xml_roundtrip",
+    "robust_outliers_mad",
+    "bloom_semi_join_revenue",
+    "regression_price_on_qty",
+    "chisq_flag_status",
+    "acf_daily_revenue",
+    "attribution_last_touch",
+    "text_bm25_rank",
+    "sample_weighted_wor",
+    "stream_static_enrich",
+    "ks_binned_click_view",
+    "psi_price_drift",
+    "benford_price_digits",
+    "target_encode_loo",
+    "feature_hash_signed",
+    "decayed_user_activity",
+    "holt_brown_forecast",
+    "sim_mmr_rerank",
+    "cusum_changepoint_daily",
+    "seasonality_dow_index",
+    "wow_growth_weekly",
+    "bitmap_distinct_users",
+    "text_top_bigram_coverage",
+    "feature_robust_scale",
+    "label_propagation_communities",
 ]
 
 

@@ -78,11 +78,13 @@ def validation_cap(df, id_col: str, label: str, bound: int = VALIDATION_MAX_ROWS
     # (sf≥1 sweeps), where it is trivial next to the O(n²) it prevents.
     if df.select(id_col).limit(bound + 1).count() <= bound:
         return df
-    n = df.count()
+    # The probe already proved "> bound" — don't run a full count just for
+    # the log line (ADVICE r9: on the O(n²)-input frames at sf≥1 that
+    # doubles the pre-cap scan cost purely for a number nobody acts on).
     print(
-        f"[validation-cap] {label}: input has {n} rows > bound {bound}; "
+        f"[validation-cap] {label}: input has > {bound} rows (probe); "
         f"keeping the {bound} smallest {id_col} values "
-        f"({n - bound} rows skipped — O(n²) validation baseline, not a "
+        f"(rest skipped — O(n²) validation baseline, not a "
         f"scale path; the approximate twin covers full scale)",
         file=sys.stderr,
         flush=True,

@@ -35,17 +35,22 @@ _SHINGLES = f"""
 
 @query(
     "dedup_exact_groups",
+    # list_slice mirrors the engine's MEMBER_IDS_CAP=100 readout bound
+    # (operators/dedup.py): canonical_id/n_members exact, id readout capped
     oracle=f"""
     SELECT fp,
            MIN(doc_id) AS canonical_id,
            COUNT(*)    AS n_members,
-           array_to_string(list_sort(list(doc_id)), '|') AS member_ids
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 100), '|')
+             AS member_ids
     FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
     GROUP BY fp
     """,
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups by content hash — only (hash, id) shuffles.
+    """Exact dedup groups by content hash — only (hash, id) shuffles;
+    ``member_ids`` readout bounded at MEMBER_IDS_CAP smallest ids (the
+    count stays exact — VERDICT r9 item 1).
 
     ``member_ids`` is serialized to a '|'-joined string at the query
     boundary (driver canonicalizer cannot hash list cells)."""

@@ -172,11 +172,19 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     The index-build primitive behind contamination checks and keyword
     dedup.
 
-    Scale: one explode shuffle keyed by term builds all posting lists in
-    a single pass (collect_set per term); at 100 TB postings are written
-    partitioned by term range as arrays (delta-encoded ints), never as
-    one driver-side string — the string join here is the bounded top-50
-    validation readout."""
+    Scale (VERDICT r9 item 1 — counts first, arrays last): pass 1 is a
+    partial-aggregatable counts-only pass (countDistinct + count — no
+    per-term array ever buffers), the 50-row top-df frame broadcasts
+    into a semi-join, and only the 50 surviving terms' postings are
+    collected in pass 2.  The previous shape built the posting array for
+    EVERY term — including stopword-grade terms whose group scales
+    linearly with the corpus — before the top-50 cut: one hot term's
+    aggregation buffer would hold tens of millions of ids in a single
+    hash-agg cell at 100 TB.  Plan-asserted (tests/test_plans.py): no
+    collect_* aggregate upstream of the top-k cut.  At 100 TB the full
+    index (all terms) is written partitioned by term range as arrays
+    (delta-encoded ints), never as one driver-side string — the string
+    join here is the bounded top-50 validation readout."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -184,9 +192,30 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_tokens("text")).alias("term"),
         F.col("doc_id").cast("string").alias("did"),
     )
-    agg = exploded.groupBy("term").agg(
-        F.size(F.collect_set("did")).alias("df"),
+    # pass 1: counts only (countDistinct plans as a two-phase aggregate
+    # over (term, did) — bounded buffers), then the top-50 cut
+    counts = exploded.groupBy("term").agg(
+        F.countDistinct("did").alias("df"),
         F.count(F.lit(1)).alias("total_tf"),
-        F.array_join(F.sort_array(F.collect_set("did")), ",").alias("postings"),
     )
-    return agg.orderBy(F.desc("df"), F.asc("term")).limit(50)
+    # the 50-row frame feeds BOTH the semi-join and the final join — lazy
+    # localCheckpoint so pass 1 runs once, not twice (measured pattern,
+    # BENCH_NOTES; 50 rows, so the checkpoint itself is free)
+    top = counts.orderBy(F.desc("df"), F.asc("term")).limit(50).localCheckpoint(eager=False)
+    # pass 2: re-derive the exploded frame (a scan+tokenize re-run is the
+    # 100 TB-right trade vs materializing the full exploded frame), keep
+    # only the 50 terms, and build exactly 50 posting arrays
+    postings = (
+        exploded.join(F.broadcast(top.select("term")), "term", "left_semi")
+        .groupBy("term")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("did")), ",").alias(
+                "postings"
+            )
+        )
+    )
+    return (
+        top.join(postings, "term")
+        .select("term", "df", "total_tf", "postings")
+        .orderBy(F.desc("df"), F.asc("term"))
+    )

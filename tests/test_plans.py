@@ -466,9 +466,92 @@ def test_lsh_topk_dedups_bare_ids(spark, sf_dir, reg):
         if n.getClass().getSimpleName() == "Deduplicate"
     ]
     assert dedups, "expected a Deduplicate (dropDuplicates) node in sim_topk_lsh"
+    pair_dedups, reattach_dedups = [], []
     for n in dedups:
         out = n.output()
         names = sorted(out.apply(i).name() for i in range(out.length()))
-        assert names == ["query_id", "vec_id"], names
         types = [out.apply(i).dataType().simpleString() for i in range(out.length())]
-        assert not any("array" in t for t in types), types
+        if "query_id" in names and "vec_id" in names:
+            # the candidate-PAIR dedup: exactly the two ids, no payloads
+            assert names == ["query_id", "vec_id"], names
+            assert not any("array" in t for t in types), types
+            pair_dedups.append(n)
+        else:
+            # ADVICE r9 re-attach dedup: ONE id + its vector (each vector
+            # crosses this exchange once — never ×tables)
+            assert len(names) == 2, names
+            assert names[0] in ("__cvec", "__qvec"), names
+            reattach_dedups.append(n)
+    assert pair_dedups, "expected the bare-id candidate-pair Deduplicate"
+    assert len(reattach_dedups) == 2, (
+        "expected both re-attach sides deduped on their id (ADVICE r9: "
+        "duplicate input ids must not multiply candidate pairs)"
+    )
+
+
+def test_inverted_index_no_arrays_before_topk(spark, sf_dir, reg):
+    """r10 (VERDICT r9 item 1): inverted_index_postings must never build
+    a posting array for a term that doesn't survive the top-50 cut — a
+    stopword-grade term's collect_set buffer scales linearly with the
+    corpus (tens of millions of ids in one hash-agg cell at 100 TB).
+    Pin: every collect_* aggregate in the plan sits downstream of a
+    LeftSemi join (i.e. its input is already filtered to the bounded
+    top-df term set, which arrives via the counts-only first pass)."""
+    from dask_ssh_docker_spark.plans import _iter_plan_nodes
+
+    df = reg["inverted_index_postings"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed()
+    collect_aggs = [
+        n
+        for n in _iter_plan_nodes(plan)
+        if n.getClass().getSimpleName() == "Aggregate"
+        and "collect_" in n.aggregateExpressions().toString()
+    ]
+    assert collect_aggs, "expected the bounded postings collect_set pass"
+    for agg in collect_aggs:
+        semis = [
+            c
+            for c in _iter_plan_nodes(agg)
+            if c.getClass().getSimpleName() == "Join"
+            and "LeftSemi" in c.joinType().toString()
+        ]
+        assert semis, (
+            "collect_* aggregate without a LeftSemi term filter upstream "
+            "— posting arrays would buffer for EVERY term before the "
+            "top-k cut"
+        )
+
+
+def test_exact_dedup_groups_bounded_member_buffer(spark, sf_dir, reg):
+    """r10 (VERDICT r9 item 1): dedup_exact_groups' member_ids readout
+    must be rank-bounded BEFORE aggregation — collect_list over a raw
+    content-hash group buffers the whole dup-group (a boilerplate doc
+    duplicated millions of times = one array the size of the problem).
+    Pins: (a) the collect_list argument is the CASE WHEN rank guard, fed
+    by a Window row_number in its subtree; (b) the groupBy reuses the
+    window's hash(fp) partitioning — exactly one shuffle in the plan."""
+    from dask_ssh_docker_spark.plans import (
+        _iter_plan_nodes,
+        count_exchanges,
+        physical_plan,
+    )
+
+    df = reg["dedup_exact_groups"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed()
+    collect_aggs = [
+        n
+        for n in _iter_plan_nodes(plan)
+        if n.getClass().getSimpleName() == "Aggregate"
+        and "collect_list" in n.aggregateExpressions().toString()
+    ]
+    assert len(collect_aggs) == 1
+    agg = collect_aggs[0]
+    exprs = agg.aggregateExpressions().toString()
+    assert "CASE WHEN" in exprs and "__rn" in exprs, exprs
+    windows = [
+        c
+        for c in _iter_plan_nodes(agg)
+        if c.getClass().getSimpleName() == "Window"
+    ]
+    assert windows, "expected the rank-guard Window below the aggregate"
+    assert count_exchanges(df) == 1, physical_plan(df)

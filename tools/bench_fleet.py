@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
@@ -68,7 +69,7 @@ def main() -> None:
     names = list(passes[0]["queries"])
     best = {q: round(min(p["queries"][q] for p in passes), 3) for q in names}
     med = {
-        q: round(sorted(p["queries"][q] for p in passes)[n // 2], 3)
+        q: round(statistics.median(p["queries"][q] for p in passes), 3)
         for q in names
     }
     summary = {
