@@ -69,7 +69,32 @@ def _write(out_dir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def generate(sf: float, out_dir: str) -> None:
+def _zipf_vocab(rng: np.random.Generator, n_terms: int = 50_000,
+                s: float = 1.07) -> tuple[np.ndarray, np.ndarray]:
+    """A realistic-scale vocabulary with zipfian frequencies.
+
+    The legacy 30-word vocabulary is a DEGENERATE corpus for the dedup
+    family (VERDICT r9 item 3): with 30 words every 3-shingle collides
+    constantly, prefix filtering has no rare tokens to filter on
+    (setsim at sf1: 35M candidates for 2,709 true pairs), and minhash /
+    simhash shingle spaces are tiny.  Real text has a heavy-tailed
+    vocabulary: ~50k terms, P(rank r) ∝ 1/r^s with s ≈ 1.07 (classic
+    Zipf fit for English).  Tokens are pronounceable-ish CV syllable
+    strings so lengths/byte sizes look like words, lowercase (the
+    normalizer lowercases anyway).  Returns (vocab, probabilities).
+    """
+    syll = np.array([c + v for c in "bcdfghjklmnprstvwz" for v in "aeiou"])
+    parts = rng.integers(0, len(syll), size=(n_terms, 3))
+    n_syll = rng.integers(1, 4, n_terms)  # 1-3 syllables
+    vocab = np.array([
+        "".join(syll[parts[i, : n_syll[i]]]) + (str(i) if i else "")
+        for i in range(n_terms)
+    ])  # rank suffix guarantees uniqueness without changing the shape much
+    p = 1.0 / np.power(np.arange(1, n_terms + 1, dtype=np.float64), s)
+    return vocab, p / p.sum()
+
+
+def generate(sf: float, out_dir: str, vocab_mode: str = "legacy") -> None:
     rng = np.random.default_rng(SEED)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -169,17 +194,27 @@ def generate(sf: float, out_dir: str) -> None:
         "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)],
     }))
 
-    # documents: bag-of-words + ~5% near-dup copies marked with ' dup'
-    vocab = np.array(VOCAB)
+    # documents: bag-of-words + ~5% near-dup copies marked with ' dup'.
+    # vocab_mode="zipf" swaps the degenerate 30-word vocabulary for a
+    # 50k-term zipfian one (same doc lengths, same dup structure) — the
+    # corpus the dedup family's 100× claims are benchmarked on.
+    if vocab_mode == "zipf":
+        vocab, vocab_p = _zipf_vocab(rng)
+    else:
+        vocab, vocab_p = np.array(VOCAB), None
     lang_p = [0.40, 0.15, 0.15, 0.15, 0.15]
+    # draw all word indices in one vectorized pass (per-doc draws with a
+    # 50k-bin p are ~100× slower), then slice per doc
+    n_words_all = rng.integers(10, 100, n_docs)
+    flat_idx = rng.choice(len(vocab), size=int(n_words_all.sum()), p=vocab_p)
+    offs = np.r_[0, np.cumsum(n_words_all)]
     texts: list[str] = []
     for i in range(n_docs):
         if i > 0 and rng.random() < 0.05:
             src = texts[int(rng.integers(0, len(texts)))]
             texts.append(src + " dup" * int(rng.integers(1, 3)))
         else:
-            n_words = int(rng.integers(10, 100))
-            texts.append(" ".join(vocab[rng.integers(0, len(vocab), n_words)]))
+            texts.append(" ".join(vocab[flat_idx[offs[i]:offs[i + 1]]]))
     _write(out_dir, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_docs), pa.int64()),
         "text": texts,
@@ -202,8 +237,10 @@ def generate(sf: float, out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    out = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/testdata_sf{sf:g}/sf{sf:g}"
-    print(f"generating sf={sf:g} -> {out}")
-    generate(sf, out)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    vocab_mode = "zipf" if "--vocab=zipf" in sys.argv else "legacy"
+    sf = float(args[0]) if args else 1.0
+    out = args[1] if len(args) > 1 else f"/root/repo/testdata_sf{sf:g}/sf{sf:g}"
+    print(f"generating sf={sf:g} (vocab={vocab_mode}) -> {out}")
+    generate(sf, out, vocab_mode=vocab_mode)
     print("done")
