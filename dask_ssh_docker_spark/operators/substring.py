@@ -139,12 +139,29 @@ def _spans_from_marks(marked: DataFrame, k: int, stride: int) -> DataFrame:
 def _dup_marks(grams: DataFrame, keys: list[str], min_count: int) -> DataFrame:
     """Positions whose gram key occurs ≥ min_count times corpus-wide.
     groupBy (map-side combined partial counts) + leftsemi back-join —
-    two hash-key shuffles, AQE-skew-safe for pathological hot grams,
-    and the gram text/bodies never move."""
+    two hash-key shuffles, and the gram text/bodies never move.
+
+    Hot-gram safety (probed: tools/skew_probe.py, BENCH_NOTES r10).  The
+    count pass is safe on its own — partial_count reduces a hot gram to
+    one row per map task.  The back-join is where a boilerplate gram
+    holding 20% of the corpus would land 20% of all rows on ONE reducer,
+    and AQE's skew split CANNOT fire on the naive plan: OptimizeSkewedJoin
+    only matches ``SMJ(Sort(ShuffleStage), Sort(ShuffleStage))``, and the
+    dup-keys side carries its count/filter between the Sort and the
+    ShuffleStage.  The lazy localCheckpoint below cuts that lineage, so
+    the join's right child becomes Sort(Exchange(Scan RDD)) — the
+    eligible shape — and AQE splits the hot grams-side partition at
+    runtime, only when real skew exists (probe shows ``skew=true`` /
+    ``AQEShuffleRead skewed``).  A static 16-way key salt was measured
+    first and REJECTED: dup_keys is thin per row but corpus-scaling in
+    rows, and replicating it 16× doubled the sf1 wall (23.1 s vs 11.0 s)
+    while still capping pathological skew at a fixed 16× instead of
+    AQE's as-many-splits-as-needed."""
     dup_keys = (
         grams.groupBy(*keys).agg(F.count("*").alias("__n"))
         .where(F.col("__n") >= min_count)
         .select(*keys)
+        .localCheckpoint(eager=False)
     )
     return grams.join(dup_keys, keys, "leftsemi").select("doc_id", "pos")
 

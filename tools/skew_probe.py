@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Hot-key stress probe for the two bucket-skew claims in SCALE.md
+(VERDICT r9 item 4): does AQE's skew-join split actually engage on
+
+1. the banded MinHash-LSH bucket SELF-JOIN (`operators/dedup.py:
+   minhash_candidates`) when one bucket holds ~20% of all docs, and
+2. the k-gram dup-mark LEFTSEMI back-join (`operators/substring.py:
+   _dup_marks`) when one gram holds ~20% of all occurrences?
+
+Method — a scaled-down proxy whose scaling knobs mirror what changes at
+100 TB (full rationale in BENCH_NOTES r10):
+
+- **byte thresholds scaled to local volume**: AQE's skew trigger is
+  `size > max(skewedPartitionThresholdInBytes, factor × median)`; the
+  256 MB default threshold is sized for real clusters, so the probe
+  sets it to 8k.  The FACTOR condition (5× median) is scale-free and is
+  what the probe genuinely exercises.
+- **cluster-like partition count (512)**: at 32 local shuffle
+  partitions the median partition holds 1/32 of the data and a
+  20%-of-docs bucket (diluted `bands`× by banding) never reaches
+  5× median; with thousands of reducers — the 100 TB reality — the
+  median shrinks while the hot bucket stays one indivisible key.
+- **incompressible ids**: skew detection reads COMPRESSED map-output
+  sizes; sequential int64 ids LZ4-collapse and mask the skew (measured:
+  a 50%-hot join showed `coalesced` only with arange ids, `skew=true`
+  with random ids).  Real 100 TB doc ids are hashes/UUIDs — random
+  int64 is the faithful shape.
+- **broadcast disabled**: at 100 TB neither side of these joins is
+  broadcastable; locally they would be, which would skip the code path
+  under test.
+
+Everything else — the operators under test — is the production code.
+
+Usage: python tools/skew_probe.py [n_docs] [hot_frac]
+Prints one evidence block per claim; exits nonzero if a skew-eligible
+join did NOT get split (i.e. the SCALE.md claim would be false and the
+bucket key needs salting).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+
+def _finalized_plan(df) -> str:
+    """Execute THIS dataframe's own physical plan (AQE finalizes only the
+    executed instance — a count()/noop-write builds a different plan)
+    and return the final adaptive plan string."""
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().execute().count()  # JVM-side row count, no collect
+    return qe.executedPlan().toString()
+
+
+def _skew_evidence(plan: str) -> tuple[bool, list[str]]:
+    lines = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if re.search(r"skew=true|AQEShuffleRead.*skewed", ln)
+    ]
+    return bool(lines), lines
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    hot_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.2
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from dask_ssh_docker_spark.operators.dedup import minhash_candidates
+    from dask_ssh_docker_spark.operators.substring import _dup_marks
+    from dask_ssh_docker_spark.session import get_session
+
+    spark = get_session()
+    # --- scaled-down-proxy posture (see module docstring) ---
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+
+    rng = np.random.default_rng(7)
+    failures: list[str] = []
+
+    # ---------------- claim 1: banded LSH bucket self-join ----------------
+    n_hot = int(n_docs * hot_frac)
+    num_hashes = 32
+    ids = rng.integers(0, 2**62, n_docs)  # hash-like ids (incompressible)
+    sigs = rng.integers(-(2**62), 2**62, size=(n_docs, num_hashes))
+    sigs[:n_hot] = sigs[0]  # one identical signature => one hot bucket/band
+    sig_pdf = pd.DataFrame({"id": ids, "sig": list(sigs)})
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+    sig_df = spark.createDataFrame(sig_pdf, schema)
+
+    cands = minhash_candidates(
+        None, "", "", num_hashes=num_hashes, bands=8, sig_df=sig_df
+    )
+    t0 = time.time()
+    plan = _finalized_plan(cands)
+    wall = time.time() - t0
+    engaged, ev = _skew_evidence(plan)
+    expect_hot_pairs = n_hot * (n_hot - 1) // 2
+    print(
+        f"[lsh-bucket-join] docs={n_docs} hot_bucket={n_hot} "
+        f"({hot_frac:.0%}) hot-clique pairs={expect_hot_pairs} "
+        f"wall={wall:.1f}s"
+    )
+    print(f"[lsh-bucket-join] AQE skew split engaged: {engaged}")
+    for ln in ev[:6]:
+        print(f"  {ln[:170]}")
+    if not engaged:
+        failures.append("lsh-bucket-join")
+
+    # ---------------- claim 2: k-gram dup-mark leftsemi join --------------
+    n_grams = n_docs * 50  # ~50 gram positions per doc
+    n_hot_g = int(n_grams * hot_frac)
+    h1 = rng.integers(-(2**62), 2**62, size=n_grams)
+    h2 = rng.integers(-(2**62), 2**62, size=n_grams)
+    h1[:n_hot_g] = h1[0]
+    h2[:n_hot_g] = h2[0]  # one gram key holds hot_frac of all occurrences
+    # a normal dup population too, so dup_keys isn't a single row
+    n_dup = n_grams // 10
+    h1[n_hot_g : n_hot_g + n_dup] = h1[n_hot_g + n_dup : n_hot_g + 2 * n_dup]
+    h2[n_hot_g : n_hot_g + n_dup] = h2[n_hot_g + n_dup : n_hot_g + 2 * n_dup]
+    grams_pdf = pd.DataFrame(
+        {
+            "doc_id": rng.integers(0, 2**62, n_grams),
+            "pos": np.arange(n_grams, dtype=np.int32),
+            "h1": h1,
+            "h2": h2,
+        }
+    )
+    gschema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", IntegerType()),
+            StructField("h1", LongType()),
+            StructField("h2", LongType()),
+        ]
+    )
+    grams = spark.createDataFrame(grams_pdf, gschema)
+    marks = _dup_marks(grams, ["h1", "h2"], min_count=2)
+    t0 = time.time()
+    plan = _finalized_plan(marks)
+    wall = time.time() - t0
+    engaged, ev = _skew_evidence(plan)
+    print(
+        f"[gram-semi-join] grams={n_grams} hot_gram={n_hot_g} "
+        f"({hot_frac:.0%}) wall={wall:.1f}s"
+    )
+    print(f"[gram-semi-join] AQE skew split engaged: {engaged}")
+    for ln in ev[:6]:
+        print(f"  {ln[:170]}")
+    if not engaged:
+        failures.append("gram-semi-join")
+
+    if failures:
+        print(f"SKEW NOT HANDLED: {failures} — salt those keys")
+        raise SystemExit(1)
+    print(
+        "skew handled: both the LSH bucket join and the gram semi-join "
+        "are split by AQE at runtime"
+    )
+
+
+if __name__ == "__main__":
+    main()
