@@ -122,9 +122,26 @@ def ulp_match(sdf: pd.DataFrame, odf: pd.DataFrame, max_ulp: int) -> tuple[bool,
     return True, worst, ""
 
 
+def _plain_session():
+    """Driver simulation: a bare session with none of the engine's conf —
+    queries must self-provision any runtime conf they need."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("check-oracle-plain")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     plain = "--plain" in sys.argv[1:]
+    # --both: engine pass then plain pass in ONE process/JVM (VERDICT r9
+    # item 6 — the second pass reuses the warmed JIT; SparkContext restart
+    # keeps the JVM).  Equivalent coverage to two separate invocations.
+    both = "--both" in sys.argv[1:]
     # --ulp N: on hash mismatch, accept aligned rows whose float cells are
     # within N ulp (exact non-floats required) — for sf≥1 sweeps where the
     # engines' decimal→double casts differ in the last bit; the driver's
@@ -155,16 +172,7 @@ def main() -> int:
         skip |= validation_capped_names()
 
     if plain:
-        # driver simulation: a bare session with none of the engine's conf —
-        # queries must self-provision any runtime conf they need
-        from pyspark.sql import SparkSession
-
-        spark = (
-            SparkSession.builder.master("local[8]")
-            .appName("check-oracle-plain")
-            .config("spark.ui.enabled", "false")
-            .getOrCreate()
-        )
+        spark = _plain_session()
     else:
         from dask_ssh_docker_spark.session import get_session
 
@@ -180,6 +188,18 @@ def main() -> int:
     if unknown:
         print(f"ERROR: unknown query name(s): {sorted(unknown)}")
         return 2
+
+    rc = _run_gate(spark, con, sf_dir, only, skip, ulp_tol)
+    if both:
+        print("\n== switching to plain driver-like session (same JVM) ==")
+        spark.stop()
+        spark = _plain_session()
+        rc |= _run_gate(spark, con, sf_dir, only, skip, ulp_tol)
+    return rc
+
+
+def _run_gate(spark, con, sf_dir, only, skip, ulp_tol) -> int:
+    from dask_ssh_docker_spark.queries import REGISTRY
 
     failures = []
     for name, spec in REGISTRY.items():
