@@ -222,3 +222,34 @@ def test_runner_hosts_end_to_end(standalone_master, tmp_path):
     assert data["delayed_sum"] == 499500  # reference smoke invariant
     assert data["doubled"] == [x * 2 for x in range(10)]
     assert data["scatter_sum"] == sum(range(100))
+
+
+def test_cluster_posture_e2e_subset():
+    """VERDICT r9 item 5: the core queries must EXECUTE under the cluster
+    posture (parallelismFirst=false, width>=400, static pins at session
+    width) with plan shapes identical to the local posture's.  Runs the
+    posture-comparison tool on a 3-query subset (one scan-agg, one
+    window, the one pinned-exchange operator); the full 16-query record
+    is tools/cluster_posture_e2e.py's default run (BENCH_NOTES r10)."""
+    if _port_open(MASTER_PORT):
+        pytest.skip(f"port {MASTER_PORT} already in use")
+    proc = subprocess.run(
+        [sys.executable, f"{REPO}/tools/cluster_posture_e2e.py",
+         "/root/testdata/sf0.001"],
+        env={
+            **os.environ,
+            "PYTHONPATH": REPO,
+            "PYSPARK_PYTHON": sys.executable,
+            "CLUSTER_POSTURE_QUERIES":
+                "q1_pricing_summary,window_cumsum,setsim_prefix_pairs",
+        },
+        capture_output=True,
+        text=True,
+        timeout=400,
+    )
+    assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-2000:])
+    assert "all plans/rows match across postures" in proc.stdout
+    # the pin must widen to the cluster session width
+    pin_lines = [ln for ln in proc.stdout.splitlines()
+                 if "setsim_prefix_pairs" in ln and "pins" in ln]
+    assert pin_lines and "cluster=[400]" in pin_lines[-1], pin_lines

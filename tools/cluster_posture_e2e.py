@@ -18,6 +18,10 @@ Usage:
   python tools/cluster_posture_e2e.py [sf_dir]        # orchestrate both
   (internal) --phase run --out F [sf_dir]             # one session's pass
 
+Env: CLUSTER_POSTURE_QUERIES=a,b,c limits the query set (the pytest
+e2e assertion runs a 3-query subset; the full 16-query record is the
+BENCH_NOTES r10 evidence run).
+
 The per-session pass is also the `main(argv)` the runner invokes, so the
 cluster phase exercises the full reference launch contract
 (`bin/dask-ssh-docker:61-78` hosts handling → bootstrap → run → teardown).
@@ -54,6 +58,9 @@ QUERIES = [
     "setsim_prefix_pairs",  # the pin_compute_width operator
 ]
 
+if os.environ.get("CLUSTER_POSTURE_QUERIES"):
+    QUERIES = os.environ["CLUSTER_POSTURE_QUERIES"].split(",")
+
 
 def _shape(plan: str) -> list[str]:
     """Normalized node-name sequence of a physical plan string: strip
@@ -83,7 +90,7 @@ def run_phase(spark, sf_dir: str, out_path: str) -> int:
         ),
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "advisory": spark.conf.get(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB(default)"
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
         ),
     }
     rows = {}
