@@ -28,6 +28,36 @@ def test_exact_dedup_literal(spark):
     assert sorted(groups["canonical_id"].tolist()) == [1, 3]
 
 
+def test_exact_dedup_groups_member_ids_cap_binds(spark):
+    """r10 (VERDICT r9 item 1): a dup-group bigger than MEMBER_IDS_CAP
+    keeps EXACT canonical_id/n_members while the id readout is the cap
+    smallest ids — and the cap is enforced inside the aggregate, so the
+    buffer never holds the whole group (plan-pinned in test_plans)."""
+    import pandas as pd
+
+    from dask_ssh_docker_spark.operators.dedup import (
+        MEMBER_IDS_CAP,
+        exact_dedup_groups,
+    )
+
+    n = MEMBER_IDS_CAP * 2 + 50
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(n), "text": ["same boilerplate text"] * n}
+        )
+    )
+    g = exact_dedup_groups(df, "text", "doc_id").toPandas()
+    assert len(g) == 1
+    row = g.iloc[0]
+    assert row["n_members"] == n  # count stays exact past the cap
+    assert row["canonical_id"] == 0
+    assert list(row["member_ids"]) == list(range(MEMBER_IDS_CAP))
+    # custom cap honored too
+    g4 = exact_dedup_groups(df, "text", "doc_id", member_ids_cap=4).toPandas()
+    assert list(g4.iloc[0]["member_ids"]) == [0, 1, 2, 3]
+    assert g4.iloc[0]["n_members"] == n
+
+
 def test_minhash_verified_pairs_match_exact(spark):
     """LSH candidates are verified with exact Jaccard, so every surviving
     pair must appear in the all-pairs baseline; recall should be high for
