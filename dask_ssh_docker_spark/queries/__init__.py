@@ -80,6 +80,7 @@ _PRIORITY = [
     "dedup_exact_groups",
     "inverted_index_postings",
     "sim_topk_lsh",
+    "math_functions",  # price_k integer-cents round (zipf-sweep find)
     # -- 1. stalest driver evidence (last checked r3) --
     "q16_supplier_part_variety",
     "q17_small_qty_revenue",

@@ -145,7 +145,8 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_orderkey,
       l_linenumber,
       abs(l_discount - 0.05)                    AS disc_dev,
-      round(l_extendedprice / 1000, 2)          AS price_k,
+      CAST(floor((CAST(round(l_extendedprice * 100) AS BIGINT) + 500)
+                 / 1000.0) AS DOUBLE) / 100     AS price_k,
       CAST(floor(l_quantity / 10) AS BIGINT)    AS qty_decile,
       CAST(ceil(l_tax * 100) AS BIGINT)         AS tax_pct_ceil,
       round(sqrt(l_extendedprice), 6)           AS price_sqrt,
@@ -169,7 +170,23 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-        F.round(F.col("l_extendedprice") / 1000, 2).alias("price_k"),
+        # exact half-up round of price/1000 to 2 dp via integer cents:
+        # a 2-dp price / 1000 lands exactly on .xx5 boundaries, where
+        # round(double) diverges across engines (Spark HALF_UPs the
+        # shortest decimal repr, DuckDB rounds the binary double:
+        # 19.435 → 19.44 vs 19.43), and DuckDB's `/` on DECIMALs returns
+        # DOUBLE so decimal arithmetic can't carry the division either.
+        # floor((cents+500)/1000)/100 is exact integer math in both
+        # engines (the double division is safe: quotients sit ≥1e-3 from
+        # integer boundaries, ~1e10 ulps at this magnitude).  Found by
+        # the r10 zipf-corpus oracle sweep.
+        (
+            F.floor(
+                (F.round(F.col("l_extendedprice") * 100).cast("bigint") + 500)
+                / 1000.0
+            ).cast("double")
+            / 100
+        ).alias("price_k"),
         F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
         F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
         F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
