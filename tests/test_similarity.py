@@ -271,3 +271,34 @@ def test_arrow_bruteforce_matches_jvm_bruteforce(spark):
         # ... with matching cosines at the rounded precision
         for vid in jd:
             assert abs(jd[vid] - ad[vid]) <= 1e-6, (q, vid, jd[vid], ad[vid])
+
+
+def test_lsh_topk_duplicate_input_ids_dont_multiply(spark):
+    """ADVICE r9: if queries/corpus carry duplicate ids (equal rows), the
+    candidate re-attach joins must not multiply pairs — one corpus_id may
+    occupy at most one top-k slot per query, and the result must equal
+    the dedup-input run exactly."""
+    from dask_ssh_docker_spark.operators.similarity import lsh_topk
+    from dask_ssh_docker_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    dup_q = queries.unionAll(queries)          # every query id twice
+    dup_c = corpus.unionAll(corpus.limit(50))  # 50 corpus ids twice
+    kw = dict(k=5, bits=6, tables=16, dim=64)
+    clean = sorted(
+        (r.query_id, r.vec_id, r.rank) for r in lsh_topk(queries, corpus, **kw).collect()
+    )
+    duped = sorted(
+        (r.query_id, r.vec_id, r.rank) for r in lsh_topk(dup_q, dup_c, **kw).collect()
+    )
+    assert duped == clean
+    per_slot = {}
+    for q, v, _ in duped:
+        per_slot[(q, v)] = per_slot.get((q, v), 0) + 1
+    assert all(c == 1 for c in per_slot.values())
