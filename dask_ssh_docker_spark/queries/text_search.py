@@ -173,18 +173,37 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.
 
     Scale (VERDICT r9 item 1 — counts first, arrays last): pass 1 is a
-    partial-aggregatable counts-only pass (countDistinct + count — no
-    per-term array ever buffers), the 50-row top-df frame broadcasts
+    partial-aggregatable counts-only pass (an explicit (term, did)
+    pre-aggregate — no per-term array ever buffers, and no countDistinct
+    Expand doubling the exchange), the 50-row top-df frame broadcasts
     into a semi-join, and only the 50 surviving terms' postings are
     collected in pass 2.  The previous shape built the posting array for
     EVERY term — including stopword-grade terms whose group scales
     linearly with the corpus — before the top-50 cut: one hot term's
     aggregation buffer would hold tens of millions of ids in a single
     hash-agg cell at 100 TB.  Plan-asserted (tests/test_plans.py): no
-    collect_* aggregate upstream of the top-k cut.  At 100 TB the full
-    index (all terms) is written partitioned by term range as arrays
-    (delta-encoded ints), never as one driver-side string — the string
-    join here is the bounded top-50 validation readout."""
+    collect_* aggregate upstream of the top-k cut.
+
+    Single scan (r10 second pass): both the counts branch and the
+    postings branch sit on the SAME canonical (term, did) pre-aggregate
+    exchange, so AQE's stage cache computes the scan + tokenize +
+    (term, did) shuffle once and reuses its map output for the second
+    consumer.  Two things make the subtrees canonically identical:
+    (1) the semi-join condition carries a trivially-true reference to
+    the aggregate output (``tf >= 1``; count is never below 1) so
+    PushDownLeftSemiAntiJoin cannot push the join below the
+    pre-aggregate — pushed down, the postings branch would tokenize the
+    corpus a second time (measured: the re-scan alone costs as much as
+    all of pass 1); (2) the top-50 frame is left un-checkpointed so the
+    broadcast side shares the same stage instead of re-running pass 1
+    in a separate job.  Measured at sf1 (warm, BENCH_NOTES r10 §5):
+    2.6-3.1 s vs 5.6-6.6 s for the two-scan shape — pass 1 alone is
+    2.3-2.5 s, so the whole query now costs pass 1 + ~0.4 s.
+
+    At 100 TB the full index (all terms) is written partitioned by term
+    range as arrays (delta-encoded ints), never as one driver-side
+    string — the string join here is the bounded top-50 validation
+    readout."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -192,21 +211,25 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_tokens("text")).alias("term"),
         F.col("doc_id").cast("string").alias("did"),
     )
-    # pass 1: counts only (countDistinct plans as a two-phase aggregate
-    # over (term, did) — bounded buffers), then the top-50 cut
-    counts = exploded.groupBy("term").agg(
-        F.countDistinct("did").alias("df"),
-        F.count(F.lit(1)).alias("total_tf"),
+    # the shared map stage: one scan + tokenize + (term, did) shuffle;
+    # buffers are scalar counts (bounded), never arrays
+    preagg = exploded.groupBy("term", "did").agg(
+        F.count(F.lit(1)).alias("tf")
     )
-    # the 50-row frame feeds BOTH the semi-join and the final join — lazy
-    # localCheckpoint so pass 1 runs once, not twice (measured pattern,
-    # BENCH_NOTES; 50 rows, so the checkpoint itself is free)
-    top = counts.orderBy(F.desc("df"), F.asc("term")).limit(50).localCheckpoint(eager=False)
-    # pass 2: re-derive the exploded frame (a scan+tokenize re-run is the
-    # 100 TB-right trade vs materializing the full exploded frame), keep
-    # only the 50 terms, and build exactly 50 posting arrays
+    counts = preagg.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    top = counts.orderBy(F.desc("df"), F.asc("term")).limit(50)
+    # pushdown barrier: `tf >= 1` references the aggregate output, so the
+    # semi-join stays ABOVE preagg and the exchange stays reusable
+    topterms = F.broadcast(top.select(F.col("term").alias("__t")))
     postings = (
-        exploded.join(F.broadcast(top.select("term")), "term", "left_semi")
+        preagg.join(
+            topterms,
+            (F.col("term") == F.col("__t")) & (F.col("tf") >= F.lit(1)),
+            "left_semi",
+        )
         .groupBy("term")
         .agg(
             F.array_join(F.sort_array(F.collect_set("did")), ",").alias(

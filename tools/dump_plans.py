@@ -48,7 +48,7 @@ QUERIES = [
     ("corpus_overlap_sources", "source overlap: codegen lead() k-grams, ONE vocabulary collect_set agg, per-shingle pair explode — no self-join"),
     ("dedup_semantic_semdedup", "SemDeDup: map-side Arrow centroid assignment + ONE cluster-id exchange into the greedy prune"),
     ("text_quality_linear_score", "linear quality scorer: token explode + hash-weight map-side, one doc-keyed partial agg"),
-    ("inverted_index_postings", "r10 counts-first index: counts-only agg -> top-50 -> broadcast LeftSemi -> postings for 50 terms only (no array buffers before the cut)"),
+    ("inverted_index_postings", "r10 counts-first index, single scan: shared (term,did) preagg stage reused by counts AND postings branches (tf>=1 pushdown barrier); broadcast LeftSemi; postings for 50 terms only"),
 ]
 
 
