@@ -522,6 +522,40 @@ def test_inverted_index_no_arrays_before_topk(spark, sf_dir, reg):
         )
 
 
+def test_inverted_index_single_scan_stage_reuse(spark, reg):
+    """r10 second pass (BENCH_NOTES r10 §5): the counts branch and the
+    postings branch must share ONE (term, did) pre-aggregate exchange so
+    the corpus is scanned + tokenized once, not twice.  The sharing
+    depends on the `tf >= 1` pushdown barrier in the semi-join condition
+    — without it PushDownLeftSemiAntiJoin rewrites the postings branch
+    into its own scan subtree (measured: the re-scan alone costs as much
+    as all of pass 1 at sf1).  Pins: (a) the analyzed semi-join condition
+    still references the aggregate output (the barrier survives), (b) the
+    executed adaptive plan contains a ReusedExchange — the runtime proof
+    that the second consumer read the first one's shuffle output."""
+    from dask_ssh_docker_spark.plans import _iter_plan_nodes
+
+    df = reg["inverted_index_postings"].fn(spark, "/root/testdata/sf0.001")
+    analyzed = df._jdf.queryExecution().analyzed()
+    semi_conds = [
+        n.condition().toString()
+        for n in _iter_plan_nodes(analyzed)
+        if n.getClass().getSimpleName() == "Join"
+        and "LeftSemi" in n.joinType().toString()
+    ]
+    assert any(
+        "tf" in c and ">=" in c for c in semi_conds
+    ), f"pushdown barrier (tf >= 1) missing from the semi-join: {semi_conds}"
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, (
+        "no ReusedExchange in the executed plan — the postings branch is "
+        "re-scanning and re-tokenizing the corpus instead of reusing the "
+        "(term, did) pre-aggregate stage"
+    )
+
+
 def test_exact_dedup_groups_bounded_member_buffer(spark, sf_dir, reg):
     """r10 (VERDICT r9 item 1): dedup_exact_groups' member_ids readout
     must be rank-bounded BEFORE aggregation — collect_list over a raw
