@@ -52,12 +52,25 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("t").alias("doc_len"), F.explode("t").alias("term")
     )
     tf = exploded.groupBy("doc_id", "doc_len", "term").agg(F.count("*").alias("cnt"))
-    # lazy lineage cut: tf feeds BOTH the df derivation and the scoring
-    # join — without it the tokenize→explode→count pipeline executes
-    # twice (A/B sf1: 5.1→3.1 s); the cut materializes it once at the
-    # volume the scoring join shuffles anyway
-    tf = tf.localCheckpoint(eager=False)
-    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf feeds BOTH the df derivation and the scoring join.  Earlier
+    # shape used a lazy localCheckpoint to avoid tokenizing twice; r10
+    # replaces it with exchange/stage reuse — strictly better at 100×
+    # (no corpus-scale local-disk materialization on top of the shuffle
+    # files that exist anyway, and no lost-executor recompute hazard).
+    # Two details make the branches' (doc_id, doc_len, term) exchanges
+    # canonically identical so AQE's stage cache computes the tokenize +
+    # count once (plan-pinned: ReusedExchange in the executed plan):
+    #  - df references the cnt output (`cnt >= 1` is always true for a
+    #    count(*), so this IS the distinct-doc count: tf is keyed by
+    #    (doc_id, ..., term), one row per doc per term) — without the
+    #    reference, column pruning narrows this branch's partial
+    #    aggregate to (doc_id, term) and the subtrees stop matching;
+    #  - no countDistinct (its Expand would likewise diverge the plan,
+    #    and it double-scans the exchange for nothing here).
+    # Measured sf1 warm: 3.9-4.4 s vs 5.8-8.5 s for the checkpoint shape.
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("cnt") >= 1, True)).alias("df")
+    )
     # n_docs as a broadcast 1-row aggregate (mirrors the oracle's CROSS
     # JOIN n) — keeps the plan lazy and single-scan instead of an eager
     # docs.count() driver action at query-build time

@@ -87,6 +87,25 @@ def test_tfidf_vocabulary_not_force_broadcast(spark, sf_dir, reg):
         assert "Aggregate" in node.child().toString()
 
 
+def test_tfidf_single_scan_stage_reuse(spark, reg):
+    """r10: tf feeds both the df derivation and the scoring join; the
+    two branches must share ONE (doc_id, doc_len, term) exchange so the
+    tokenize + count runs once — the reuse replaced a lazy
+    localCheckpoint (corpus-scale local-disk materialization at 100×).
+    The sharing depends on df's aggregate referencing the cnt output
+    (`cnt >= 1` blocks the column pruning that would diverge the partial
+    aggregates).  Pin the runtime proof: ReusedExchange in the executed
+    adaptive plan."""
+    df = reg["text_tfidf_top_terms"].fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, (
+        "no ReusedExchange — the df branch is re-tokenizing the corpus "
+        "instead of reusing the tf pre-aggregate stage"
+    )
+
+
 def test_theta_join_broadcasts_bounded_side(spark, sf_dir, reg):
     """join_range_theta hints the constant-size filtered orders side,
     never the SF-growing part table."""
