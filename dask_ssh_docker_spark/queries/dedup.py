@@ -643,14 +643,20 @@ def corpus_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", 3, extra_cols=("source",)
     ).select("source", "shingle")
     # one row per shingle: the sorted set of sources containing it —
-    # collect_set IS the distinct (no separate distinct() shuffle), and
-    # the localCheckpoint lets both consumers below reuse the frame
-    # instead of re-running the tokenize→shingle pipeline
+    # collect_set IS the distinct (no separate distinct() shuffle).  Both
+    # consumers below sit on this aggregate's exchange; their subtrees
+    # are canonically identical (both prune to `ss` alone), so AQE's
+    # stage cache runs the tokenize→shingle→shuffle once and each branch
+    # re-reads the map output (plan-pinned: ReusedExchange in the
+    # executed plan).  r10: this replaced a lazy localCheckpoint — at
+    # cluster scale a checkpoint of a corpus-scale frame is an extra
+    # executor-local materialization AND a fault barrier (lost executor
+    # = unrecoverable job, the lineage is cut), while reused shuffle
+    # output recomputes; measured par at sf1 (4.6-5.8 s both shapes).
     srcs = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_set("source")).alias("ss"))
         .select("ss")
-        .localCheckpoint(eager=False)
     )
     sizes = (
         srcs.select(F.explode("ss").alias("source"))

@@ -541,6 +541,24 @@ def test_inverted_index_no_arrays_before_topk(spark, sf_dir, reg):
         )
 
 
+def test_corpus_overlap_single_scan_stage_reuse(spark, reg):
+    """r10: corpus_overlap_sources' sizes branch and pair branch must
+    share the one vocabulary aggregate exchange (shingle text shuffles
+    once) — this replaced a corpus-scale lazy localCheckpoint (an
+    executor-local materialization that is also a fault barrier: the
+    cut lineage cannot recompute a lost executor's blocks, while reused
+    shuffle output can)."""
+    df = reg["corpus_overlap_sources"].fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, (
+        "no ReusedExchange — a consumer branch is re-running the "
+        "tokenize→shingle pipeline instead of reusing the vocabulary "
+        "aggregate's exchange"
+    )
+
+
 def test_inverted_index_single_scan_stage_reuse(spark, reg):
     """r10 second pass (BENCH_NOTES r10 §5): the counts branch and the
     postings branch must share ONE (term, did) pre-aggregate exchange so
