@@ -71,8 +71,8 @@ from . import assoc_analytics  # noqa: E402,F401
 #   1. all 16 names whose newest driver row is round 3 (judge-re-proved
 #      16/16 in r9, but the driver record should say so too);
 #   2. fill to 50 with the oldest r5-checked names.
-# The remaining 9 r5 names rotate in r11.  Names not listed keep their
-# import order after the listed ones.
+# The remaining r5 names (9 + the 3 displaced below) rotate in r11.
+# Names not listed keep their import order after the listed ones.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
@@ -81,6 +81,9 @@ _PRIORITY = [
     "inverted_index_postings",
     "sim_topk_lsh",
     "math_functions",  # price_k integer-cents round (zipf-sweep find)
+    # second r10 session: checkpoint→stage-reuse reshapes (BENCH_NOTES §5b)
+    "text_tfidf_top_terms",
+    "corpus_overlap_sources",
     # -- 1. stalest driver evidence (last checked r3) --
     "q16_supplier_part_variety",
     "q17_small_qty_revenue",
@@ -127,9 +130,6 @@ _PRIORITY = [
     "seasonality_dow_index",
     "wow_growth_weekly",
     "bitmap_distinct_users",
-    "text_top_bigram_coverage",
-    "feature_robust_scale",
-    "label_propagation_communities",
 ]
 
 
