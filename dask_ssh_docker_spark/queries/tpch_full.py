@@ -364,10 +364,22 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with maximum half-year revenue.  The MAX
     scalar subquery is a 1-row broadcast; equality is tested on exact
-    decimals so ties are engine-independent."""
+    decimals so ties are engine-independent.
+
+    Single scan (r10 audit): the revenue aggregate feeds both the MAX
+    branch and the winner filter.  The supplier join infers
+    ``isnotnull(l_suppkey)`` and pushes it into the main branch's scan
+    only, so without alignment the two branches' scan filters differ,
+    the exchange subtrees stop canonicalizing equal, and the filtered
+    lineitem scan + partial aggregate runs TWICE.  The explicit
+    ``isNotNull`` below (a no-op on data: l_suppkey is non-null by the
+    TPC-H schema contract, and a null key could never join supplier
+    anyway) makes both branches scan identically → ReusedExchange
+    (plan-pinned)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        & F.col("l_suppkey").isNotNull()
     )
     supp = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(F.sum(dec("l_extendedprice")).alias("tr"))

@@ -541,6 +541,21 @@ def test_inverted_index_no_arrays_before_topk(spark, sf_dir, reg):
         )
 
 
+def test_q15_single_scan_stage_reuse(spark, reg):
+    """r10 audit: q15's revenue aggregate feeds the MAX branch and the
+    winner filter; the scan filters must stay aligned (explicit
+    isnotnull(l_suppkey) matching the join's inferred pushdown) so the
+    exchange reuses instead of scanning filtered lineitem twice."""
+    df = reg["q15_top_supplier"].fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, (
+        "no ReusedExchange — the MAX branch re-scans lineitem; check "
+        "that both branches' pushed filters still align"
+    )
+
+
 def test_corpus_overlap_single_scan_stage_reuse(spark, reg):
     """r10: corpus_overlap_sources' sizes branch and pair branch must
     share the one vocabulary aggregate exchange (shingle text shuffles
