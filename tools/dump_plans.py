@@ -45,7 +45,9 @@ QUERIES = [
     ("cusum_changepoint_daily", "CUSUM: day-grain agg first; ordered scan + exact decimal x integer statistic over the bounded daily summary"),
     ("ks_binned_click_view", "binned KS: map-side bin + <=256-cell agg; CDF window over the bounded summary only"),
     ("dedup_incremental_bloom", "incremental dedup: bloom bitmap broadcast + map-side probes; definitely-new rows shuffle-free, exact anti join on the maybe sliver only"),
-    ("corpus_overlap_sources", "source overlap: codegen lead() k-grams, ONE vocabulary collect_set agg, per-shingle pair explode — no self-join"),
+    ("corpus_overlap_sources", "source overlap: codegen lead() k-grams, ONE vocabulary collect_set agg reused by both consumers (r10: checkpoint dropped), per-shingle pair explode — no self-join"),
+    ("text_tfidf_top_terms", "TF-IDF: ONE (doc,len,term) tf exchange shared by df branch and scoring join (r10: cnt-referencing df agg blocks pruning divergence; checkpoint dropped)"),
+    ("q15_top_supplier", "TPC-H Q15: revenue exchange reused by MAX branch and winner filter (r10: isnotnull alignment); 1-row broadcast max"),
     ("dedup_semantic_semdedup", "SemDeDup: map-side Arrow centroid assignment + ONE cluster-id exchange into the greedy prune"),
     ("text_quality_linear_score", "linear quality scorer: token explode + hash-weight map-side, one doc-keyed partial agg"),
     ("inverted_index_postings", "r10 counts-first index, single scan: shared (term,did) preagg stage reused by counts AND postings branches (tf>=1 pushdown barrier); broadcast LeftSemi; postings for 50 terms only"),
