@@ -311,6 +311,37 @@ def embedding_neardup_pairs(
     )
 
 
+def neardup_bits_for(
+    n_rows: int, target_bucket_rows: int = 64, floor_bits: int = 8
+) -> int:
+    """Scale-appropriate hyperplane count for ``lsh_neardup_pairs``.
+
+    At FIXED bits the candidate volume of the bucket self-join is
+    ~n²·T/2^bits — quadratic in the corpus.  Measured consequence
+    (BENCH_NOTES r10 §10): at sf10 (200k isotropic vectors) the default
+    8 bits put ~780 rows in every one of 2048 bucket cells → ~0.6B
+    candidate id-pairs through the join + distinct, which spilled a
+    local executor to disk-full.  Holding the expected bucket occupancy
+    constant instead (``bits = log2(n / target_bucket_rows)``) makes
+    candidates ~n·target·T/2 — LINEAR in n: the knob must scale with
+    log2(corpus), exactly like PQ's shortlist scales with corpus
+    (tests/test_pq.py lesson, r5).  The floor keeps small/validation
+    corpora on the historical bucketization (≤ ~16k rows → 8 bits →
+    byte-identical outputs to every prior round's record).
+
+    More bits at fixed tables lowers per-pair recall for BORDERLINE
+    pairs (p_bucket = (1−θ/π)^bits per table); true near-dups
+    (sim ≥ 0.9, θ ≤ 26°) keep p ≈ 0.16/table at 12 bits → 0.75 over 8
+    tables.  Tune ``tables`` up alongside if the borderline band
+    matters; the subset-of-exact guarantee is bits-independent (every
+    candidate is exact-verified)."""
+    import math
+
+    if n_rows <= 0:
+        return floor_bits
+    return max(floor_bits, math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows))))
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -323,7 +354,11 @@ def lsh_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs restricted to LSH-bucket cohabitants — the scale
     path: |rows|·T bucket tuples shuffle instead of n² pairs.  Pass
-    ``dim`` to keep plan construction job-free (see ``lsh_bucketed``)."""
+    ``dim`` to keep plan construction job-free (see ``lsh_bucketed``)
+    and size ``bits`` with ``neardup_bits_for(corpus_rows)`` — the
+    default 8 is the ≤16k-row validation bucketization and goes
+    quadratic-candidate at larger corpora (see that helper's docstring
+    for the measured sf10 failure)."""
     from ..functions.vector import dot, l2_norm
 
     bkt = lsh_bucketed(df, id_col, vec_col, bits, tables, seed, dim=dim)

@@ -114,9 +114,29 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_neardup_lsh", oracle=None)
 def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup pairs (scale path for sim_neardup_pairs)."""
+    """LSH-bucketed near-dup pairs (scale path for sim_neardup_pairs).
+
+    ``bits`` scales with log2(corpus) via ``neardup_bits_for`` — fixed
+    bits make the bucket join's candidate volume quadratic in the
+    corpus (measured executor spill-to-disk-full at sf10, BENCH_NOTES
+    r10 §10).  The row count comes from the parquet footer (pure
+    metadata, no Spark job — plan construction stays job-free per
+    tests/test_similarity.py); at 100 TB the caller passes catalog
+    stats the same way.  The ≥8-bit floor keeps every validation-scale
+    corpus (≤16k rows) on the historical bucketization, so driver-gate
+    outputs are unchanged."""
+    from ..operators.similarity import neardup_bits_for
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(emb, threshold=0.4, dim=64).orderBy("id_a", "id_b")
+    try:
+        import pyarrow.parquet as papq
+
+        n = papq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    except Exception:
+        n = emb.count()  # non-local path: one metadata-cheap job
+    return lsh_neardup_pairs(
+        emb, threshold=0.4, bits=neardup_bits_for(n), dim=64
+    ).orderBy("id_a", "id_b")
 
 
 @query("sim_topk_ivf", oracle=None)

@@ -302,3 +302,25 @@ def test_lsh_topk_duplicate_input_ids_dont_multiply(spark):
     for q, v, _ in duped:
         per_slot[(q, v)] = per_slot.get((q, v), 0) + 1
     assert all(c == 1 for c in per_slot.values())
+
+
+def test_neardup_bits_scale_with_corpus():
+    """r10 sf10 finding: fixed bits make the neardup bucket join's
+    candidate volume ~n^2*T/2^bits (measured spill-to-disk-full at
+    200k isotropic vectors); neardup_bits_for holds expected bucket
+    occupancy constant instead, making candidates linear in n.  Pins:
+    the <=16k floor (validation corpora keep the historical 8-bit
+    bucketization, so driver-gate outputs never shift), and the
+    log2 growth at scale."""
+    from dask_ssh_docker_spark.operators.similarity import neardup_bits_for
+
+    # floor: every shipped validation corpus stays on 8 bits
+    for n in (0, 1, 500, 2_000, 16_384):
+        assert neardup_bits_for(n) == 8, n
+    # scale: occupancy-constant growth
+    assert neardup_bits_for(200_000) == 12
+    assert neardup_bits_for(2_000_000) == 15
+    # expected occupancy never exceeds the target by more than 2x
+    for n in (10**5, 10**6, 10**7, 10**9):
+        bits = neardup_bits_for(n)
+        assert n / 2**bits <= 128, (n, bits)

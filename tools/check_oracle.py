@@ -131,6 +131,12 @@ def _plain_session():
         SparkSession.builder.master("local[8]")
         .appName("check-oracle-plain")
         .config("spark.ui.enabled", "false")
+        # the GATE collects each full result to hash it (toPandas) — a
+        # full-table query at sf≥10 serializes >1 GiB of task results,
+        # tripping the 1g default.  This is gate plumbing, not operator
+        # behavior: the products never driver-collect unbounded frames
+        # (SCALE.md); only this comparison harness does.
+        .config("spark.driver.maxResultSize", "8g")
         .getOrCreate()
     )
 
@@ -176,7 +182,10 @@ def main() -> int:
     else:
         from dask_ssh_docker_spark.session import get_session
 
-        spark = get_session("check-oracle")
+        # maxResultSize: gate-only — see _plain_session's comment
+        spark = get_session(
+            "check-oracle", conf={"spark.driver.maxResultSize": "8g"}
+        )
 
     con = duckdb.connect()
     for t in TABLES:
