@@ -65,9 +65,24 @@ def _staged_shingles(df: DataFrame, text_col: str, id_col: str, shingle_k: int) 
 #: (``exact_dedup`` keeps/drops rows; a (fp, id) frame IS the membership).
 MEMBER_IDS_CAP = 100
 
+#: default window-salt for the exact-dedup family (VERDICT r10 residual 1,
+#: measured in tools/skew_probe.py claim 3): AQE cannot split window
+#: partitions, so a boilerplate fingerprint holding X% of the corpus routes
+#: X% of all rows through ONE task's sort.  Ranking within (fp, salt)
+#: spreads the hot group's sort over ``salt`` tasks at ~6% overhead on
+#: uniform corpora (2.07x faster at 2M rows / 20% hot), with outputs
+#: identical for any salt — so the hot-safe shape is the default; pass
+#: ``salt=1`` for the minimal single-exchange plan when group sizes are
+#: known bounded.
+HOT_GROUP_SALT = 16
+
 
 def exact_dedup_groups(
-    df: DataFrame, text_col: str, id_col: str, member_ids_cap: int = MEMBER_IDS_CAP
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    member_ids_cap: int = MEMBER_IDS_CAP,
+    salt: int = HOT_GROUP_SALT,
 ) -> DataFrame:
     """Group identical (normalized) texts: one row per content group with
     canonical (min) id, exact member count, and the ``member_ids_cap``
@@ -79,31 +94,90 @@ def exact_dedup_groups(
     BEFORE aggregation — a window ``row_number`` over (fp, id) streams
     through a spillable sort, and ``collect_list`` only ever sees rows
     with rank ≤ cap, so no per-group aggregation buffer scales with the
-    dup-group size.  The groupBy reuses the window's hash(fp)
-    partitioning and sort order (no second exchange; plan-asserted in
-    ``tests/test_plans.py``).
+    dup-group size.  At ``salt=1`` the groupBy reuses the window's
+    hash(fp) partitioning and sort order (ONE exchange total;
+    plan-asserted in ``tests/test_plans.py``).
+
+    Hot-group straggler (VERDICT r10 residual 1): AQE cannot split
+    window partitions, so one fingerprint holding X% of the corpus (a
+    boilerplate document duplicated at web scale) routes X% of all rows
+    through ONE task's sort.  ``salt > 1`` splits the window into
+    ``(fp, pmod(xxhash64(id), salt))`` — the hot group's sort spreads
+    over ``salt`` tasks, and the groupBy(fp) merge is combine-friendly
+    (map-side partial aggregation collapses each map task's hot-group
+    rows to one row, so no reduce task sees the group's row volume).
+    Output is IDENTICAL for any salt: per-cell rank ≤ cap keeps every
+    candidate for the global top-cap (any of the cap smallest ids is
+    within the cap smallest of its own cell), the merge buffer holds
+    ≤ salt×cap ids, and ``slice(sort_array(...), 1, cap)`` re-derives
+    the exact global readout.  Cost: a second (tiny: one row per
+    (fp,salt) cell after combine) exchange — measured in
+    ``tools/skew_probe.py`` claim 3 and recorded in BENCH_NOTES r11.
     """
     fp_ids = df.select(F.col(id_col), md5_fingerprint(text_col).alias("fp"))
-    w = Window.partitionBy("fp").orderBy(F.col(id_col))
-    ranked = fp_ids.withColumn("__rn", F.row_number().over(w))
+    if salt <= 1:
+        w = Window.partitionBy("fp").orderBy(F.col(id_col))
+        ranked = fp_ids.withColumn("__rn", F.row_number().over(w))
+        return ranked.groupBy("fp").agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_members"),
+            # collect_list skips NULLs: the when() leaves at most cap ids
+            # in the buffer; sort_array is over ≤ cap elements
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") <= member_ids_cap, F.col(id_col))
+                )
+            ).alias("member_ids"),
+        )
+    w = Window.partitionBy("fp", "__salt").orderBy(F.col(id_col))
+    ranked = fp_ids.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+    ).withColumn("__rn", F.row_number().over(w))
     return ranked.groupBy("fp").agg(
         F.min(id_col).alias("canonical_id"),
         F.count("*").alias("n_members"),
-        # collect_list skips NULLs: the when() leaves at most cap ids in
-        # the buffer; sort_array is over ≤ cap elements
-        F.sort_array(
-            F.collect_list(
-                F.when(F.col("__rn") <= member_ids_cap, F.col(id_col))
-            )
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") <= member_ids_cap, F.col(id_col))
+                )
+            ),
+            1,
+            member_ids_cap,
         ).alias("member_ids"),
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep one row (min id) per identical normalized text."""
-    w = Window.partitionBy(md5_fingerprint(text_col)).orderBy(F.col(id_col))
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, salt: int = HOT_GROUP_SALT
+) -> DataFrame:
+    """Keep one row (min id) per identical normalized text.
+
+    ``salt > 1`` is the hot-group posture (same rationale as
+    ``exact_dedup_groups``): round 1 ranks within ``(fp, salt_cell)`` so
+    the boilerplate group's sort spreads over ``salt`` tasks; round 2
+    re-ranks the ≤ ``salt`` per-cell winners within ``fp`` — a window
+    over at most ``salt`` rows per group, never the group's row volume.
+    Output identical for any salt (the global min-id row is the min of
+    its cell, so it survives round 1)."""
+    fp = md5_fingerprint(text_col)
+    if salt <= 1:
+        w = Window.partitionBy(fp).orderBy(F.col(id_col))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    cell = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+    w1 = Window.partitionBy(fp, cell).orderBy(F.col(id_col))
+    winners = (
+        df.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(fp).orderBy(F.col(id_col))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        winners.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )

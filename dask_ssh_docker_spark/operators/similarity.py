@@ -329,17 +329,57 @@ def neardup_bits_for(
     corpora on the historical bucketization (≤ ~16k rows → 8 bits →
     byte-identical outputs to every prior round's record).
 
-    More bits at fixed tables lowers per-pair recall for BORDERLINE
-    pairs (p_bucket = (1−θ/π)^bits per table); true near-dups
-    (sim ≥ 0.9, θ ≤ 26°) keep p ≈ 0.16/table at 12 bits → 0.75 over 8
-    tables.  Tune ``tables`` up alongside if the borderline band
-    matters; the subset-of-exact guarantee is bits-independent (every
-    candidate is exact-verified)."""
+    More bits at fixed tables lowers per-pair recall (p_bucket =
+    (1−θ/π)^bits per table) — pair with ``neardup_tables_for(bits)``,
+    which raises the table count alongside so design-band recall stays
+    constant as the corpus grows (ADVICE r10).  The subset-of-exact
+    guarantee is bits-independent (every candidate is exact-verified)."""
     import math
 
     if n_rows <= 0:
         return floor_bits
     return max(floor_bits, math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows))))
+
+
+def neardup_tables_for(
+    bits: int,
+    design_sim: float = 0.9,
+    target_recall: float = 0.93,
+    floor_tables: int = 8,
+) -> int:
+    """Table count holding DESIGN-BAND recall constant as ``bits`` grows.
+
+    ``neardup_bits_for`` keeps the bucket join linear in the corpus, but
+    bits alone at fixed tables collapses recall (ADVICE r10): the
+    per-table bucket probability for a pair at similarity s is
+    p = (1−θ/π)^bits with θ = arccos(s), and recall over T tables is
+    1−(1−p)^T.  At the query's
+    own 0.4 threshold, 8 tables give ~18% at 8 bits but ~3% at the 12
+    bits chosen at sf10.  This helper sizes T so recall at the DESIGN
+    similarity (0.9 — the band "near-duplicate" actually means) never
+    degrades: T = ⌈ln(1−R)/ln(1−p(0.9)^bits)⌉, floored at the
+    historical 8 so validation-scale runs (8 bits) are byte-identical
+    to every prior round's record (T(8)=8).
+
+    Growth law: p(0.9) = 0.8564, so T ∝ (1/0.8564)^bits = 2^(0.224·bits)
+    → with bits = log2(n/64), T ∝ (n/64)^0.224 and total candidate
+    volume ∝ n^1.22 — the standard LSH ρ-exponent trade, mildly
+    super-linear instead of the quadratic fixed-bits path or the
+    recall collapse of fixed tables.  Concrete points: bits 8 → T 8
+    (recall 0.935 at sim 0.9, 0.18 at 0.4); bits 12 (sf10, 200k rows)
+    → T 16 (0.93 at 0.9, 0.062 at 0.4 — degraded but 5× the fixed-T
+    figure and measured, not silent:
+    tests/test_similarity.py::test_neardup_recall_at_scale).
+    Borderline-band (sim≈0.4) recall is NOT a design target at scale —
+    66° apart is not a near-duplicate; callers needing exhaustive 0.4
+    pairs use ``embedding_neardup_pairs`` (exact, validation-capped)."""
+    import math
+
+    p = (1.0 - math.acos(design_sim) / math.pi) ** bits
+    if p >= 1.0:
+        return floor_tables
+    t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p))
+    return max(floor_tables, t)
 
 
 def lsh_neardup_pairs(

@@ -64,72 +64,74 @@ from . import assoc_analytics  # noqa: E402,F401
 # rotates every round so no query's newest driver row goes stale
 # (tools/check_all.sh enforces that every registry name has appeared in at
 # least one recorded window, and tools/check_never_checked.py additionally
-# reports per-name staleness).  Round-10 window (VERDICT r9 items 1+2):
-#   0. queries whose machinery CHANGED in r10 (dedup_exact_groups
-#      member_ids rank-bound; inverted_index_postings counts-first top-k;
-#      sim_topk_lsh re-attach-side dedup per ADVICE r9);
-#   1. all 16 names whose newest driver row is round 3 (judge-re-proved
-#      16/16 in r9, but the driver record should say so too);
-#   2. fill to 50 with the oldest r5-checked names.
-# The remaining r5 names (9 + the 3 displaced below) rotate in r11.
+# reports per-name staleness).  Round-11 window (VERDICT r10 item 1):
+#   0. queries whose machinery CHANGED in r11 (dedup_exact_groups salted
+#      hot-group window — output-identical, re-prove the hash anyway;
+#      sim_neardup_lsh tables-scaling per ADVICE r10; q15_top_supplier
+#      oracle now mirrors the isNotNull filter per ADVICE r10);
+#   1. the 12 names whose newest driver row is round 5 — the whole
+#      remaining staleness debt (judge re-proved 12/12 in r10, but the
+#      driver record should say so too);
+#   2. ALL 33 names last checked round 6, plus the 2 oldest r7 names —
+#      after this window the oldest evidence anywhere is r7.
 # Names not listed keep their import order after the listed ones.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- 0. machinery changed r10: re-prove first --
+    # -- 0. machinery changed r11: re-prove first --
     "dedup_exact_groups",
-    "inverted_index_postings",
-    "sim_topk_lsh",
-    "math_functions",  # price_k integer-cents round (zipf-sweep find)
-    # second r10 session: checkpoint→stage-reuse reshapes (BENCH_NOTES §5b)
-    "text_tfidf_top_terms",
-    "corpus_overlap_sources",
-    # -- 1. stalest driver evidence (last checked r3) --
-    "q16_supplier_part_variety",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q20_excess_shipments",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "embedding_norm_stats",
-    "embedding_centroids_by_label",
-    "embedding_quantize_int8_stats",
-    "text_bigram_logprob",
-    "text_dup_sentence_fraction",
-    "retention_cohorts_weekly",
-    "qcut_order_price_quartiles",
-    "resample_hourly_gapfill",
-    "resample_hourly_ohlc",
-    "tok_len_histogram",
-    # -- 2. next-stalest (last checked r5) --
-    "window_ewma_bounded",
-    "window_rolling_corr",
-    "anomaly_zscore_ewma",
-    "multimodal_decode_image",
-    "rollup_cascade_daily_hll",
-    "variant_props_extract",
-    "read_xml_roundtrip",
-    "robust_outliers_mad",
-    "bloom_semi_join_revenue",
-    "regression_price_on_qty",
-    "chisq_flag_status",
-    "acf_daily_revenue",
-    "attribution_last_touch",
-    "text_bm25_rank",
-    "sample_weighted_wor",
-    "stream_static_enrich",
-    "ks_binned_click_view",
-    "psi_price_drift",
-    "benford_price_digits",
-    "target_encode_loo",
-    "feature_hash_signed",
-    "decayed_user_activity",
-    "holt_brown_forecast",
-    "sim_mmr_rerank",
-    "cusum_changepoint_daily",
-    "seasonality_dow_index",
-    "wow_growth_weekly",
-    "bitmap_distinct_users",
+    "sim_neardup_lsh",
+    "q15_top_supplier",
+    # -- 1. stalest driver evidence (last checked r5) --
+    "stream_psi_drift",
+    "label_propagation_communities",
+    "gdpr_cascade_delete_audit",
+    "text_top_bigram_coverage",
+    "feature_robust_scale",
+    "conversion_latency_quantiles",
+    "seasonal_decompose_daily",
+    "pareto_front_orders",
+    "funnel_weekly_trend",
+    "audience_overlap_pairs",
+    "text_pmi_cooccurrence",
+    "interarrival_stats_per_user",
+    # -- 2. next-stalest (last checked r6), complete set --
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_region_revenue",
+    "smoke_delayed_sum",
+    "window_rolling_median",
+    "asof_backward",
+    "text_quality",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "stream_dedup_watermark",
+    "stream_rate_cap_user",
+    "stream_mv_user_totals",
+    "multimodal_decode_audio",
+    "multimodal_image_features",
+    "agg_mode_per_group",
+    "feature_minmax_scale",
+    "winsorize_bounds_audit",
+    "entropy_event_mix",
+    "ab_test_welch",
+    "heavy_hitter_tokens",
+    "triangle_count_trade",
+    "variant_shred_roundtrip",
+    "cdc_merge_upsert",
+    "scd2_priority_history",
+    "cdc_snapshot_diff",
+    "join_skew_audit",
+    "sample_k_per_group",
+    "copurchase_part_pairs",
+    "dq_expectations_orders",
+    "npy_source_norms",
+    "agg_grouping_sets",
+    "markov_event_transitions",
+    "event_trigram_paths",
+    # -- 3. oldest r7 names (the next rotation frontier) --
+    "join_semi_orders",
+    "join_anti_customers",
 ]
 
 

@@ -119,13 +119,20 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bits`` scales with log2(corpus) via ``neardup_bits_for`` — fixed
     bits make the bucket join's candidate volume quadratic in the
     corpus (measured executor spill-to-disk-full at sf10, BENCH_NOTES
-    r10 §10).  The row count comes from the parquet footer (pure
+    r10 §10) — and ``tables`` scales alongside via
+    ``neardup_tables_for`` so design-band recall (sim ≥ 0.9) holds
+    ~0.93 at every scale instead of collapsing with the extra bits
+    (ADVICE r10; borderline 0.4-band recall still degrades with scale,
+    by a documented formula, measured in
+    tests/test_similarity.py::test_neardup_recall_at_scale — callers
+    needing exhaustive 0.4 pairs use the exact validation-capped twin).
+    The row count comes from the parquet footer (pure
     metadata, no Spark job — plan construction stays job-free per
     tests/test_similarity.py); at 100 TB the caller passes catalog
-    stats the same way.  The ≥8-bit floor keeps every validation-scale
-    corpus (≤16k rows) on the historical bucketization, so driver-gate
-    outputs are unchanged."""
-    from ..operators.similarity import neardup_bits_for
+    stats the same way.  The ≥8-bit / 8-table floors keep every
+    validation-scale corpus (≤16k rows) on the historical
+    bucketization, so driver-gate outputs are unchanged."""
+    from ..operators.similarity import neardup_bits_for, neardup_tables_for
 
     emb = load_table(spark, sf_dir, "embeddings")
     try:
@@ -134,8 +141,9 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = papq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     except Exception:
         n = emb.count()  # non-local path: one metadata-cheap job
+    bits = neardup_bits_for(n)
     return lsh_neardup_pairs(
-        emb, threshold=0.4, bits=neardup_bits_for(n), dim=64
+        emb, threshold=0.4, bits=bits, tables=neardup_tables_for(bits), dim=64
     ).orderBy("id_a", "id_b")
 
 

@@ -64,7 +64,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    count(*), so this IS the distinct-doc count: tf is keyed by
     #    (doc_id, ..., term), one row per doc per term) — without the
     #    reference, column pruning narrows this branch's partial
-    #    aggregate to (doc_id, term) and the subtrees stop matching;
+    #    aggregate to (doc_id, term) and the subtrees stop matching.
+    #    SCHEMA CONTRACT (ADVICE r10): the count==countDistinct rewrite
+    #    additionally requires doc_id to be UNIQUE in documents — a
+    #    duplicate doc_id with different text would contribute two
+    #    (doc_id, doc_len, term) rows and over-count df vs the oracle's
+    #    COUNT(DISTINCT doc_id).  Pinned by
+    #    tests/test_schema_policy.py::test_documents_doc_id_unique;
     #  - no countDistinct (its Expand would likewise diverge the plan,
     #    and it double-scans the exchange for nothing here).
     # Measured sf1 warm: 3.9-4.4 s vs 5.8-8.5 s for the checkpoint shape.

@@ -354,6 +354,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-07-01'
+        AND l_suppkey IS NOT NULL
       GROUP BY l_suppkey
     )
     SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
@@ -375,7 +376,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``isNotNull`` below (a no-op on data: l_suppkey is non-null by the
     TPC-H schema contract, and a null key could never join supplier
     anyway) makes both branches scan identically → ReusedExchange
-    (plan-pinned)."""
+    (plan-pinned).  The oracle mirrors the filter (``AND l_suppkey IS
+    NOT NULL``, ADVICE r10) so the pair stays exact even if data ever
+    violated the non-null contract — otherwise Spark's MAX would exclude
+    a NULL-suppkey revenue group the oracle's ``(SELECT MAX(tr))``
+    includes."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))

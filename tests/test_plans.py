@@ -87,7 +87,7 @@ def test_tfidf_vocabulary_not_force_broadcast(spark, sf_dir, reg):
         assert "Aggregate" in node.child().toString()
 
 
-def test_tfidf_single_scan_stage_reuse(spark, reg):
+def test_tfidf_single_scan_stage_reuse(spark, sf_dir, reg):
     """r10: tf feeds both the df derivation and the scoring join; the
     two branches must share ONE (doc_id, doc_len, term) exchange so the
     tokenize + count runs once — the reuse replaced a lazy
@@ -96,7 +96,7 @@ def test_tfidf_single_scan_stage_reuse(spark, reg):
     (`cnt >= 1` blocks the column pruning that would diverge the partial
     aggregates).  Pin the runtime proof: ReusedExchange in the executed
     adaptive plan."""
-    df = reg["text_tfidf_top_terms"].fn(spark, "/root/testdata/sf0.001")
+    df = reg["text_tfidf_top_terms"].fn(spark, sf_dir)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
@@ -541,12 +541,12 @@ def test_inverted_index_no_arrays_before_topk(spark, sf_dir, reg):
         )
 
 
-def test_q15_single_scan_stage_reuse(spark, reg):
+def test_q15_single_scan_stage_reuse(spark, sf_dir, reg):
     """r10 audit: q15's revenue aggregate feeds the MAX branch and the
     winner filter; the scan filters must stay aligned (explicit
     isnotnull(l_suppkey) matching the join's inferred pushdown) so the
     exchange reuses instead of scanning filtered lineitem twice."""
-    df = reg["q15_top_supplier"].fn(spark, "/root/testdata/sf0.001")
+    df = reg["q15_top_supplier"].fn(spark, sf_dir)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
@@ -556,14 +556,14 @@ def test_q15_single_scan_stage_reuse(spark, reg):
     )
 
 
-def test_corpus_overlap_single_scan_stage_reuse(spark, reg):
+def test_corpus_overlap_single_scan_stage_reuse(spark, sf_dir, reg):
     """r10: corpus_overlap_sources' sizes branch and pair branch must
     share the one vocabulary aggregate exchange (shingle text shuffles
     once) — this replaced a corpus-scale lazy localCheckpoint (an
     executor-local materialization that is also a fault barrier: the
     cut lineage cannot recompute a lost executor's blocks, while reused
     shuffle output can)."""
-    df = reg["corpus_overlap_sources"].fn(spark, "/root/testdata/sf0.001")
+    df = reg["corpus_overlap_sources"].fn(spark, sf_dir)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
@@ -574,7 +574,7 @@ def test_corpus_overlap_single_scan_stage_reuse(spark, reg):
     )
 
 
-def test_inverted_index_single_scan_stage_reuse(spark, reg):
+def test_inverted_index_single_scan_stage_reuse(spark, sf_dir, reg):
     """r10 second pass (BENCH_NOTES r10 §5): the counts branch and the
     postings branch must share ONE (term, did) pre-aggregate exchange so
     the corpus is scanned + tokenized once, not twice.  The sharing
@@ -587,7 +587,7 @@ def test_inverted_index_single_scan_stage_reuse(spark, reg):
     that the second consumer read the first one's shuffle output."""
     from dask_ssh_docker_spark.plans import _iter_plan_nodes
 
-    df = reg["inverted_index_postings"].fn(spark, "/root/testdata/sf0.001")
+    df = reg["inverted_index_postings"].fn(spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed()
     semi_conds = [
         n.condition().toString()
@@ -609,18 +609,26 @@ def test_inverted_index_single_scan_stage_reuse(spark, reg):
 
 
 def test_exact_dedup_groups_bounded_member_buffer(spark, sf_dir, reg):
-    """r10 (VERDICT r9 item 1): dedup_exact_groups' member_ids readout
-    must be rank-bounded BEFORE aggregation — collect_list over a raw
-    content-hash group buffers the whole dup-group (a boilerplate doc
-    duplicated millions of times = one array the size of the problem).
-    Pins: (a) the collect_list argument is the CASE WHEN rank guard, fed
-    by a Window row_number in its subtree; (b) the groupBy reuses the
-    window's hash(fp) partitioning — exactly one shuffle in the plan."""
+    """r10 (VERDICT r9 item 1) + r11 (VERDICT r10 residual 1):
+    dedup_exact_groups' member_ids readout must be rank-bounded BEFORE
+    aggregation — collect_list over a raw content-hash group buffers the
+    whole dup-group (a boilerplate doc duplicated millions of times =
+    one array the size of the problem).  Pins: (a) the collect_list
+    argument is the CASE WHEN rank guard, fed by a Window row_number in
+    its subtree; (b) the shipped query runs the SALTED shape (the
+    window partitions by (fp, __salt) so AQE's inability to split
+    window partitions cannot make one task sort a hot group; measured
+    2.07x at 2M rows / 20% hot, tools/skew_probe.py claim 3) — exactly
+    two exchanges: the (fp,salt) window shuffle + the combine-friendly
+    groupBy(fp) merge; (c) the salt=1 library shape still collapses to
+    the minimal single-exchange reuse plan."""
+    from dask_ssh_docker_spark.operators.dedup import exact_dedup_groups
     from dask_ssh_docker_spark.plans import (
         _iter_plan_nodes,
         count_exchanges,
         physical_plan,
     )
+    from dask_ssh_docker_spark.sources import load_table
 
     df = reg["dedup_exact_groups"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().analyzed()
@@ -640,4 +648,10 @@ def test_exact_dedup_groups_bounded_member_buffer(spark, sf_dir, reg):
         if c.getClass().getSimpleName() == "Window"
     ]
     assert windows, "expected the rank-guard Window below the aggregate"
-    assert count_exchanges(df) == 1, physical_plan(df)
+    wspec = windows[0].toString()
+    assert "__salt" in wspec, f"shipped query must use the salted window: {wspec}"
+    assert count_exchanges(df) == 2, physical_plan(df)
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = exact_dedup_groups(docs, "text", "doc_id", salt=1)
+    assert count_exchanges(plain) == 1, physical_plan(plain)

@@ -39,3 +39,20 @@ def test_no_driver_hostile_output_types(spark):
         "driver-visible output columns with banned types (serialize at the "
         f"query boundary): {offenders}"
     )
+
+
+def test_documents_doc_id_unique(spark, sf_dir):
+    """Testdata contract pin (ADVICE r10): text_tfidf_top_terms' df
+    derivation rewrites COUNT(DISTINCT doc_id) as a plain count over the
+    (doc_id, doc_len, term) pre-aggregate — equivalent ONLY while doc_id
+    is unique in documents (a duplicate doc_id with different text would
+    contribute two rows per (doc_id, term) and over-count df).  Assert
+    the uniqueness so a corpus that breaks the contract fails loudly
+    here instead of hash-mismatching downstream."""
+    from dask_ssh_docker_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    total, distinct = docs.selectExpr(
+        "count(*) AS n", "count(DISTINCT doc_id) AS d"
+    ).first()
+    assert total == distinct, f"documents.doc_id not unique: {total} vs {distinct}"

@@ -324,3 +324,85 @@ def test_neardup_bits_scale_with_corpus():
     for n in (10**5, 10**6, 10**7, 10**9):
         bits = neardup_bits_for(n)
         assert n / 2**bits <= 128, (n, bits)
+
+
+def test_neardup_tables_scale_with_bits():
+    """ADVICE r10: bits alone collapse recall at fixed tables;
+    neardup_tables_for holds design-band (sim>=0.9) recall ~0.93 as
+    bits grow.  Pins: the validation floor (8 bits -> 8 tables, so
+    every <=16k corpus keeps the historical config byte-identical) and
+    the 2^(0.224*bits) growth law at scale."""
+    import math
+
+    from dask_ssh_docker_spark.operators.similarity import neardup_tables_for
+
+    # validation floor: historical 8x8 config untouched
+    assert neardup_tables_for(8) == 8
+    # sf10's 12 bits -> 16 tables (recall at 0.9 stays >= 0.93)
+    assert neardup_tables_for(12) == 16
+    p09 = 1.0 - math.acos(0.9) / math.pi
+    for bits in (9, 10, 12, 15, 18):
+        t = neardup_tables_for(bits)
+        recall = 1.0 - (1.0 - p09**bits) ** t
+        assert recall >= 0.93, (bits, t, recall)
+        # growth stays the documented rho-trade (T ~ 8/p^(bits-8), small
+        # ceiling slack), not runaway
+        assert t <= 8 * (1 / p09) ** (bits - 8) * 1.15 + 1, (bits, t)
+
+
+def test_neardup_recall_at_scale(spark):
+    """ADVICE r10 measured pin: at a >16k-row corpus (so the scaled
+    bits/tables actually engage: 17.4k rows -> 9 bits, 10 tables),
+    recall on PLANTED pairs matches the documented formulas instead of
+    silently collapsing -- design band (sim~0.95) stays >= 0.85
+    (theory 0.93+), borderline band (sim~0.45) lands within binomial
+    noise of its predicted ~0.19 (the degradation is measured, not
+    silent)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from dask_ssh_docker_spark.operators.similarity import (
+        lsh_neardup_pairs,
+        neardup_bits_for,
+        neardup_tables_for,
+    )
+
+    rng = np.random.default_rng(7)
+    n_base, n_pl = 17_000, 200
+    base = rng.standard_normal((n_base, 64)).astype(np.float64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+
+    def plant(anchors: np.ndarray, c: float) -> np.ndarray:
+        noise = rng.standard_normal(anchors.shape)
+        # orthogonalize noise against each anchor, then mix to cosine c
+        noise -= (noise * anchors).sum(axis=1, keepdims=True) * anchors
+        noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+        return c * anchors + math.sqrt(1 - c * c) * noise
+
+    design = plant(base[:n_pl], 0.95)  # partners of ids 0..199
+    border = plant(base[1000 : 1000 + n_pl], 0.45)  # partners of 1000..1199
+    vecs = np.vstack([base, design, border])
+    ids = list(range(len(vecs)))
+    d0, b0 = n_base, n_base + n_pl  # partner id offsets
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+
+    bits = neardup_bits_for(len(vecs))
+    tables = neardup_tables_for(bits)
+    assert bits == 9 and tables == 10, (bits, tables)  # scaled config engaged
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(
+            df, threshold=0.4, bits=bits, tables=tables, dim=64
+        ).collect()
+    }
+    hit_design = sum((i, d0 + i) in got for i in range(n_pl)) / n_pl
+    hit_border = sum((1000 + i, b0 + i) in got for i in range(n_pl)) / n_pl
+
+    assert hit_design >= 0.85, f"design-band recall {hit_design}"
+    p45 = (1.0 - math.acos(0.45) / math.pi) ** bits
+    theory = 1.0 - (1.0 - p45) ** tables
+    assert abs(hit_border - theory) <= 0.12, (hit_border, theory)
