@@ -64,6 +64,12 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Lane override (tools/bench_fleet.py zipf lane, VERDICT r10 item 3):
+    # a comma-separated subset replaces HEADLINE so a lane can measure
+    # the dedup/text family on the realistic-vocabulary corpus without
+    # paying the full 31-query suite per pass.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    queries = [q for q in subset.split(",") if q] or HEADLINE
     m = re.search(r"sf([0-9.]+)", sf_dir)
     digits = m.group(1).strip(".") if m else ""
     sf = float(digits) if digits else None
@@ -101,7 +107,7 @@ def main() -> None:
     # compilation and file-listing costs that are not the operator's cost;
     # best-of-3 absorbs transient machine-load noise.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in queries:
         fn = REGISTRY[name].fn
         best = float("inf")
         for _ in range(3):

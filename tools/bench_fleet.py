@@ -30,6 +30,31 @@ import statistics
 import subprocess
 import sys
 
+# --- zipf lane (VERDICT r10 item 3) -----------------------------------
+# r10 proved the legacy corpus's 30-word vocabulary makes the dedup/text
+# family's numbers collision artifacts (95x shingle collision density;
+# BENCH_NOTES r10 §1): setsim looked pathological, minhash/simhash looked
+# artificially cheap.  The closing battery therefore runs these six on
+# the realistic 50k-term zipfian corpus at sf1, with per-query gates set
+# from the r10 zipf measurements (+ the r11 tfidf/bm25 baselines), judged
+# at fleet-min and only when the best lane pass's spark_floor is within
+# the healthy band (<= ZIPF_FLOOR_MAX) — same floor discipline as the
+# legacy gates.
+ZIPF_SF_DIR = "testdata_sf1_zipf/sf1"
+ZIPF_FLOOR_MAX = 1.05
+# Gates are for THIS measurement mode — bench.py steady-state best-of-3
+# in a warmed JVM (r11 baselines @ floor 0.76-0.93) — NOT the r10 cold
+# single-run sweep numbers (those were 2-7x higher: setsim 10.5-12.8,
+# minhash 11-14; BENCH_NOTES r10 §1).  ~50% headroom over baseline.
+ZIPF_GATES = {
+    "setsim_prefix_pairs": 2.5,  # r11 baseline 1.66
+    "dedup_minhash_clusters": 7.0,  # 4.67
+    "dedup_simhash_pairs": 7.0,  # 4.64
+    "dedup_winnow_spans": 5.0,  # 3.31
+    "text_tfidf_top_terms": 7.0,  # 4.77-5.08
+    "text_bm25_rank": 3.2,  # 2.13-2.19
+}
+
 CORE15 = [
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
@@ -49,24 +74,66 @@ CORE15 = [
 ]
 
 
+def _run_bench(root: str, i: int, env: dict | None = None, tag: str = "") -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "bench.py")],
+        capture_output=True,
+        text=True,
+        cwd=root,
+        env={**os.environ, **(env or {})},
+    )
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    if proc.returncode != 0 or not line.startswith("{"):
+        print(f"{tag}pass {i}: bench.py FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}")
+        raise SystemExit(1)
+    return json.loads(line)
+
+
+def zipf_lane(root: str, n_passes: int = 2) -> dict:
+    """Run the dedup/text-family lane on the zipfian-sf1 corpus and judge
+    ZIPF_GATES at fleet-min under the floor rule.  Returns the lane block
+    for the summary JSON."""
+    env = {
+        "SPARK_GRAFT_SF_DIR": os.path.join(root, ZIPF_SF_DIR),
+        "SPARK_GRAFT_BENCH_QUERIES": ",".join(ZIPF_GATES),
+    }
+    passes = []
+    for i in range(n_passes):
+        d = _run_bench(root, i, env, tag="zipf ")
+        passes.append(d)
+        print(
+            f"zipf pass {i}: total={d['value']} "
+            f"spark_floor={d['spark_floor']['total']}",
+            flush=True,
+        )
+    best_floor = min(p["spark_floor"]["total"] for p in passes)
+    floor_ok = best_floor <= ZIPF_FLOOR_MAX
+    gates = {}
+    for q, gate in ZIPF_GATES.items():
+        v = round(min(p["queries"][q] for p in passes), 3)
+        status = "deferred" if not floor_ok else ("pass" if v <= gate else "MISS")
+        gates[q] = {"gate": gate, "fleet_min": v, "status": status}
+    return {
+        "sf_dir": ZIPF_SF_DIR,
+        "passes": n_passes,
+        "pass_totals": [p["value"] for p in passes],
+        "pass_spark_floors": [p["spark_floor"]["total"] for p in passes],
+        "best_floor": best_floor,
+        "floor_band_ok": floor_ok,
+        "gates": gates,
+    }
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    out_json = sys.argv[2] if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 3
+    out_json = args[1] if len(args) > 1 else None
+    with_zipf = "--no-zipf" not in sys.argv[1:]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     passes = []
     for i in range(n):
-        proc = subprocess.run(
-            [sys.executable, os.path.join(root, "bench.py")],
-            capture_output=True,
-            text=True,
-            cwd=root,
-        )
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-        if proc.returncode != 0 or not line.startswith("{"):
-            print(f"pass {i}: bench.py FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}")
-            raise SystemExit(1)
-        d = json.loads(line)
+        d = _run_bench(root, i)
         passes.append(d)
         core = round(sum(d["queries"][q] for q in CORE15), 3)
         print(
@@ -106,6 +173,15 @@ def main() -> None:
         "pass_spark_floors": [p["spark_floor"]["total"] for p in passes],
         "pass_duckdb_floors": [p["duckdb_floor"]["total"] for p in passes],
     }
+    if with_zipf:
+        summary["zipf_lane"] = zipf_lane(root)
+        misses = [
+            q
+            for q, g in summary["zipf_lane"]["gates"].items()
+            if g["status"] == "MISS"
+        ]
+        if misses:
+            print(f"ZIPF LANE GATE MISS: {misses}", flush=True)
     line = json.dumps(summary)
     print(line)
     if out_json:
