@@ -255,6 +255,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(n_common AS DOUBLE)
           / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.35
     """,
+    # deep (sf>=10) sweeps route this query to the realistic zipf corpus:
+    # the legacy 30-word vocabulary defeats prefix filtering (~n²
+    # candidates in BOTH engines — corpus artifact, BENCH_NOTES r10 §1)
+    bench_corpus="zipf",
 )
 def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered set-similarity join (PPJoin filter stage): the

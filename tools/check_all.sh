@@ -11,8 +11,28 @@
 #   9m05 vs ~20m as two cold invocations)
 # - the fleet bench still runs alone on an idle machine (it is the only
 #   stage that MEASURES; gates only check)
+# --deep (VERDICT r10 item 4): once per round, BEFORE the closing fleet,
+# run the two gates that operate at sf10 — the full-registry oracle sweep
+# (the only gate that has ever caught a quadratic knob: sim_neardup_lsh,
+# BENCH_NOTES r10 §10; setsim routes to the zipf corpus via bench_corpus
+# so the only remaining skips are the 3 O(n²) validation baselines) and
+# the two-decade scaling probe.  Artifacts: ORACLE_SWEEP_SF10_deep.log +
+# DECADE_deep.json (rename per round when recording).  The oracle gate
+# session already carries the 8g maxResultSize gate fix.
 set -e
 cd "$(dirname "$0")/.."
+if [[ "${1:-}" == "--deep" ]]; then
+  echo "== deep: sf10 full-registry oracle sweep (zipf-routed) =="
+  t0=$SECONDS
+  python tools/check_oracle.py /root/repo/testdata_sf10/sf10 --ulp=2 \
+    --skip-capped --zipf-dir=/root/repo/testdata_sf10_zipf/sf10 \
+    2>&1 | tee ORACLE_SWEEP_SF10_deep.log
+  echo "deep sweep wall: $((SECONDS - t0))s" | tee -a ORACLE_SWEEP_SF10_deep.log
+  echo "== deep: two-decade scaling probe (sf1 + sf10) =="
+  SPARK_GRAFT_DRIVER_MEM=48g python tools/decade_probe.py \
+    /root/repo/testdata_sf1/sf1 /root/repo/testdata_sf10/sf10 DECADE_deep.json
+  shift
+fi
 echo "== never-checked guard =="
 python tools/check_never_checked.py
 echo "== doc-count guard =="

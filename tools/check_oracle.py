@@ -155,6 +155,7 @@ def main() -> int:
     ulp_tol = 0
     skip: set[str] = set()
     skip_capped = False
+    zipf_dir: str | None = None
     for a in sys.argv[1:]:
         if a.startswith("--ulp"):
             ulp_tol = int(a.split("=")[1]) if "=" in a else 2
@@ -168,6 +169,13 @@ def main() -> int:
             # ad-hoc exclusions; each skip is printed so the log stays
             # honest about what did not run
             skip = set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--zipf-dir="):
+            # deep-sweep corpus routing (VERDICT r10 item 7): queries
+            # registered with bench_corpus="zipf" run against THIS dir
+            # (Spark and DuckDB both) instead of sf_dir — replaces the
+            # documented sf10 skip for setsim_prefix_pairs, whose legacy-
+            # vocabulary behavior is a corpus artifact, not the operator
+            zipf_dir = a.split("=", 1)[1]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -192,22 +200,30 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    routes = {}
+    if zipf_dir:
+        con_z = duckdb.connect()
+        for t in TABLES:
+            con_z.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{zipf_dir}/{t}.parquet')"
+            )
+        routes["zipf"] = (con_z, zipf_dir)
 
     unknown = only - set(REGISTRY)
     if unknown:
         print(f"ERROR: unknown query name(s): {sorted(unknown)}")
         return 2
 
-    rc = _run_gate(spark, con, sf_dir, only, skip, ulp_tol)
+    rc = _run_gate(spark, con, sf_dir, only, skip, ulp_tol, routes)
     if both:
         print("\n== switching to plain driver-like session (same JVM) ==")
         spark.stop()
         spark = _plain_session()
-        rc |= _run_gate(spark, con, sf_dir, only, skip, ulp_tol)
+        rc |= _run_gate(spark, con, sf_dir, only, skip, ulp_tol, routes)
     return rc
 
 
-def _run_gate(spark, con, sf_dir, only, skip, ulp_tol) -> int:
+def _run_gate(spark, con, sf_dir, only, skip, ulp_tol, routes=None) -> int:
     from dask_ssh_docker_spark.queries import REGISTRY
 
     failures = []
@@ -218,9 +234,13 @@ def _run_gate(spark, con, sf_dir, only, skip, ulp_tol) -> int:
             print(f"SKIP  {name}: excluded by --skip (documented "
                   "validation-scale baseline at this sf)")
             continue
+        q_con, q_dir, route_note = con, sf_dir, ""
+        if routes and spec.bench_corpus in routes:
+            q_con, q_dir = routes[spec.bench_corpus]
+            route_note = f" [{spec.bench_corpus}-corpus]"
         t0 = time.time()
         try:
-            sdf = spec.fn(spark, sf_dir).toPandas()
+            sdf = spec.fn(spark, q_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
@@ -229,7 +249,7 @@ def _run_gate(spark, con, sf_dir, only, skip, ulp_tol) -> int:
             print(f"ok?   {name}: rows={len(sdf)} (no oracle, rows-only)")
             continue
         try:
-            odf = con.execute(spec.oracle).df()
+            odf = q_con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
@@ -256,7 +276,7 @@ def _run_gate(spark, con, sf_dir, only, skip, ulp_tol) -> int:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}  [{dt:.1f}s]")
         else:
-            print(f"PASS  {name}: rows={len(sdf)}{ulp_note}  [{dt:.1f}s]")
+            print(f"PASS  {name}: rows={len(sdf)}{ulp_note}{route_note}  [{dt:.1f}s]")
 
     print(f"\n{len(failures)} failures" if failures else "\nall green")
     return 1 if failures else 0
