@@ -120,9 +120,23 @@ class StandaloneCluster:
             _run(self.hosts[0], [f"{self.sbin}/start-master.sh"], env)
             self._started.append((self.hosts[0], "master"))
             _wait_port(self.hosts[0], self.port)
+            # A host listed N times runs N worker instances — the
+            # reference's Makefile runs exactly this layout (2× localhost,
+            # example/custom_image/Makefile:2-6).  Spark's own sbin
+            # scripts multiplex via SPARK_WORKER_INSTANCES (start AND
+            # stop honor it), so one start call per UNIQUE host launches
+            # all of its instances with non-conflicting ports.
+            counts: dict[str, int] = {}
             for host in self.hosts[1:]:
-                _run(host, [f"{self.sbin}/start-worker.sh", self.master_url], env)
-                self._started.append((host, "worker"))
+                counts[host] = counts.get(host, 0) + 1
+            for host, n_inst in counts.items():
+                wenv = (
+                    {**env, "SPARK_WORKER_INSTANCES": str(n_inst)}
+                    if n_inst > 1
+                    else env
+                )
+                _run(host, [f"{self.sbin}/start-worker.sh", self.master_url], wenv)
+                self._started.append((host, f"worker:{n_inst}"))
             return self.master_url
         except BaseException:
             self.stop()
@@ -131,9 +145,18 @@ class StandaloneCluster:
     def stop(self) -> None:
         # workers first, master last; never raise during teardown
         for host, role in reversed(self._started):
-            script = "stop-worker.sh" if role == "worker" else "stop-master.sh"
+            if role.startswith("worker"):
+                script = "stop-worker.sh"
+                n_inst = int(role.split(":")[1]) if ":" in role else 1
+                env = (
+                    {**self.env, "SPARK_WORKER_INSTANCES": str(n_inst)}
+                    if n_inst > 1
+                    else self.env
+                )
+            else:
+                script, env = "stop-master.sh", self.env
             try:
-                _run(host, [f"{self.sbin}/{script}"], self.env)
+                _run(host, [f"{self.sbin}/{script}"], env)
             except Exception:  # pragma: no cover - best-effort teardown
                 pass
         self._started.clear()

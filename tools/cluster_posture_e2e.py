@@ -20,7 +20,14 @@ Usage:
 
 Env: CLUSTER_POSTURE_QUERIES=a,b,c limits the query set (the pytest
 e2e assertion runs a 3-query subset; the full 16-query record is the
-BENCH_NOTES r10 evidence run).
+BENCH_NOTES evidence run).  CLUSTER_POSTURE_HOSTS sets the --hosts list
+(default "localhost,localhost,localhost" = master + TWO worker
+instances, the reference's own example layout —
+/root/reference/example/custom_image/Makefile:2-6 runs 2x localhost):
+two separate worker JVMs make every shuffle exercise REAL cross-executor
+fetch over the network stack, the leg a single-worker run cannot cover
+(VERDICT r10 item 5).  The cluster phase asserts the registered executor
+count matches the worker-instance count.
 
 The per-session pass is also the `main(argv)` the runner invokes, so the
 cluster phase exercises the full reference launch contract
@@ -139,10 +146,28 @@ def main(argv: list[str]) -> int:
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert pf == "false", f"cluster posture parallelismFirst={pf}"
     assert width >= 400, f"cluster shuffle width {width}"
+    expect = int(os.environ.get("CLUSTER_POSTURE_EXPECT_EXECUTORS", "0"))
+    if expect:
+        # getExecutorMemoryStatus counts the driver too; wait briefly for
+        # late executor registration before asserting
+        for _ in range(30):
+            n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+            if n_exec >= expect:
+                break
+            time.sleep(1)
+        assert n_exec == expect, (
+            f"expected {expect} executors (one per worker instance), got "
+            f"{n_exec} — multi-worker placement did not engage"
+        )
+        print(f"cluster executors registered: {n_exec}", flush=True)
     return run_phase(spark, sf_dir, out)
 
 
 def _orchestrate(sf_dir: str) -> int:
+    hosts = os.environ.get(
+        "CLUSTER_POSTURE_HOSTS", "localhost,localhost,localhost"
+    )
+    n_workers = len(hosts.split(",")) - 1
     env = {
         **os.environ,
         "PYTHONPATH": REPO,
@@ -151,6 +176,7 @@ def _orchestrate(sf_dir: str) -> int:
         "SPARK_WORKER_MEMORY": "8g",
         "SPARK_MASTER_WEBUI_PORT": "8985",
         "SPARK_WORKER_WEBUI_PORT": "8986",
+        "CLUSTER_POSTURE_EXPECT_EXECUTORS": str(n_workers),
     }
     local_out, cluster_out = "/tmp/posture_local.json", "/tmp/posture_cluster.json"
     print("== local phase ==", flush=True)
@@ -160,14 +186,18 @@ def _orchestrate(sf_dir: str) -> int:
     ).returncode
     if rc:
         return rc
-    print("== cluster phase (runner --hosts --launch) ==", flush=True)
+    print(
+        f"== cluster phase (runner --hosts {hosts} --launch; "
+        f"{n_workers} worker instances) ==",
+        flush=True,
+    )
     rc = subprocess.run(
         [
             sys.executable,
             "-m",
             "dask_ssh_docker_spark.runner",
             "--hosts",
-            "localhost,localhost",
+            hosts,
             "--launch",
             "--conf",
             "spark.ui.enabled=false",
