@@ -54,6 +54,68 @@ from .pq import (
 )
 
 
+def coarse_k_for(n_rows: int, floor_rows: int = 16_384, floor_k: int = 16) -> int:
+    """Corpus-scaled coarse-list count: ``k = ⌈√n⌉`` above the validation
+    floor (VERDICT r10 item 6 — the scaling law that makes probe cost
+    SUB-linear in the corpus at fixed nprobe).
+
+    With k lists and balanced occupancy, each query's ADC pass scans
+    ``nprobe · n/k`` codes.  At FIXED k the scan is linear in n — IVF
+    degenerates to PQ's full scan asymptotically; at ``k = √n`` (the
+    public-faiss sizing band, √n…16√n) it is ``nprobe · √n`` — the probe
+    side's analog of PQ's corpus-scaled shortlist and LSH's
+    corpus-scaled bits.  The fit side pays ``O(n·k·iters)`` ONCE per
+    corpus (distributed Lloyd) and is amortized across every query
+    batch — the fit-once/probe-many contract measured in BENCH_NOTES
+    r11.  The ≤ ``floor_rows`` floor keeps every validation corpus on
+    the historical k=16 config (recall pins at sf0.1 use nprobe=12/16 —
+    a deliberate 75% scan of isotropic noise, the adversarial corpus);
+    recall at fixed nprobe on REAL clustered embeddings is the quantity
+    production tunes nprobe against — this helper bounds COST, the
+    nprobe knob buys recall (scan fraction nprobe/√n shrinks with n, so
+    nprobe headroom GROWS with the corpus at equal cost).
+
+    Scan-volume law pinned by tests/test_ivfpq.py::
+    test_probe_scan_sublinear_in_corpus (measured scanned-row counts at
+    20k vs 80k, ratio ≈ 2 = √4, not 4)."""
+    import math
+
+    if n_rows <= floor_rows:
+        return floor_k
+    return math.ceil(math.sqrt(n_rows))
+
+
+def probe_scan_rows(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> int:
+    """Total code rows the ADC pass scans for this query frame — the
+    deterministic cost metric behind the ``coarse_k_for`` law (sum over
+    queries of the probed lists' occupancies).  Driver-side probe
+    selection mirrors ``ivfpq_topk``'s (same argsort tie-break)."""
+    import numpy as np
+
+    c_rows = centroids.collect()
+    C = np.zeros((max(r["centroid_id"] for r in c_rows) + 1, len(c_rows[0]["centroid"])))
+    for r in c_rows:
+        C[r["centroid_id"]] = r["centroid"]
+    occupancy = {
+        r["centroid_id"]: r["cnt"]
+        for r in index.groupBy("centroid_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = 0
+    for r in queries.select(query_vec).collect():
+        q = np.asarray(r[0], dtype=np.float64)
+        d2 = ((q[None, :] - C) ** 2).sum(axis=1)
+        for cid in np.argsort(d2, kind="stable")[:nprobe]:
+            total += occupancy.get(int(cid), 0)
+    return total
+
+
 def train_ivfpq(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -207,16 +207,30 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF bounds scan, PQ bounds memory; composed they multiply — the
     billion-scale default in public faiss.  Isotropic test noise forces
     nprobe=12/16 (same rationale as sim_topk_ivf); recall@10 ≥ 0.8 vs
-    brute force pinned at sf0.1 in tests/test_ivfpq.py."""
-    from ..operators.ivfpq import encode_ivfpq, ivfpq_topk, train_ivfpq
+    brute force pinned at sf0.1 in tests/test_ivfpq.py.
+
+    ``k_coarse`` scales as √corpus via ``coarse_k_for`` (VERDICT r10
+    item 6): at fixed k the ADC pass scans nprobe·n/k codes — LINEAR in
+    the corpus; at k=√n it is nprobe·√n, sub-linear, with the fit cost
+    paid once per corpus and amortized over every query batch
+    (fit/probe split measured in BENCH_NOTES r11).  The ≤16k floor
+    keeps validation corpora on the historical k=16 (recall pins
+    unchanged)."""
+    from ..operators.ivfpq import coarse_k_for, encode_ivfpq, ivfpq_topk, train_ivfpq
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    try:
+        import pyarrow.parquet as papq
+
+        n = papq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    except Exception:
+        n = emb.count()  # non-local path: one metadata-cheap job
     cents, cb = train_ivfpq(
-        corpus, k_coarse=16, coarse_iters=2, m=16, ks=16, dim=64
+        corpus, k_coarse=coarse_k_for(n), coarse_iters=2, m=16, ks=16, dim=64
     )
     # lazy lineage cut: ADC shortlist + re-rank both consume the encode
     # pass (the one corpus-scaling stage) — same rationale as sim_topk_pq

@@ -184,3 +184,61 @@ def test_adc_stride_on_clamped_codebook(spark):
     ).collect()
     assert {r.query_id: r.vec_id for r in got} == {q: q for q in range(5)}
     assert all(r.approx_dist is not None for r in got)
+
+
+def test_coarse_k_for_law():
+    """VERDICT r10 item 6: k_coarse must scale as sqrt(n) above the
+    validation floor -- at fixed k the ADC scan is linear in the corpus
+    (IVF degenerates to a full PQ scan); at k=sqrt(n) it is
+    nprobe*sqrt(n).  Floor keeps every validation corpus (<=16k) on the
+    historical k=16 so the sf0.1 recall pins are untouched."""
+    import math
+
+    from dask_ssh_docker_spark.operators.ivfpq import coarse_k_for
+
+    for n in (0, 100, 2_000, 16_384):
+        assert coarse_k_for(n) == 16, n
+    assert coarse_k_for(20_000) == math.ceil(math.sqrt(20_000))  # 142
+    assert coarse_k_for(200_000) == math.ceil(math.sqrt(200_000))  # 448
+    # expected per-query scan volume nprobe*n/k grows ~sqrt(n), never n
+    for n in (10**5, 10**6, 10**8):
+        k = coarse_k_for(n)
+        assert n / k <= math.sqrt(n) + 1, (n, k)
+
+
+def test_probe_scan_sublinear_in_corpus(spark):
+    """Measured scan-volume pin for the coarse_k_for law: quadrupling the
+    corpus (20k -> 80k isotropic vectors) must grow the ADC scan volume
+    ~2x (sqrt(4)), NOT 4x, at fixed nprobe.  Scan volume = sum over
+    queries of probed-list occupancies (probe_scan_rows -- the
+    deterministic cost metric, no wall-clock flake)."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_ssh_docker_spark.operators.ivf import build_index, train_centroids
+    from dask_ssh_docker_spark.operators.ivfpq import coarse_k_for, probe_scan_rows
+
+    rng = np.random.default_rng(11)
+    scanned = {}
+    for n in (20_000, 80_000):
+        vecs = rng.standard_normal((n, 16))
+        pdf = pd.DataFrame(
+            {"vec_id": range(n), "embedding": [v.tolist() for v in vecs]}
+        )
+        df = spark.createDataFrame(pdf)
+        k = coarse_k_for(n)
+        cents = train_centroids(df, k=k, iters=1)
+        idx = build_index(df, cents)
+        queries = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": range(5),
+                    "query_vec": [v.tolist() for v in rng.standard_normal((5, 16))],
+                }
+            )
+        )
+        scanned[n] = probe_scan_rows(queries, idx, cents, nprobe=8)
+    ratio = scanned[80_000] / scanned[20_000]
+    # sqrt-law target 2.0; isotropic occupancy imbalance gives slack --
+    # anything approaching 4.0 means the scan went linear
+    assert 1.3 <= ratio <= 3.0, (scanned, ratio)
