@@ -289,13 +289,23 @@ def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     member.
 
     Composition: MinHash bands → verify → connected components (the
-    exact machinery of ``dedup_clusters_minhash_cc``) + one ranking
-    window over the cluster key.  Rows-only (xxhash64 upstream);
-    ``tests/test_wave7.py`` pins survivor-per-cluster uniqueness, rule
-    correctness, and keep-set = cluster-count invariants.
+    exact machinery of ``dedup_clusters_minhash_cc``) + survivor
+    selection as a ``max_by`` AGGREGATION over the cluster key (r11).
+    Rows-only (xxhash64 upstream); ``tests/test_wave7.py`` pins
+    survivor-per-cluster uniqueness, rule correctness, and keep-set =
+    cluster-count invariants.
 
-    Scale: the window adds ONE cluster-keyed exchange of (id, n_chars)
-    rows on top of the CC output — bodies never move."""
+    Scale: survivor selection was a cluster-keyed ranking WINDOW — the
+    same one-task-per-hot-group shape the r11 skew probe measured for
+    exact dedup (AQE cannot split window partitions; a boilerplate
+    cluster with millions of members = one task's sort).  ``max_by(id,
+    struct(n_chars, -id))`` computes the identical survivor (longest
+    doc, tie → smallest id: lexicographic struct max) as a map-side-
+    combinable aggregate — every map task reduces its slice of a hot
+    cluster to ONE candidate row before the shuffle, so no task ever
+    sees a cluster's row volume and the sort disappears entirely.  One
+    tiny (cluster_id, survivor) frame joins back to the (id, n_chars)
+    membership; bodies never move."""
     from ..operators.dedup import (
         _hashed_shingles,
         cluster_min_label,
@@ -303,7 +313,6 @@ def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_candidates,
         minhash_signatures,
     )
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     sh_arr = (
@@ -325,15 +334,16 @@ def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = clusters.join(
         docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_chars"), F.asc("id")
-    )
-    ranked = sized.withColumn("rn", F.row_number().over(w))
-    surv = ranked.filter(F.col("rn") == 1).select(
-        "cluster_id", F.col("id").alias("survivor_doc_id")
+    # survivor via max_by over struct(n_chars, -id): lexicographic max =
+    # longest doc, tie -> smallest id — identical to the former ranking
+    # window, but map-side combinable (no per-cluster sort task)
+    surv = sized.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("id"), F.struct(F.col("n_chars"), (-F.col("id")).alias("nid"))
+        ).alias("survivor_doc_id")
     )
     return (
-        ranked.join(surv, "cluster_id")
+        sized.join(surv, "cluster_id")
         .select(
             F.col("id").alias("doc_id"),
             "cluster_id",
