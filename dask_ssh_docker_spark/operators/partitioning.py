@@ -22,7 +22,7 @@ file-statistics property (tests/test_partitioning.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -199,3 +199,47 @@ def pin_compute_width(df: DataFrame, *cols: str) -> DataFrame:
     spark = df.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(width, *cols)
+
+
+def salted_topk(
+    df: DataFrame,
+    part_cols: list[str],
+    order_by: list,
+    salt_on: str,
+    k: int,
+    salt: int = 16,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact per-group top-k (with exact 1..k ranks) that no single task
+    ever computes over a hot group's full row volume (r11; same rationale
+    as the exact-dedup salt — AQE cannot split window partitions, and a
+    top-k readout window over an unbounded group routes the whole group
+    through one sort task).
+
+    Round 1 ranks within ``(part_cols, pmod(xxhash64(salt_on), salt))``
+    and keeps rank ≤ k per cell — any global top-k row is within the
+    top-k of its own cell, so survivors (≤ salt·k per group) contain the
+    exact answer.  Round 2 re-ranks the survivors within ``part_cols``
+    over the same total order — a sort of ≤ salt·k rows per group.
+    Output rows and ranks are IDENTICAL to the single-window form for
+    any deterministic total order (``order_by`` must break ties, e.g. on
+    a unique id).  ``salt_on``: a column whose hash spreads group rows
+    across cells (any unique-ish id).  Cost: one extra (tiny) exchange.
+    ``salt<=1`` degrades to the classic single window."""
+    if salt <= 1:
+        w = Window.partitionBy(*part_cols).orderBy(*order_by)
+        return df.withColumn(rank_col, F.row_number().over(w)).filter(
+            F.col(rank_col) <= k
+        )
+    cell = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt))
+    w1 = Window.partitionBy(*part_cols, "__cell").orderBy(*order_by)
+    survivors = (
+        df.withColumn("__cell", cell)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__cell", "__rn1")
+    )
+    w2 = Window.partitionBy(*part_cols).orderBy(*order_by)
+    return survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )

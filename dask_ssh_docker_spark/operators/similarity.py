@@ -42,7 +42,16 @@ def brute_force_topk(
 
     ``queries`` must be small (it is broadcast); rename its id/vector
     columns to ``query_id``/``q_vec`` before the cross-score.
-    """
+
+    Ranking runs through ``salted_topk`` (r11): the classic single
+    ``Window.partitionBy(query_id)`` routes the ENTIRE scored corpus for
+    one query through one task's sort — the unsplittable-window
+    straggler (AQE cannot split window partitions), and for brute force
+    the group size IS the corpus.  The two-round form sorts n/salt rows
+    per task then re-ranks ≤ salt·k survivors; rows and ranks identical
+    (deterministic total order with the corpus-id tie-break)."""
+    from .partitioning import salted_topk
+
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("__qvec")
     )
@@ -50,13 +59,13 @@ def brute_force_topk(
         F.col(corpus_id), F.col(vec_col).alias("__cvec")
     ).crossJoin(F.broadcast(q))
     sim = cosine_similarity("__qvec", "__cvec")
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
-    return (
-        scored.withColumn("sim", sim)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, F.round("sim", 6).alias("sim"), "rank")
-    )
+    return salted_topk(
+        scored.withColumn("sim", sim),
+        [query_id],
+        [F.desc("sim"), F.asc(corpus_id)],
+        corpus_id,
+        k,
+    ).select(query_id, corpus_id, F.round("sim", 6).alias("sim"), "rank")
 
 
 def brute_force_topk_arrow(

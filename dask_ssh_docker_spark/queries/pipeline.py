@@ -274,24 +274,27 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 vocabulary terms per source — the corpus-inspection query
     behind data-mix debugging.  Shape: explode → partial/final count agg
     (map-side combined, one shuffle on (source, term)) → per-source
-    ranking window over the already-aggregated (small) frame.  Ties break
-    on term for determinism."""
+    top-5 via ``salted_topk`` (r11): the (source, term) frame is
+    VOCABULARY-scale per source (100M+ distinct terms per web source at
+    100 TB) and sources are few — a bare per-source ranking window is
+    the unsplittable hot-group sort; the two-round form sorts 1/16 per
+    task then re-ranks ≤ 16·5 survivors, rows/ranks identical.  Ties
+    break on term for determinism."""
+    from ..operators.partitioning import salted_topk
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     counted = (
         docs.select("source", F.explode(tokens("text")).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            "source",
-            "term",
-            F.col("cnt").cast("bigint").alias("cnt"),
-            F.col("rank").cast("bigint").alias("rank"),
-        )
+    return salted_topk(
+        counted, ["source"], [F.desc("cnt"), F.asc("term")], "term", 5
+    ).select(
+        "source",
+        "term",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("rank").cast("bigint").alias("rank"),
     )
 
 

@@ -191,3 +191,36 @@ def test_pin_compute_width_always_pins(spark):
         assert pin_compute_width(df, "k").count() == 1000
     finally:
         spark.conf.set(key, orig)
+
+
+def test_salted_topk_identical_to_single_window(spark):
+    """r11: the two-round hot-group-safe top-k must return EXACTLY the
+    single-window rows and ranks -- including on a hot group bigger than
+    salt*k and groups smaller than k -- for any deterministic total
+    order (tie-break on the unique salt_on column)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from dask_ssh_docker_spark.operators.partitioning import salted_topk
+
+    rows = []
+    # hot group: 2000 members, many score ties (forces the id tie-break)
+    for i in range(2000):
+        rows.append(("hot", i, float(i % 7)))
+    # small group: fewer members than k
+    for i in range(3):
+        rows.append(("tiny", 10_000 + i, float(i)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["grp", "id", "score"])
+    )
+    order = [F.desc("score"), F.asc("id")]
+    plain = salted_topk(df, ["grp"], order, "id", 10, salt=1).toPandas()
+    salted = salted_topk(df, ["grp"], order, "id", 10, salt=16).toPandas()
+    key = ["grp", "rank"]
+    pd.testing.assert_frame_equal(
+        plain.sort_values(key).reset_index(drop=True),
+        salted.sort_values(key).reset_index(drop=True),
+    )
+    tiny = salted[salted.grp == "tiny"]
+    assert len(tiny) == 3 and sorted(tiny["rank"]) == [1, 2, 3]
