@@ -141,6 +141,30 @@ def _plain_session():
     )
 
 
+def _duck_connect(sf_dir: str):
+    """Oracle connection with BOUNDED memory + disk spill (r11): at deep
+    sf the exact-baseline oracles (setsim's 26M-row shingle self-join at
+    zipf-sf10) outgrow RAM shared with the sweep's Spark JVM — DuckDB's
+    default limit is ~80% of the MACHINE, which the JVM already half
+    occupies, so the join either malloc-fails or triggers the OOM killer
+    (the r11 part-1 sweep died exactly there, exit 137).  A fixed limit
+    + temp_directory makes the oracle SPILL instead; insertion order is
+    irrelevant (the gate hashes order-insensitively), and dropping it
+    lets DuckDB stream more operators.  Override via
+    SPARK_GRAFT_DUCKDB_MEM."""
+    con = duckdb.connect()
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "40GB")
+    spill = f"/tmp/duckdb_spill_{os.getpid()}"
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute("SET preserve_insertion_order=false")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     plain = "--plain" in sys.argv[1:]
@@ -195,19 +219,10 @@ def main() -> int:
             "check-oracle", conf={"spark.driver.maxResultSize": "8g"}
         )
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = _duck_connect(sf_dir)
     routes = {}
     if zipf_dir:
-        con_z = duckdb.connect()
-        for t in TABLES:
-            con_z.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{zipf_dir}/{t}.parquet')"
-            )
-        routes["zipf"] = (con_z, zipf_dir)
+        routes["zipf"] = (_duck_connect(zipf_dir), zipf_dir)
 
     unknown = only - set(REGISTRY)
     if unknown:
