@@ -233,6 +233,21 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "setsim_prefix_pairs",
+    # The oracle is an INDEPENDENT pure-SQL PPJoin (r11): candidate
+    # generation from each doc's n − ⌈t·n⌉ + 1 rarest shingles (prefix
+    # lemma holds for ANY consistent global order — DuckDB uses its own
+    # (df, shingle) order, not Spark's), then EXACT verification of
+    # candidates only.  The former all-pairs shingle self-join oracle is
+    # Σc·(c−1)/2-quadratic on any realistic corpus head (measured
+    # 3.74B join pairs at zipf-sf10, max occupancy 40,507 → OOM/disk-full
+    # in the deep sweep) — the very pathology the operator exists to
+    # avoid, so the oracle now avoids it the same published way.
+    # Losslessness vs the true all-pairs baseline stays proven where it
+    # is feasible: tests/test_setsim.py pins prefix == all-pairs on the
+    # corpus AND on boundary-case frames, and dedup_jaccard_pairs keeps
+    # the quadratic oracle at validation scale.  Prefix length uses
+    # integer arithmetic ((7n+19)//20 = ceil(0.35n)) — no float-boundary
+    # membership risk at n multiples of 20.
     oracle=f"""
     WITH base AS (
       SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
@@ -241,9 +256,28 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM base
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    ordered AS (
+      SELECT s.doc_id, s.shingle,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                ORDER BY f.df, s.shingle) AS pos,
+             z.n_sh
+      FROM sh s JOIN freq f USING (shingle) JOIN sizes z USING (doc_id)
+    ),
+    prefix AS (
+      SELECT doc_id, shingle FROM ordered
+      WHERE pos <= n_sh - ((7 * n_sh + 19) // 20) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
     common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
