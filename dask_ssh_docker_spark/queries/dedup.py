@@ -298,9 +298,12 @@ def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered set-similarity join (PPJoin filter stage): the
     SCALE path for exact-threshold Jaccard pairs — each doc joins only
     its ``n − ceil(t·n) + 1`` rarest shingles, candidates are verified
-    exactly — checked against the ALL-PAIRS inverted-index oracle.  A
-    hash-match here is a proof that the prefix filter is lossless: the
-    linear-ish plan and the quadratic baseline emit identical rows.
+    exactly.  Checked against an INDEPENDENT pure-SQL PPJoin oracle
+    (r11 — DuckDB's own global order and join strategy; the former
+    all-pairs oracle is Σc² -quadratic on realistic corpora, see the
+    oracle comment).  Losslessness vs the true all-pairs baseline is
+    proven where feasible: tests/test_setsim.py pins prefix == all-pairs
+    on the corpus and on boundary-case frames.
 
     Scale: shuffled volume is prefix-bounded posting lists + candidate
     verification, vs the baseline's full posting-list self-join; the
