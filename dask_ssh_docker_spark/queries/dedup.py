@@ -289,9 +289,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(n_common AS DOUBLE)
           / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.35
     """,
-    # deep (sf>=10) sweeps route this query to the realistic zipf corpus:
-    # the legacy 30-word vocabulary defeats prefix filtering (~n²
-    # candidates in BOTH engines — corpus artifact, BENCH_NOTES r10 §1)
+    # sf>=1 sweeps route this query to the realistic zipf corpus: the
+    # legacy 30-word vocabulary defeats prefix filtering (~n² candidates
+    # in BOTH engines — corpus artifact, BENCH_NOTES r10 §1; at sf1 the
+    # unrouted PPJoin oracle's verify join spills past the gate bound,
+    # ORACLE_SWEEP_SF1_r11.log)
     bench_corpus="zipf",
 )
 def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

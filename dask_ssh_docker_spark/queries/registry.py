@@ -21,7 +21,7 @@ class QuerySpec:
     #: gate's --skip-capped set are DERIVED from this flag (single source
     #: of truth; ADVICE r8).
     validation_capped: bool = False
-    #: corpus the DEEP (sf>=10) sweep should route this query to instead
+    #: corpus that sf>=1 sweeps should route this query to instead
     #: of the legacy-vocabulary dir: "zipf" = the realistic 50k-term
     #: corpus.  Rationale (VERDICT r10 item 7): setsim_prefix_pairs is
     #: linear on real text but the legacy 30-word vocabulary defeats
