@@ -77,6 +77,15 @@ def main() -> None:
     from dask_ssh_docker_spark.queries import REGISTRY
     from dask_ssh_docker_spark.session import get_session
 
+    # Validate the subset BEFORE the multi-minute JVM warm-up / floor
+    # stabilization (ADVICE r11): a typo'd name must fail fast with the
+    # offending names, not as a KeyError after minutes of warm-up.
+    unknown = [q for q in queries if q not in REGISTRY]
+    if unknown:
+        raise SystemExit(
+            f"bench.py: unknown query names (not in REGISTRY): {unknown}"
+        )
+
     spark = get_session("spark-graft-bench")
 
     # JVM/codegen warm-up on a trivial job so q1 doesn't pay startup costs

@@ -64,74 +64,61 @@ from . import assoc_analytics  # noqa: E402,F401
 # rotates every round so no query's newest driver row goes stale
 # (tools/check_all.sh enforces that every registry name has appeared in at
 # least one recorded window, and tools/check_never_checked.py additionally
-# reports per-name staleness).  Round-11 window (VERDICT r10 item 1):
-#   0. queries whose machinery CHANGED in r11 (dedup_exact_groups salted
-#      hot-group window — output-identical, re-prove the hash anyway;
-#      sim_neardup_lsh tables-scaling per ADVICE r10; q15_top_supplier
-#      oracle now mirrors the isNotNull filter per ADVICE r10);
-#   1. the 12 names whose newest driver row is round 5 — the whole
-#      remaining staleness debt (judge re-proved 12/12 in r10, but the
-#      driver record should say so too);
-#   2. ALL 33 names last checked round 6, plus the 2 oldest r7 names —
-#      after this window the oldest evidence anywhere is r7.
+# reports per-name staleness).  Round-12 window (VERDICT r11 item 1):
+#   0. queries whose machinery CHANGED in r12 (canonical-survivors and
+#      minhash-corpus-overlap gained DuckDB oracles — rows-only → hash;
+#      stream_mv_user_totals perf work; sequence-family sub-bucketing);
+#   1. ALL 38 names whose newest driver row is round 7 — the entire
+#      remaining staleness tier fits in one 50-name window (the judge
+#      re-proved 12 of them green in r11; the driver record should too).
+#      After this window the oldest evidence anywhere is r8.
 # Names not listed keep their import order after the listed ones.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- 0. machinery changed r11: re-prove first --
-    "dedup_exact_groups",
-    "sim_neardup_lsh",
-    "q15_top_supplier",
-    # -- 1. stalest driver evidence (last checked r5) --
-    "stream_psi_drift",
-    "label_propagation_communities",
-    "gdpr_cascade_delete_audit",
-    "text_top_bigram_coverage",
-    "feature_robust_scale",
-    "conversion_latency_quantiles",
-    "seasonal_decompose_daily",
-    "pareto_front_orders",
-    "funnel_weekly_trend",
-    "audience_overlap_pairs",
-    "text_pmi_cooccurrence",
-    "interarrival_stats_per_user",
-    # -- 2. next-stalest (last checked r6), complete set --
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q5_region_revenue",
-    "smoke_delayed_sum",
-    "window_rolling_median",
-    "asof_backward",
-    "text_quality",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "stream_dedup_watermark",
-    "stream_rate_cap_user",
-    "stream_mv_user_totals",
-    "multimodal_decode_audio",
-    "multimodal_image_features",
-    "agg_mode_per_group",
-    "feature_minmax_scale",
-    "winsorize_bounds_audit",
-    "entropy_event_mix",
-    "ab_test_welch",
-    "heavy_hitter_tokens",
-    "triangle_count_trade",
-    "variant_shred_roundtrip",
-    "cdc_merge_upsert",
-    "scd2_priority_history",
-    "cdc_snapshot_diff",
-    "join_skew_audit",
-    "sample_k_per_group",
-    "copurchase_part_pairs",
-    "dq_expectations_orders",
-    "npy_source_norms",
-    "agg_grouping_sets",
-    "markov_event_transitions",
-    "event_trigram_paths",
-    # -- 3. oldest r7 names (the next rotation frontier) --
-    "join_semi_orders",
-    "join_anti_customers",
+    # -- 0. machinery changed r12: re-prove first --
+    "dedup_canonical_survivors",  # promoted rows-only → arg_max oracle
+    "corpus_overlap_minhash",  # promoted rows-only → exact-overlap oracle
+    "stream_mv_user_totals",  # r11 drift investigation (VERDICT item 5)
+    "interarrival_stats_per_user",  # sequence-family skew work (item 2)
+    # -- 1. the whole r7 staleness tier (34 more names; 38 total with the
+    #       four above that also sit in it or carry r12 machinery) --
+    "join_left_order_counts",
+    "join_cross_nation_region",
+    "filter_project_lineitem",
+    "sample_systematic",
+    "null_handling",
+    "agg_global_stats",
+    "agg_rollup",
+    "value_counts_events",
+    "agg_corr_stats",
+    "topk_orders",
+    "dedup_keep_first",
+    "distinct_pairs",
+    "set_intersect",
+    "set_except",
+    "concat_union",
+    "delayed_api_smoke",
+    "futures_api_smoke",
+    "join_full_outer",
+    "union_missing_columns",
+    "merge_indicator",
+    "explode_outer_null_preserving",
+    "str_functions",
+    "str_split_explode",
+    "date_functions",
+    "json_extract_props",
+    "json_map_schema",
+    "cast_surface",
+    "text_quality_linear_score",
+    "dedup_clusters_minhash_cc",
+    "dedup_substring_dupfrac",
+    "dedup_substring_excise",
+    "dedup_semantic_semdedup",
+    "gini_revenue_concentration",
+    "mannwhitney_click_view",
+    "rfm_customer_segments",
+    "abc_part_classification",
 ]
 
 

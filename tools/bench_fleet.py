@@ -187,6 +187,11 @@ def main() -> None:
     if out_json:
         with open(out_json, "w") as fh:
             fh.write(line + "\n")
+    # ADVICE r11: the zipf gates are ENFORCED, not advisory — exit nonzero
+    # on a MISS so check_all.sh's `set -e` actually fails the run.  The
+    # JSON is written first so the miss is recorded for diagnosis.
+    if with_zipf and misses:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -20,6 +20,8 @@
 # DECADE_deep.json (rename per round when recording).  The oracle gate
 # session already carries the 8g maxResultSize gate fix.
 set -e
+set -o pipefail  # ADVICE r11: without this the `| tee` below eats a failing
+                 # deep-gate exit status and the gate can never abort the run
 cd "$(dirname "$0")/.."
 if [[ "${1:-}" == "--deep" ]]; then
   echo "== deep: sf10 full-registry oracle sweep (zipf-routed) =="

@@ -154,7 +154,14 @@ def _duck_connect(sf_dir: str):
     SPARK_GRAFT_DUCKDB_MEM."""
     con = duckdb.connect()
     mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "40GB")
-    spill = f"/tmp/duckdb_spill_{os.getpid()}"
+    # ADVICE r11: mkdtemp + atexit cleanup — the old fixed /tmp path was
+    # never removed and a failed deep sweep could leave tens of GB behind.
+    import atexit
+    import shutil
+    import tempfile
+
+    spill = tempfile.mkdtemp(prefix="duckdb_spill_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET temp_directory='{spill}'")
     con.execute("SET preserve_insertion_order=false")
