@@ -317,20 +317,99 @@ def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim_pairs_prefix(docs, "text", "doc_id", t_num=7, t_den=20)
 
 
-@query("dedup_canonical_survivors", oracle=None)
+@query(
+    "dedup_canonical_survivors",
+    # r12 (VERDICT r11 item 6): promoted rows-only → hash-checked.  The
+    # pair graph is the LOSSLESS prefix-filter join (exact J ≥ 0.35 —
+    # same candidate SQL as the setsim_prefix_pairs PPJoin oracle), so
+    # the cluster structure is a pure function of the data: connected
+    # components by min-reachable-id, here via a recursive CTE seeded
+    # with every doc (singletons keep their own id), then the survivor
+    # rule as a ROW_NUMBER pick (longest n_chars, tie → smallest id) —
+    # the same total order Spark's max_by(struct(n_chars, −id)) takes.
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM base
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    ordered AS (
+      SELECT s.doc_id, s.shingle,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                ORDER BY f.df, s.shingle) AS pos,
+             z.n_sh
+      FROM sh s JOIN freq f USING (shingle) JOIN sizes z USING (doc_id)
+    ),
+    prefix AS (
+      SELECT doc_id, shingle FROM ordered
+      WHERE pos <= n_sh - ((7 * n_sh + 19) // 20) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.35
+    ),
+    ed AS (
+      SELECT id_a AS x, id_b AS y FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(x, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT ed.x, r.lbl FROM ed JOIN reach r ON r.x = ed.y
+    ),
+    labels AS (SELECT x AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY x),
+    ranked AS (
+      SELECT l.doc_id, l.cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
+      FROM labels l JOIN documents d USING (doc_id)
+    ),
+    surv AS (SELECT cluster_id, doc_id AS survivor_doc_id FROM ranked WHERE rn = 1)
+    SELECT l.doc_id, l.cluster_id, s.survivor_doc_id,
+           (l.doc_id = s.survivor_doc_id) AS keep
+    FROM labels l JOIN surv s USING (cluster_id)
+    """,
+    # same corpus pathology as setsim_prefix_pairs: the legacy 30-word
+    # vocabulary defeats prefix filtering at sf>=1 (~n² candidates in
+    # both engines) — route sweeps to the realistic zipf corpus
+    bench_corpus="zipf",
+)
 def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The step AFTER clustering that an actual dedup pipeline ships:
     pick one canonical survivor per near-dup cluster and tag every other
     member as a casualty.  Survivor rule: longest document wins
     (``n_chars`` desc), ties on smallest ``doc_id`` — deterministic under
     any partitioning.  Output: (doc_id, cluster_id, survivor_doc_id,
-    keep) for every clustered doc; singleton clusters keep their only
-    member.
+    keep) for every doc; singleton clusters keep their only member.
 
-    Composition: MinHash bands → verify → connected components (the
-    exact machinery of ``dedup_clusters_minhash_cc``) + survivor
-    selection as a ``max_by`` AGGREGATION over the cluster key (r11).
-    Rows-only (xxhash64 upstream); ``tests/test_wave7.py`` pins
+    Composition (r12): LOSSLESS prefix-filtered set-similarity join at
+    J ≥ 0.35 (``operators/setsim.py`` — output identical to the
+    all-pairs join, so the cluster graph is exact-threshold
+    deterministic and the DuckDB oracle above reproduces it with a
+    recursive-CTE connected components) → min-label connected
+    components → survivor selection as a ``max_by`` AGGREGATION over
+    the cluster key.  The minhash-clustered (probabilistic-recall)
+    variant of this pipeline stays covered by
+    ``dedup_clusters_minhash_cc`` / ``dedup_minhash_clusters``
+    (rows-only by design).  ``tests/test_wave7.py`` additionally pins
     survivor-per-cluster uniqueness, rule correctness, and keep-set =
     cluster-count invariants.
 
@@ -345,31 +424,13 @@ def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees a cluster's row volume and the sort disappears entirely.  One
     tiny (cluster_id, survivor) frame joins back to the (id, n_chars)
     membership; bodies never move."""
-    from ..operators.dedup import (
-        _hashed_shingles,
-        cluster_min_label,
-        jaccard_verify,
-        minhash_candidates,
-        minhash_signatures,
-    )
+    from ..operators.dedup import cluster_min_label
+    from ..operators.setsim import setsim_pairs_prefix
 
     docs = load_table(spark, sf_dir, "documents")
-    sh_arr = (
-        _hashed_shingles(docs, "text", "doc_id", 3)
-        .withColumnRenamed("id", "__id")
-        .persist()
-    )
-    sig = minhash_signatures(docs, "text", "doc_id", 32, 3, shingle_arrays=sh_arr)
-    cands = minhash_candidates(docs, "text", "doc_id", 32, 8, 3, sig_df=sig)
-    verified = jaccard_verify(
-        docs, cands, "text", "doc_id", 0.35, 3, shingle_df=sh_arr
-    ).persist()
+    pairs = setsim_pairs_prefix(docs, "text", "doc_id", 7, 20)
     ids = docs.select(F.col("doc_id").alias("id"))
-    clusters = cluster_min_label(verified.select("id_a", "id_b"), ids)
-    # labels are localCheckpointed — release the upstream caches so
-    # repeated invocations in a long session don't accumulate blocks.
-    verified.unpersist()
-    sh_arr.unpersist()
+    clusters = cluster_min_label(pairs.select("id_a", "id_b"), ids)
     sized = clusters.join(
         docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
     )
@@ -782,28 +843,95 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("corpus_overlap_minhash", oracle=None)
+# ---------------------------------------------------------------------------
+# corpus_overlap_minhash (r12: promoted rows-only → hash-checked, VERDICT
+# r11 item 6).  The hash family is now CROSS-ENGINE: one md5 per shingle
+# (identical hex in Spark and DuckDB), its first 15 hex chars parsed to a
+# 60-bit int (Spark ``conv(·,16,10)`` ≡ DuckDB ``cast('0x'||· as bigint)``,
+# parity probed: 648541476951500027 for 'abc' in both), then H=128
+# universal-hash mixes ``(aᵢ·(h mod P) + bᵢ) mod P`` over the Mersenne
+# prime P=2³¹−1 — all int64 arithmetic both engines perform identically
+# (products ≤ 2⁶² — no overflow, which DuckDB would raise on).  The
+# estimate is therefore bit-identical across engines and the oracle is
+# real SQL, while the operator keeps the exact minhash scale shape: ONE
+# map-side-combined aggregate computes all 128 minima per source.
+# Seeds are fixed literals shared by both code paths.
+# ---------------------------------------------------------------------------
+
+_MH_H = 128
+_MH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+# deterministic seed pairs; Knuth multiplicative constant keeps aᵢ well
+# spread, +1 keeps every aᵢ nonzero mod P
+_MH_AB = [
+    (((2 * i + 1) * 2654435761 + 1) % _MH_P, (i * 40503 + 12345) % _MH_P)
+    for i in range(_MH_H)
+]
+
+# seed table as VALUES rows — a 128-term inline expression trips DuckDB's
+# binder recursion limit, so the oracle aggregates per (source, seed) row
+_MH_SEED_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_AB))
+
+
+@query(
+    "corpus_overlap_minhash",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT source, unnest({_SHINGLES}) AS shingle FROM base
+    ),
+    hashed AS (
+      SELECT source,
+             CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+               % {_MH_P} AS hm
+      FROM sh
+    ),
+    seeds AS (SELECT * FROM (VALUES {_MH_SEED_VALUES}) t(i, a, b)),
+    mins AS (
+      SELECT h.source, s.i, MIN((s.a * h.hm + s.b) % {_MH_P}) AS m
+      FROM hashed h CROSS JOIN seeds s
+      GROUP BY h.source, s.i
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           round(CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE)
+                 / {float(_MH_H)}, 6) AS jaccard_est
+    FROM mins a JOIN mins b ON a.i = b.i AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
 def corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimation-grade sibling of ``corpus_overlap_sources``: per-source
-    MinHash signatures (H=128 seeded xxhash64 minima over shingle
-    hashes) → pairwise Jaccard estimate = matching-slot fraction.
+    MinHash signatures (H=128 universal-hash minima over a 60-bit
+    md5-derived shingle hash) → pairwise Jaccard estimate =
+    matching-slot fraction.
 
     Scale: ONE partial-agg'd aggregate per source computes all 128
-    minima map-side (the corpus never re-shuffles per hash); the
-    signature table is |sources| rows × 128 longs, so the pair scoring
-    is a driver-scale crossJoin.  Standard error √(J(1−J)/128) ≈ 0.04 —
-    pinned against the exact query in tests/test_semdedup.py.  xxhash64
-    has no DuckDB twin → rows-only."""
+    minima map-side (the corpus never re-shuffles per hash; one md5 +
+    128 int64 mixes per shingle row); the signature table is |sources|
+    rows × 128 longs, so the pair scoring is a driver-scale crossJoin.
+    Standard error √(J(1−J)/128) ≈ 0.04 — pinned against the exact
+    query in tests/test_semdedup.py.  r12: hash family switched from
+    xxhash64 (Spark-only) to md5+universal mixes that DuckDB evaluates
+    bit-identically → full value-hash oracle (was rows-only)."""
     from ..functions.text import word_shingles_exploded
 
-    H = 128
     docs = load_table(spark, sf_dir, "documents")
+    hm = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
+        % F.lit(_MH_P)
+    ).alias("hm")
     sh = word_shingles_exploded(
         docs, "text", "doc_id", 3, extra_cols=("source",)
-    ).select("source", F.xxhash64("shingle").alias("__h"))
+    ).select("source", hm)
     sig = sh.groupBy("source").agg(
         F.array(
-            *[F.min(F.xxhash64("__h", F.lit(i))).alias(f"m{i}") for i in range(H)]
+            *[
+                F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(_MH_P)).alias(
+                    f"m{i}"
+                )
+                for i, (a, b) in enumerate(_MH_AB)
+            ]
         ).alias("sig")
     )
     a = sig.select(F.col("source").alias("src_a"), F.col("sig").alias("sa"))
@@ -816,7 +944,7 @@ def corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src_a",
             "src_b",
-            F.round(matches.cast("double") / F.lit(float(H)), 6).alias(
+            F.round(matches.cast("double") / F.lit(float(_MH_H)), 6).alias(
                 "jaccard_est"
             ),
         )

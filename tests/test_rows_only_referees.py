@@ -57,9 +57,10 @@ REFEREES = {
         "tests.test_dedup::test_simhash_identical_and_disjoint",
         "tests.test_dedup::test_simhash_pairs_are_textually_similar",
     ],
-    "dedup_canonical_survivors": [
-        "tests.test_wave7::test_canonical_survivors_invariants"
-    ],
+    # dedup_canonical_survivors: promoted to a full DuckDB oracle in r12
+    # (lossless prefix-filter pair graph + recursive-CTE CC) — its
+    # invariants pin (test_wave7::test_canonical_survivors_invariants)
+    # still runs in its home file.
     "dedup_winnow_spans": [
         "tests.test_substring::test_winnow_density_and_positions",
         "tests.test_substring::test_winnow_detects_planted_duplicates",
@@ -69,9 +70,11 @@ REFEREES = {
         "tests.test_semdedup::test_survivors_mutually_below_tau",
         "tests.test_semdedup::test_dropped_rows_have_kept_condemner",
     ],
-    "corpus_overlap_minhash": [
-        "tests.test_semdedup::test_corpus_overlap_minhash_tracks_exact"
-    ],
+    # corpus_overlap_minhash: promoted to a full DuckDB oracle in r12
+    # (md5-derived universal-hash family both engines compute
+    # bit-identically); the estimate-tracks-exact pin
+    # (test_semdedup::test_corpus_overlap_minhash_tracks_exact) still
+    # runs in its home file.
     # sketches: error bound vs exact
     "approx_distinct_quantiles": [
         "tests.test_approx_io_concat::test_approx_count_distinct_bound"
