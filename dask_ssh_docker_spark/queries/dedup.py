@@ -245,7 +245,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Losslessness vs the true all-pairs baseline stays proven where it
     # is feasible: tests/test_setsim.py pins prefix == all-pairs on the
     # corpus AND on boundary-case frames, and dedup_jaccard_pairs keeps
-    # the quadratic oracle at validation scale.  Prefix length uses
+    # the quadratic oracle at validation scale.  Because this oracle
+    # shares the prefix LEMMA with the operator, r12 adds a structurally
+    # independent sampled-pair THIRD check at zipf-sf1
+    # (tests/test_setsim.py::test_sampled_pair_third_check_zipf_sf1):
+    # ~20k pairs discovered by a plain Python inverted index, scored by
+    # brute-force set Jaccard, swept through the threshold boundary with
+    # crafted exact-J=0.35 docs — membership and values must agree with
+    # BOTH engines.  Prefix length uses
     # integer arithmetic ((7n+19)//20 = ceil(0.35n)) — no float-boundary
     # membership risk at n multiples of 20.
     oracle=f"""
