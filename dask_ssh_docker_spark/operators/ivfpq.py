@@ -280,6 +280,17 @@ def ivfpq_topk(
     # bounded (|Q|·nprobe rows) but behind a Python map the broadcast
     # policy cannot bound — materialize before hinting (pq_topk rationale)
     luts = luts.localCheckpoint(eager=True)
+    # Probe-list pruning (r12, ann_index): restrict the code index to the
+    # ≤|Q|·nprobe DISTINCT probed lists BEFORE the join.  Semantically a
+    # no-op (the LUT join already drops unprobed lists) but it turns the
+    # scan itself into a pruned one: on a persisted index partitioned by
+    # centroid_id (operators/ann_index.py) the isin filter prunes parquet
+    # partitions, so a probe READS nprobe/k_coarse of the on-disk index.
+    # The collect is a driver-bounded job on the just-checkpointed frame.
+    probe_ids = [
+        r["centroid_id"] for r in luts.select("centroid_id").distinct().collect()
+    ]
+    index = index.filter(F.col("centroid_id").isin(probe_ids))
     # LUT stride is the TRAINED width n_cids, not the nominal ks — the
     # codebook clamps to the sample size, and the LUT above is built at
     # shape (m, n_cids); indexing by ks would read wrong cells (ADVICE r7).

@@ -1,0 +1,146 @@
+"""Persisted ANN index round-trip (VERDICT r11 item 4): save → load →
+probe must equal the in-session pipeline ROW-FOR-ROW (everything is
+seeded/deterministic and parquet round-trips doubles losslessly), the
+loaded codes scan must actually prune to the probed partition
+directories, and a wrong-kind/version index must fail fast."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from dask_ssh_docker_spark.sources import load_table
+
+    return load_table(spark, SF, "embeddings")
+
+
+def test_ivfpq_index_roundtrip_equals_in_session(spark, emb, tmp_path):
+    from dask_ssh_docker_spark.operators.ann_index import (
+        ivfpq_probe,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+    from dask_ssh_docker_spark.operators.ivfpq import (
+        encode_ivfpq,
+        ivfpq_topk,
+        train_ivfpq,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    cents, cb = train_ivfpq(corpus, k_coarse=16, coarse_iters=2, m=16, ks=16, dim=64)
+    index = encode_ivfpq(corpus, cents, cb, m=16, dim=64)
+    in_session = ivfpq_topk(
+        queries, index, cents, cb, corpus=corpus, k=10, nprobe=12, m=16, dim=64
+    )
+
+    path = str(tmp_path / "ivfpq_idx")
+    save_ivfpq_index(path, cents, cb, index, m=16, dim=64, k_coarse=16)
+    idx = load_ivfpq_index(spark, path)
+    assert (idx.m, idx.dim, idx.k_coarse, idx.id_col) == (16, 64, 16, "vec_id")
+    loaded = ivfpq_probe(queries, idx, corpus=corpus, k=10, nprobe=12)
+
+    cols = ["query_id", "vec_id", "dist", "rank"]
+    assert _rows(loaded, cols) == _rows(in_session, cols)
+
+
+def test_ivfpq_loaded_probe_prunes_partitions(spark, emb, tmp_path):
+    """The probed scan must read ONLY the nprobe list directories: with
+    nprobe=2 and 16 coarse lists, the executed scan's partition count
+    equals |distinct probed cids| ≤ |Q|·nprobe, far under 16."""
+    from dask_ssh_docker_spark.operators.ann_index import (
+        ivfpq_probe,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+    from dask_ssh_docker_spark.operators.ivfpq import encode_ivfpq, train_ivfpq
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 2).select("vec_id", "embedding")
+    cents, cb = train_ivfpq(corpus, k_coarse=16, coarse_iters=2, m=16, ks=16, dim=64)
+    index = encode_ivfpq(corpus, cents, cb, m=16, dim=64)
+    path = str(tmp_path / "ivfpq_prune")
+    save_ivfpq_index(path, cents, cb, index, m=16, dim=64, k_coarse=16)
+    idx = load_ivfpq_index(spark, path)
+    n_parts_on_disk = len(
+        [d for d in os.listdir(f"{path}/codes") if d.startswith("centroid_id=")]
+    )
+    assert n_parts_on_disk > 4  # the prune claim is vacuous otherwise
+
+    adc = ivfpq_probe(queries, idx, corpus=None, k=10, nprobe=2)
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    # the codes FileScan must carry a PartitionFilters IN-list over
+    # centroid_id bounded by |Q|·nprobe = 4 — the static prune the isin
+    # filter buys on the partitioned layout
+    import re
+
+    m = re.search(r"PartitionFilters: \[centroid_id#\d+ IN \(([0-9,]+)\)", plan)
+    assert m, f"no centroid_id partition filter in plan:\n{plan[:2000]}"
+    assert len(m.group(1).split(",")) <= 4, m.group(1)
+    assert adc.count() > 0
+
+
+def test_lsh_index_roundtrip_equals_in_session(spark, emb, tmp_path):
+    from dask_ssh_docker_spark.operators.ann_index import (
+        load_lsh_index,
+        lsh_probe_topk,
+        save_lsh_index,
+    )
+    from dask_ssh_docker_spark.operators.similarity import lsh_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    in_session = lsh_topk(queries, corpus, k=10, bits=6, tables=32, dim=64)
+
+    path = str(tmp_path / "lsh_idx")
+    save_lsh_index(
+        path, corpus, id_col="vec_id", vec_col="embedding",
+        bits=6, tables=32, seed=42, dim=64,
+    )
+    idx = load_lsh_index(spark, path)
+    assert (idx.bits, idx.tables, idx.seed, idx.dim) == (6, 32, 42, 64)
+    # buckets persisted without vector payloads, partitioned by table
+    assert set(idx.buckets.columns) == {"vec_id", "bucket", "table_idx"}
+    loaded = lsh_probe_topk(queries, idx, corpus, k=10)
+
+    cols = ["query_id", "vec_id", "sim", "rank"]
+    assert _rows(loaded, cols) == _rows(in_session, cols)
+
+
+def test_wrong_kind_and_version_fail_fast(spark, emb, tmp_path):
+    from dask_ssh_docker_spark.operators import ann_index
+    from dask_ssh_docker_spark.operators.ann_index import (
+        load_ivfpq_index,
+        load_lsh_index,
+        save_lsh_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    path = str(tmp_path / "lsh_kind")
+    save_lsh_index(path, corpus, dim=64, bits=4, tables=4)
+    with pytest.raises(ValueError, match="kind"):
+        load_ivfpq_index(spark, path)
+    # stamp a future version and expect a fast, explicit failure
+    spark.createDataFrame(
+        [(ann_index.FORMAT_VERSION + 1, "lsh", "{}")],
+        "version int, kind string, params string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="version"):
+        load_lsh_index(spark, path)
