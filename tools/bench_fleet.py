@@ -55,6 +55,21 @@ ZIPF_GATES = {
     "text_bm25_rank": 3.2,  # 2.13-2.19
 }
 
+# --- legacy-lane enforced gates (r12, VERDICT r11 item 5) -------------
+# Previously the minhash/lsh gates were judged by READING the summary
+# JSON; these are now machine-enforced at fleet-min under the same floor
+# rule as the zipf lane.  stream_mv_user_totals gets a documented-floor
+# gate: its cost decomposes as ~0.33 s fixed per-query trigger overhead
+# (3 × offset-WAL+commit ≈ 110 ms — exactly-once bookkeeping, no state
+# store involved) + ~1.1-1.3 s of AQE-less foreachBatch merge jobs
+# (BENCH_NOTES r12 §2); fleet-min r11 was 1.887, gate at +20%.
+LEGACY_FLOOR_MAX = 1.05
+LEGACY_GATES = {
+    "dedup_minhash_clusters": 2.0,
+    "sim_topk_lsh": 1.2,
+    "stream_mv_user_totals": 2.3,
+}
+
 CORE15 = [
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
@@ -173,24 +188,42 @@ def main() -> None:
         "pass_spark_floors": [p["spark_floor"]["total"] for p in passes],
         "pass_duckdb_floors": [p["duckdb_floor"]["total"] for p in passes],
     }
+    # legacy-lane gates: fleet-min over the main passes, floor-banded
+    legacy_floor_ok = min(summary["pass_spark_floors"]) <= LEGACY_FLOOR_MAX
+    summary["legacy_gates"] = {
+        q: {
+            "gate": gate,
+            "fleet_min": best[q],
+            "status": "deferred"
+            if not legacy_floor_ok
+            else ("pass" if best[q] <= gate else "MISS"),
+        }
+        for q, gate in LEGACY_GATES.items()
+    }
+    misses = [
+        q for q, g in summary["legacy_gates"].items() if g["status"] == "MISS"
+    ]
+    if misses:
+        print(f"LEGACY LANE GATE MISS: {misses}", flush=True)
     if with_zipf:
         summary["zipf_lane"] = zipf_lane(root)
-        misses = [
+        zmisses = [
             q
             for q, g in summary["zipf_lane"]["gates"].items()
             if g["status"] == "MISS"
         ]
-        if misses:
-            print(f"ZIPF LANE GATE MISS: {misses}", flush=True)
+        if zmisses:
+            print(f"ZIPF LANE GATE MISS: {zmisses}", flush=True)
+        misses += zmisses
     line = json.dumps(summary)
     print(line)
     if out_json:
         with open(out_json, "w") as fh:
             fh.write(line + "\n")
-    # ADVICE r11: the zipf gates are ENFORCED, not advisory — exit nonzero
-    # on a MISS so check_all.sh's `set -e` actually fails the run.  The
-    # JSON is written first so the miss is recorded for diagnosis.
-    if with_zipf and misses:
+    # ADVICE r11: gates are ENFORCED, not advisory — exit nonzero on any
+    # MISS (legacy or zipf lane) so check_all.sh's `set -e` actually
+    # fails the run.  The JSON is written first so the miss is recorded.
+    if misses:
         raise SystemExit(1)
 
 
