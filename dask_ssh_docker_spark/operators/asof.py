@@ -51,6 +51,17 @@ def _as_list(x) -> list[str]:
     return list(x)
 
 
+def _ord_num(c: Column, on_type: str) -> Column:
+    """Exact numeric axis for the ``on`` column (micros for timestamps,
+    days for dates — the same integer axes the nearest-direction distance
+    uses)."""
+    if on_type.startswith("Timestamp"):
+        return F.unix_micros(c)
+    if on_type.startswith("Date"):
+        return F.unix_date(c)
+    return c.cast("double")
+
+
 def merge_asof(
     left: DataFrame,
     right: DataFrame,
@@ -61,6 +72,7 @@ def merge_asof(
     allow_exact_matches: bool = True,
     suffix: str = "_right",
     tiebreak: str | None = None,
+    bucket_width: int | float | None = None,
 ) -> DataFrame:
     """As-of join ``left`` with ``right`` on ordered column ``on`` within
     optional ``by`` groups.  Returns all left rows + right payload columns
@@ -70,6 +82,20 @@ def merge_asof(
     ``tolerance``: max allowed |left.on - right.on| — an interval-literal
     Column for timestamps (e.g. ``F.expr("INTERVAL 5 MINUTES")``) or a
     number for numeric ``on``; matches farther than that are nulled.
+
+    ``bucket_width`` (r12, SCALE.md class-7 mitigation): time-range
+    sub-bucketing for hot ``by`` keys.  The per-key ordered fill is
+    inherently one window partition — a bot key with 10⁸ rows is one
+    task's sort.  With ``bucket_width`` set (SECONDS for timestamp
+    ``on``, DAYS for date, raw units for numeric), the window partitions
+    on ``(by, floor(on/width))`` instead, and cross-bucket context is
+    restored exactly: the per-(key, bucket) LAST/FIRST right payload is a
+    map-side-combinable ``max_by``/``min_by`` aggregate, cascaded over
+    the (bounded) per-key bucket spine, and coalesced under the
+    within-bucket fill.  Output is BIT-IDENTICAL to the unbucketed shape
+    for any width — payloads are copied, never recomputed — pinned in
+    ``tests/test_seqbucket.py``.  Costs one extra thin-row shuffle (the
+    carry join); measured in ``tools/skew_probe.py`` claim 4.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest: {direction}")
@@ -108,7 +134,51 @@ def merge_asof(
     )
     unioned = r_side.unionByName(l_side)
 
-    part = Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
+    on_type = str(left.schema[on].dataType)
+    if bucket_width is not None:
+        units = (
+            bucket_width * 1_000_000
+            if on_type.startswith("Timestamp")
+            else bucket_width
+        )
+        unioned = unioned.withColumn(
+            "__bkt", F.floor(_ord_num(F.col("__ord"), on_type) / F.lit(units))
+        )
+        part = Window.partitionBy(*by_cols, "__bkt")
+        # Cross-bucket carries: per (key, bucket), the LAST right payload
+        # under the within-bucket order (backward candidates) and the
+        # FIRST (forward candidates) — map-side-combinable aggregates, so
+        # no task ever holds a hot key's row volume.  The cascade over
+        # buckets runs on the per-key bucket SPINE (|keys|·|buckets|
+        # rows), not the data.
+        spine = unioned.select(*by_cols, "__bkt").distinct()
+        rb = (
+            unioned.filter(F.col("__side") == 0)
+            .groupBy(*by_cols, "__bkt")
+            .agg(
+                F.max_by("__payload", F.struct("__ord", "__tb")).alias("__lastp"),
+                F.min_by("__payload", F.struct("__ord", "__tb")).alias("__firstp"),
+            )
+        )
+        wprev = (
+            Window.partitionBy(*by_cols)
+            .orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wnext = (
+            Window.partitionBy(*by_cols)
+            .orderBy("__bkt")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carries = spine.join(rb, [*by_cols, "__bkt"], "left").select(
+            *by_cols,
+            "__bkt",
+            F.last("__lastp", ignorenulls=True).over(wprev).alias("__carry_b"),
+            F.first("__firstp", ignorenulls=True).over(wnext).alias("__carry_f"),
+        )
+        unioned = unioned.join(carries, [*by_cols, "__bkt"])
+    else:
+        part = Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
 
     def fill(backward: bool, exact_ok: bool) -> Column:
         # backward: right-before-left at equal ts iff exact matches allowed.
@@ -117,9 +187,18 @@ def merge_asof(
             w = part.orderBy(F.asc("__ord"), side_order, F.asc_nulls_first("__tb"))
         else:
             w = part.orderBy(F.desc("__ord"), side_order, F.desc_nulls_first("__tb"))
-        return F.last("__payload", ignorenulls=True).over(
+        within = F.last("__payload", ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        if bucket_width is None:
+            return within
+        # sub-bucketed: a bucket with no in-direction right row falls
+        # back to the cascaded cross-bucket carry (an exact copy of the
+        # payload the global window would have filled).  Equal `on`
+        # values share a bucket, so exact-match semantics stay entirely
+        # within-bucket; carried rows are strictly out-of-bucket and
+        # therefore strictly before/after every row here.
+        return F.coalesce(within, F.col("__carry_b" if backward else "__carry_f"))
 
     if direction == "backward":
         filled = fill(True, allow_exact_matches)

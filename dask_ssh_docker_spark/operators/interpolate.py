@@ -19,22 +19,69 @@ def interpolate_linear(
     value_col: str,
     by: str | None = None,
     out_col: str | None = None,
+    bucket_width_s: int | float | None = None,
 ) -> DataFrame:
     """Add ``out_col`` (default ``<value>_interp``): linear interpolation
     of nulls in ``value_col`` over numeric-time order within ``by`` groups.
-    """
+
+    ``bucket_width_s`` (r12, SCALE.md class-7 mitigation): time-range
+    sub-bucketing for hot ``by`` keys — the two per-key ordered windows
+    become per-(key, time-bucket) windows, and the nearest-known
+    neighbors across bucket boundaries are restored exactly via
+    per-bucket ``max_by``/``min_by`` (t, value) aggregates cascaded over
+    the bounded per-key bucket spine.  The interpolation arithmetic then
+    runs on the SAME endpoint pair the global window would have found,
+    so the output is bit-identical for any width
+    (``tests/test_seqbucket.py``)."""
     out_col = out_col or f"{value_col}_interp"
-    part = Window.partitionBy(by) if by else Window.partitionBy()
+    by_cols = [by] if by else []
     t = F.unix_micros(F.col(ts_col)).cast("double")
+    v = F.col(value_col)
+
+    if bucket_width_s is not None:
+        d = df.withColumn("__bkt", F.floor(t / F.lit(bucket_width_s * 1e6)))
+        part = Window.partitionBy(*by_cols, "__bkt")
+        known = F.when(v.isNotNull(), F.struct(t.alias("t"), v.alias("v")))
+        kb = d.groupBy(*by_cols, "__bkt").agg(
+            F.max_by(known, F.when(v.isNotNull(), t)).alias("__lastk"),
+            F.min_by(known, F.when(v.isNotNull(), t)).alias("__firstk"),
+        )
+        wprev = (
+            Window.partitionBy(*by_cols)
+            .orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wnext = (
+            Window.partitionBy(*by_cols)
+            .orderBy("__bkt")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carries = kb.select(
+            *by_cols,
+            "__bkt",
+            F.last("__lastk", ignorenulls=True).over(wprev).alias("__cprev"),
+            F.first("__firstk", ignorenulls=True).over(wnext).alias("__cnext"),
+        )
+        d = d.join(carries, [*by_cols, "__bkt"])
+    else:
+        d = df
+        part = Window.partitionBy(by) if by else Window.partitionBy()
 
     w_prev = part.orderBy(t).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_next = part.orderBy(t).rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    v = F.col(value_col)
     prev_v = F.last(v, ignorenulls=True).over(w_prev)
     next_v = F.first(v, ignorenulls=True).over(w_next)
     prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_prev)
     next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
+    if bucket_width_s is not None:
+        # a bucket with no earlier/later known value falls back to the
+        # carried (t, v) pair — copies of the values the global window
+        # would have used, so the arithmetic below is unchanged
+        prev_v = F.coalesce(prev_v, F.col("__cprev")["v"])
+        prev_t = F.coalesce(prev_t, F.col("__cprev")["t"])
+        next_v = F.coalesce(next_v, F.col("__cnext")["v"])
+        next_t = F.coalesce(next_t, F.col("__cnext")["t"])
 
     frac: Column = (t - prev_t) / (next_t - prev_t)
     interp = (
@@ -44,4 +91,7 @@ def interpolate_linear(
         .when(next_t == prev_t, prev_v)
         .otherwise(prev_v + (next_v - prev_v) * frac)
     )
-    return df.withColumn(out_col, interp)
+    out = d.withColumn(out_col, interp)
+    if bucket_width_s is not None:
+        out = out.drop("__bkt", "__cprev", "__cnext")
+    return out

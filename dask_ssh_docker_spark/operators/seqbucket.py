@@ -1,0 +1,83 @@
+"""Time-range sub-bucketing for sequence-semantics windows (r12, VERDICT
+r11 item 2 — SCALE.md class 7).
+
+A per-key ordered window is inherently ONE partition per key: AQE cannot
+split window partitions, so a bot key holding 10⁸ events routes its
+entire row volume through one task's sort — the one window class the r11
+census left unmeasured.  Three mitigations now exist, each output-
+identical to the global-window shape where its preconditions hold:
+
+- ``operators/asof.py`` ``merge_asof(bucket_width=…)`` — EXACT for any
+  width: cross-bucket fill context is a per-bucket ``max_by``/``min_by``
+  payload aggregate cascaded over the bounded per-key bucket spine.
+- ``operators/interpolate.py`` ``interpolate_linear(bucket_width_s=…)``
+  — EXACT for any width, same carry construction for the nearest-known
+  (t, value) endpoints.
+- :func:`subbucket_with_tail` (here) — for TRAILING-ROWS-frame window
+  functions (bounded EWMA, rolling median/sum: frames ``ROWS BETWEEN
+  n-1 PRECEDING AND CURRENT ROW``): each (key, bucket)'s last ``tail``
+  rows are duplicated as GHOST context rows into the key's next present
+  bucket, so within-bucket frames see exactly the rows the global frame
+  would.  EXACT iff every present (key, bucket) holds ≥ ``tail`` rows
+  (ghosts cascade one bucket, not transitively) — the density
+  precondition is naturally satisfied in the hot-key regime this
+  mitigation exists for (you sub-bucket a key BECAUSE its buckets are
+  huge); for uniform keys, don't sub-bucket.  Pinned in
+  ``tests/test_seqbucket.py`` including a constructed violation of the
+  precondition.
+
+Cost/benefit is measured, not argued: ``tools/skew_probe.py`` claim 4
+runs a 20%-hot bot-user corpus through plain and bucketed shapes
+(BENCH_NOTES r12 §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def subbucket_with_tail(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    tail: int,
+    bucket_of: Column,
+    bucket_col: str = "__bkt",
+    ghost_col: str = "__ghost",
+) -> DataFrame:
+    """Augment ``df`` with ``bucket_col`` (= ``bucket_of``, must be
+    monotone in the window order) and ``ghost_col``, duplicating each
+    (key, bucket)'s last ``tail`` rows (by ``order_cols``) into the key's
+    next PRESENT bucket as ghost rows.
+
+    Callers compute their trailing-frame window over
+    ``Window.partitionBy(*key_cols, bucket_col).orderBy(*order_cols)``
+    with a frame of at most ``tail`` preceding rows, then
+    ``.filter(~F.col(ghost_col))`` and drop the helper columns — the
+    result equals the global per-key window wherever every present
+    (key, bucket) holds ≥ ``tail`` rows (see module docstring).
+    """
+    d = df.withColumn(bucket_col, bucket_of)
+    # next PRESENT bucket per key (buckets may be sparse in time)
+    spine = d.select(*key_cols, bucket_col).distinct()
+    nxt = spine.withColumn(
+        "__next_bkt",
+        F.lead(bucket_col).over(
+            Window.partitionBy(*key_cols).orderBy(bucket_col)
+        ),
+    )
+    wb = Window.partitionBy(*key_cols, bucket_col).orderBy(
+        *[F.desc(c) for c in order_cols]
+    )
+    tails = (
+        d.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= tail)
+        .drop("__rn")
+        .join(nxt, [*key_cols, bucket_col])
+        .filter(F.col("__next_bkt").isNotNull())
+        .withColumn(bucket_col, F.col("__next_bkt"))
+        .drop("__next_bkt")
+        .withColumn(ghost_col, F.lit(True))
+    )
+    return d.withColumn(ghost_col, F.lit(False)).unionByName(tails)

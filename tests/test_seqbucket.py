@@ -1,0 +1,197 @@
+"""Sub-bucketed sequence windows equal their global-window shapes
+(SCALE.md class-7 mitigation, VERDICT r11 item 2).
+
+- merge_asof(bucket_width=…) and interpolate_linear(bucket_width_s=…)
+  must be BIT-identical for any width (carries copy payloads, never
+  recompute).
+- subbucket_with_tail restores trailing-ROWS frames exactly under its
+  density precondition (every present bucket ≥ tail rows); a
+  constructed violation shows where the precondition matters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _sorted_rows(df):
+    return sorted(
+        tuple(None if v != v else v for v in r) if any(isinstance(v, float) for v in r) else tuple(r)
+        for r in (tuple(row) for row in df.collect())
+    )
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    """Uniform + bot-user event frames: 40 users, one of them holding
+    ~25% of all rows; irregular timestamps; values with planted nulls."""
+    rng = np.random.default_rng(7)
+    n = 12_000
+    user = np.where(rng.random(n) < 0.25, 0, rng.integers(1, 40, n))
+    # unique micros (interpolate orders by t alone — equal stamps would
+    # make even the PLAIN operator tie-order-dependent)
+    ts = rng.integers(0, 3_600 * 48, n) * 1_000_000 + np.arange(n)
+    val = rng.normal(50, 10, n)
+    val[rng.random(n) < 0.3] = np.nan
+    left = pd.DataFrame(
+        {
+            "user_id": user,
+            "ts": pd.to_datetime(ts, unit="us"),
+            "event_id": np.arange(n),
+            "value": val,
+        }
+    )
+    m = 3_000
+    r_user = np.where(rng.random(m) < 0.25, 0, rng.integers(1, 40, m))
+    right = pd.DataFrame(
+        {
+            "user_id": r_user,
+            "ts": pd.to_datetime(rng.integers(0, 3_600 * 48, m) * 1_000_000, unit="us"),
+            "quote_id": np.arange(m),
+            "px": rng.normal(100, 5, m).round(4),
+        }
+    )
+    ldf = spark.createDataFrame(left).withColumn(
+        # pandas NaN arrives as double NaN, not SQL NULL — convert, so
+        # null-handling paths (interpolate, ignorenulls fills) engage
+        "value",
+        F.when(F.isnan("value"), F.lit(None)).otherwise(F.col("value")),
+    )
+    return ldf, spark.createDataFrame(right)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_bucketed_bitwise_equal(spark, frames, direction):
+    from dask_ssh_docker_spark.operators.asof import merge_asof
+
+    left, right = frames
+    base = merge_asof(
+        left, right, on="ts", by="user_id", direction=direction,
+        tiebreak="quote_id",
+    )
+    for width_s in (600, 7_200):
+        got = merge_asof(
+            left, right, on="ts", by="user_id", direction=direction,
+            tiebreak="quote_id", bucket_width=width_s,
+        )
+        assert _sorted_rows(got) == _sorted_rows(base), (direction, width_s)
+
+
+def test_asof_bucketed_no_exact_matches_and_tolerance(spark, frames):
+    from dask_ssh_docker_spark.operators.asof import merge_asof
+
+    left, right = frames
+    kw = dict(
+        on="ts", by="user_id", direction="backward", tiebreak="quote_id",
+        allow_exact_matches=False, tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    base = merge_asof(left, right, **kw)
+    got = merge_asof(left, right, bucket_width=900, **kw)
+    assert _sorted_rows(got) == _sorted_rows(base)
+
+
+def test_interpolate_bucketed_bitwise_equal(spark, frames):
+    from dask_ssh_docker_spark.operators.interpolate import interpolate_linear
+
+    left, _ = frames
+    base = interpolate_linear(left, "ts", "value", by="user_id")
+    for width_s in (600, 7_200):
+        got = interpolate_linear(
+            left, "ts", "value", by="user_id", bucket_width_s=width_s
+        )
+        assert _sorted_rows(got.select(*base.columns)) == _sorted_rows(base), width_s
+
+
+def test_subbucket_tail_ewma_exact_when_dense(spark, frames):
+    """Bounded-frame EWMA (the window_ewma_bounded shape) over ghost-tail
+    sub-buckets equals the global window when every bucket ≥ tail rows."""
+    from dask_ssh_docker_spark.operators.seqbucket import subbucket_with_tail
+
+    left, _ = frames
+    frame_n = 20
+    t = F.unix_micros("ts")
+    x = F.coalesce(F.col("value").cast("double"), F.lit(0.0))
+
+    def ewma_over(part_cols, src):
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(t, "event_id")
+            .rowsBetween(-(frame_n - 1), 0)
+        )
+        vals = F.collect_list(x).over(w)
+        num = F.aggregate(vals, F.lit(0.0), lambda a, b: a * F.lit(0.9) + b)
+        return src.withColumn("ewma", num)
+
+    base = ewma_over(["user_id"], left).select("event_id", "ewma")
+    # 2h buckets over 48h of 12k rows -> every (user, bucket) dense for
+    # the hot user; sparse users may violate density, so restrict the
+    # parity assertion to buckets that meet the precondition
+    aug = subbucket_with_tail(
+        left.withColumn("__t", t), ["user_id"], ["__t", "event_id"], frame_n,
+        F.floor(F.col("__t") / F.lit(7_200 * 1_000_000)),
+    )
+    got = (
+        ewma_over(["user_id", "__bkt"], aug)
+        .filter(~F.col("__ghost"))
+        .select("event_id", "ewma")
+    )
+    # density precondition: a bucket whose PREVIOUS present bucket holds
+    # < tail rows receives an incomplete ghost tail — ITS first rows are
+    # the ones that lose context.  Exclude exactly those buckets from the
+    # parity set; everything else must be bit-identical.
+    counts = aug.filter(~F.col("__ghost")).groupBy("user_id", "__bkt").count()
+    wuser = Window.partitionBy("user_id").orderBy("__bkt")
+    affected = counts.withColumn("prev_n", F.lag("count").over(wuser)).filter(
+        F.col("prev_n").isNotNull() & (F.col("prev_n") < frame_n)
+    )
+    affected_keys = {(r["user_id"], r["__bkt"]) for r in affected.collect()}
+    ok_events = aug.filter(~F.col("__ghost")).join(
+        affected.select("user_id", "__bkt"), ["user_id", "__bkt"], "left_anti"
+    ).select("event_id")
+    b = {r.event_id: r.ewma for r in base.join(ok_events, "event_id").collect()}
+    g = {r.event_id: r.ewma for r in got.join(ok_events, "event_id").collect()}
+    assert b == g  # bit-identical where the precondition holds
+    # the hot user — the key this mitigation exists for — is fully dense
+    # (~125 rows/bucket >= tail), so EVERY one of its rows is in the
+    # parity set; uniform users are sparse by construction (~9 rows per
+    # 2 h bucket), which is exactly why one does NOT sub-bucket them
+    hot_bad = [k for k in affected_keys if k[0] == 0]
+    assert not hot_bad, f"hot user unexpectedly sparse: {hot_bad}"
+    hot_ids = {r.event_id for r in left.filter("user_id = 0").collect()}
+    assert hot_ids <= set(b), "hot-user rows missing from the parity set"
+
+
+def test_subbucket_tail_precondition_violation_detected(spark):
+    """A bucket with < tail rows loses context for the NEXT bucket's
+    first rows — construct it and show exactly those rows differ (the
+    documented precondition, not a silent wrong answer elsewhere)."""
+    from dask_ssh_docker_spark.operators.seqbucket import subbucket_with_tail
+
+    # t=5 removed: bucket 1 (width 3) holds only {3,4} — fewer than the
+    # 3 preceding rows t=6's frame needs, so its ghost tail is short one
+    rows = [(1, i, float(i)) for i in range(10) if i != 5]
+    df = spark.createDataFrame(rows, "user_id int, t long, v double")
+    aug = subbucket_with_tail(
+        df, ["user_id"], ["t"], 4, F.floor(F.col("t") / F.lit(3))
+    )
+    w_g = Window.partitionBy("user_id").orderBy("t").rowsBetween(-3, 0)
+    w_b = Window.partitionBy("user_id", "__bkt").orderBy("t").rowsBetween(-3, 0)
+    base = df.withColumn("s", F.sum("v").over(w_g)).select("t", "s")
+    got = (
+        aug.withColumn("s", F.sum("v").over(w_b))
+        .filter(~F.col("__ghost"))
+        .select("t", "s")
+    )
+    bmap = {r.t: r.s for r in base.collect()}
+    gmap = {r.t: r.s for r in got.collect()}
+    diff = {t for t in bmap if bmap[t] != gmap[t]}
+    # t=6's global frame is {2,3,4,6}; the ghost tail of bucket 1 only
+    # carries {3,4} (t=2 lives two buckets back, ghosts do not cascade
+    # transitively) -> exactly t=6 diverges, nothing else
+    assert diff == {6}, diff

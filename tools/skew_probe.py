@@ -231,13 +231,152 @@ def main() -> None:
     if not same:
         failures.append("window-straggler-output-divergence")
 
+    # ----- claim 4: sequence-semantics windows (SCALE.md class 7, r12) ----
+    # asof / interpolate / bounded-EWMA per user_id are per-key ordered
+    # folds — AQE cannot split window partitions, so a bot user holding
+    # hot_frac of all events routes that volume through ONE task's sort.
+    # Measure the straggler and the r12 time-range sub-bucketing reshapes
+    # (operators/asof.py bucket_width, operators/interpolate.py
+    # bucket_width_s, operators/seqbucket.py ghost tails) on the same
+    # corpus, plus their overhead on a uniform corpus, and pin output
+    # equality on the probe data (the full parity is tests/test_seqbucket).
+    from pyspark.sql import Window
+
+    from dask_ssh_docker_spark.operators.asof import merge_asof
+    from dask_ssh_docker_spark.operators.interpolate import interpolate_linear
+    from dask_ssh_docker_spark.operators.seqbucket import subbucket_with_tail
+
+    n_ev = n_docs * 100
+    n_hot_e = int(n_ev * hot_frac)
+    BW = 3_600  # 1 h sub-buckets over a 48 h axis
+    ev_users = rng.integers(0, 2**62, n_ev)
+    hot_users = ev_users.copy()
+    hot_users[:n_hot_e] = 123_456_789
+    micros = rng.integers(0, 172_800, n_ev) * 1_000_000 + rng.permutation(n_ev)
+    vals = rng.normal(50.0, 10.0, n_ev)
+    vals[rng.random(n_ev) < 0.3] = None
+
+    def _ev_frame(users):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user_id": users,
+                    "ts": pd.to_datetime(micros, unit="us"),
+                    "event_id": np.arange(n_ev),
+                    "value": vals,
+                }
+            )
+        )
+
+    n_q = n_ev // 10
+    q_users = np.where(
+        rng.random(n_q) < hot_frac, 123_456_789, rng.integers(0, 2**62, n_q)
+    )
+    quotes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": q_users,
+                "ts": pd.to_datetime(
+                    rng.integers(0, 172_800, n_q) * 1_000_000
+                    + rng.permutation(n_q),
+                    unit="us",
+                ),
+                "quote_id": np.arange(n_q),
+                "px": rng.normal(100.0, 5.0, n_q).round(4),
+            }
+        )
+    )
+
+    def _exec_wall(df) -> tuple[float, tuple]:
+        chk = df.selectExpr(
+            "sum(hash(*)) AS h", "count(*) AS n"
+        )
+        t0 = time.time()
+        row = chk.first()
+        return time.time() - t0, tuple(row)
+
+    def _ewma(src, part_cols):
+        t = F.unix_micros("ts")
+        x = F.coalesce(F.col("value"), F.lit(0.0))
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(t, "event_id")
+            .rowsBetween(-19, 0)
+        )
+        vals_ = F.collect_list(x).over(w)
+        num = F.aggregate(vals_, F.lit(0.0), lambda a, b: a * F.lit(0.9) + b)
+        return src.withColumn("ewma", num)
+
+    for tag, users in (("hot", hot_users), ("uniform", ev_users)):
+        events = _ev_frame(users)
+        # asof
+        w_plain, h_plain = _exec_wall(
+            merge_asof(events, quotes, on="ts", by="user_id", tiebreak="quote_id")
+        )
+        w_bkt, h_bkt = _exec_wall(
+            merge_asof(
+                events, quotes, on="ts", by="user_id", tiebreak="quote_id",
+                bucket_width=BW,
+            )
+        )
+        ok = h_plain == h_bkt
+        print(
+            f"[seq-window/{tag}] asof: plain {w_plain:.1f}s  bucketed "
+            f"{w_bkt:.1f}s ({w_plain / max(w_bkt, 1e-9):.2f}x)  "
+            f"output identical: {ok}"
+        )
+        if not ok:
+            failures.append(f"seq-asof-{tag}-divergence")
+        # interpolate
+        w_plain, h_plain = _exec_wall(
+            interpolate_linear(events, "ts", "value", by="user_id")
+        )
+        w_bkt, h_bkt = _exec_wall(
+            interpolate_linear(
+                events, "ts", "value", by="user_id", bucket_width_s=BW
+            )
+        )
+        ok = h_plain == h_bkt
+        print(
+            f"[seq-window/{tag}] interpolate: plain {w_plain:.1f}s  bucketed "
+            f"{w_bkt:.1f}s ({w_plain / max(w_bkt, 1e-9):.2f}x)  "
+            f"output identical: {ok}"
+        )
+        if not ok:
+            failures.append(f"seq-interpolate-{tag}-divergence")
+        # bounded EWMA via ghost tails (dense-bucket regime by volume);
+        # parity on the HOT corpus only — the hot user's 1 h buckets hold
+        # ≫ 20 rows; a uniform user's sparse buckets are exactly the case
+        # the helper documents as out-of-precondition (don't sub-bucket
+        # uniform keys), so uniform measures WALL only.
+        w_plain, h_plain = _exec_wall(
+            _ewma(events, ["user_id"]).select("event_id", "ewma")
+        )
+        aug = subbucket_with_tail(
+            events.withColumn("__t", F.unix_micros("ts")),
+            ["user_id"],
+            ["__t", "event_id"],
+            20,
+            F.floor(F.col("__t") / F.lit(BW * 1_000_000)),
+        )
+        w_bkt, _ = _exec_wall(
+            _ewma(aug, ["user_id", "__bkt"])
+            .filter(~F.col("__ghost"))
+            .select("event_id", "ewma")
+        )
+        print(
+            f"[seq-window/{tag}] ewma20: plain {w_plain:.1f}s  ghost-tail "
+            f"{w_bkt:.1f}s ({w_plain / max(w_bkt, 1e-9):.2f}x)"
+        )
+
     if failures:
         print(f"SKEW NOT HANDLED: {failures} — salt those keys")
         raise SystemExit(1)
     print(
         "skew handled: the LSH bucket join and the gram semi-join are "
-        "split by AQE at runtime; the exact-dedup window straggler is "
-        "measured above with its salted mitigation (outputs identical)"
+        "split by AQE at runtime; the exact-dedup window straggler and "
+        "the sequence-window (class 7) stragglers are measured above "
+        "with their salted/sub-bucketed mitigations (outputs identical)"
     )
 
 
