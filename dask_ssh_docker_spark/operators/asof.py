@@ -165,16 +165,20 @@ def merge_asof(
             .orderBy("__bkt")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        # strictly-after cascade as a DESC running frame — Spark's
+        # following-unbounded frames re-scan per row (O(group²)); the
+        # spine groups are bucket-count-bounded so this is hygiene here,
+        # but interpolate.py documents the measured cliff
         wnext = (
             Window.partitionBy(*by_cols)
-            .orderBy("__bkt")
-            .rowsBetween(1, Window.unboundedFollowing)
+            .orderBy(F.desc("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
         carries = spine.join(rb, [*by_cols, "__bkt"], "left").select(
             *by_cols,
             "__bkt",
             F.last("__lastp", ignorenulls=True).over(wprev).alias("__carry_b"),
-            F.first("__firstp", ignorenulls=True).over(wnext).alias("__carry_f"),
+            F.last("__firstp", ignorenulls=True).over(wnext).alias("__carry_f"),
         )
         unioned = unioned.join(carries, [*by_cols, "__bkt"])
     else:

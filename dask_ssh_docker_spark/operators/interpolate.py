@@ -51,29 +51,42 @@ def interpolate_linear(
             .orderBy("__bkt")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        # strictly-after cascade as a DESC running frame (see the O(n²)
+        # note below — same form for the spine, cheap but consistent)
         wnext = (
             Window.partitionBy(*by_cols)
-            .orderBy("__bkt")
-            .rowsBetween(1, Window.unboundedFollowing)
+            .orderBy(F.desc("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
         carries = kb.select(
             *by_cols,
             "__bkt",
             F.last("__lastk", ignorenulls=True).over(wprev).alias("__cprev"),
-            F.first("__firstk", ignorenulls=True).over(wnext).alias("__cnext"),
+            F.last("__firstk", ignorenulls=True).over(wnext).alias("__cnext"),
         )
         d = d.join(carries, [*by_cols, "__bkt"])
     else:
         d = df
         part = Window.partitionBy(by) if by else Window.partitionBy()
 
+    # BOTH neighbor scans are RUNNING frames (unboundedPreceding →
+    # currentRow): the next-known side runs over DESCENDING t, where
+    # "last non-null so far" IS the next known value in ascending time —
+    # the same trick operators/asof.py's forward fill uses.  The naive
+    # (currentRow → unboundedFollowing) frame is NOT incremental in
+    # Spark: UnboundedFollowingWindowFunctionFrame re-scans current→end
+    # for EVERY row — O(n²) per partition, measured as a multi-minute
+    # single-task straggler on a 400k-row hot key (skew_probe claim 4,
+    # r12); the running form is O(n).
     w_prev = part.orderBy(t).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_next = part.orderBy(t).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_next = part.orderBy(F.desc(t)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
 
     prev_v = F.last(v, ignorenulls=True).over(w_prev)
-    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_v = F.last(v, ignorenulls=True).over(w_next)
     prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_prev)
-    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
+    next_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
     if bucket_width_s is not None:
         # a bucket with no earlier/later known value falls back to the
         # carried (t, v) pair — copies of the values the global window
@@ -93,5 +106,8 @@ def interpolate_linear(
     )
     out = d.withColumn(out_col, interp)
     if bucket_width_s is not None:
-        out = out.drop("__bkt", "__cprev", "__cnext")
+        # the carry join moved the (by, __bkt) keys to the front —
+        # restore the caller's column order (+ out_col last, as in the
+        # unbucketed path)
+        out = out.select(*df.columns, out_col)
     return out

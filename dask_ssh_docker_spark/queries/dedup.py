@@ -889,7 +889,10 @@ _MH_SEED_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_AB
       SELECT source, unnest({_SHINGLES}) AS shingle FROM base
     ),
     hashed AS (
-      SELECT source,
+      -- DISTINCT before the 128-seed expansion: MIN over the set equals
+      -- MIN over the multiset, and the cross join below multiplies rows
+      -- by 128 (measured 17.3 s -> this cut at sf1)
+      SELECT DISTINCT source,
              CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
                % {_MH_P} AS hm
       FROM sh

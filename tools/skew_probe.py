@@ -327,14 +327,16 @@ def main() -> None:
         )
         if not ok:
             failures.append(f"seq-asof-{tag}-divergence")
-        # interpolate
+        # interpolate (column order pinned: the carry join reorders cols,
+        # and hash(*) is order-sensitive)
+        icols = ["event_id", "user_id", "ts", "value", "value_interp"]
         w_plain, h_plain = _exec_wall(
-            interpolate_linear(events, "ts", "value", by="user_id")
+            interpolate_linear(events, "ts", "value", by="user_id").select(*icols)
         )
         w_bkt, h_bkt = _exec_wall(
             interpolate_linear(
                 events, "ts", "value", by="user_id", bucket_width_s=BW
-            )
+            ).select(*icols)
         )
         ok = h_plain == h_bkt
         print(
