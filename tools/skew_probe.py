@@ -71,6 +71,10 @@ def _skew_evidence(plan: str) -> tuple[bool, list[str]]:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     hot_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.2
+    # optional claim filter (e.g. `... 100000 0.3 seq` runs ONLY claim 4 —
+    # the join claims are pair-quadratic in the hot clique and cannot ride
+    # a 10x corpus)
+    only = sys.argv[3] if len(sys.argv) > 3 else None
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
@@ -100,6 +104,37 @@ def main() -> None:
     failures: list[str] = []
 
     # ---------------- claim 1: banded LSH bucket self-join ----------------
+    if only in (None, "joins", "lsh"):
+        _claims_1_2(spark, rng, n_docs, hot_frac, failures)
+    if only in (None, "dedup"):
+        _claim_3(spark, rng, n_docs, hot_frac, failures)
+    if only in (None, "seq"):
+        _claim_4(spark, rng, n_docs, hot_frac, failures)
+
+    if failures:
+        print(f"SKEW NOT HANDLED: {failures} — salt those keys")
+        raise SystemExit(1)
+    print(
+        "skew handled: the LSH bucket join and the gram semi-join are "
+        "split by AQE at runtime; the exact-dedup window straggler and "
+        "the sequence-window (class 7) stragglers are measured above "
+        "with their salted/sub-bucketed mitigations (outputs identical)"
+    )
+
+
+def _claims_1_2(spark, rng, n_docs, hot_frac, failures):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from dask_ssh_docker_spark.operators.dedup import minhash_candidates
+    from dask_ssh_docker_spark.operators.substring import _dup_marks
+
     n_hot = int(n_docs * hot_frac)
     num_hashes = 32
     ids = rng.integers(0, 2**62, n_docs)  # hash-like ids (incompressible)
@@ -176,6 +211,8 @@ def main() -> None:
     if not engaged:
         failures.append("gram-semi-join")
 
+
+def _claim_3(spark, rng, n_docs, hot_frac, failures):
     # -------- claim 3: exact-dedup WINDOW straggler (VERDICT r10) ---------
     # AQE can split skewed JOIN partitions but NOT window partitions: one
     # fingerprint holding hot_frac of the corpus routes hot_frac of all
@@ -184,6 +221,8 @@ def main() -> None:
     # (fp, salt), combine-friendly merge) on the same corpus, plus the
     # salt's overhead on a uniform (no hot group) corpus, and pin that
     # the two shapes' outputs are identical.
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
     from dask_ssh_docker_spark.operators.dedup import exact_dedup_groups
 
     n_rows = n_docs * 100  # thin (fp,id) rows — window volume is the knob
@@ -231,6 +270,8 @@ def main() -> None:
     if not same:
         failures.append("window-straggler-output-divergence")
 
+
+def _claim_4(spark, rng, n_docs, hot_frac, failures):
     # ----- claim 4: sequence-semantics windows (SCALE.md class 7, r12) ----
     # asof / interpolate / bounded-EWMA per user_id are per-key ordered
     # folds — AQE cannot split window partitions, so a bot user holding
@@ -241,6 +282,7 @@ def main() -> None:
     # corpus, plus their overhead on a uniform corpus, and pin output
     # equality on the probe data (the full parity is tests/test_seqbucket).
     from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
     from dask_ssh_docker_spark.operators.asof import merge_asof
     from dask_ssh_docker_spark.operators.interpolate import interpolate_linear
@@ -370,16 +412,6 @@ def main() -> None:
             f"[seq-window/{tag}] ewma20: plain {w_plain:.1f}s  ghost-tail "
             f"{w_bkt:.1f}s ({w_plain / max(w_bkt, 1e-9):.2f}x)"
         )
-
-    if failures:
-        print(f"SKEW NOT HANDLED: {failures} — salt those keys")
-        raise SystemExit(1)
-    print(
-        "skew handled: the LSH bucket join and the gram semi-join are "
-        "split by AQE at runtime; the exact-dedup window straggler and "
-        "the sequence-window (class 7) stragglers are measured above "
-        "with their salted/sub-bucketed mitigations (outputs identical)"
-    )
 
 
 if __name__ == "__main__":
