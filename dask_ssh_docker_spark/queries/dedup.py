@@ -334,44 +334,53 @@ def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with every doc (singletons keep their own id), then the survivor
     # rule as a ROW_NUMBER pick (longest n_chars, tie → smallest id) —
     # the same total order Spark's max_by(struct(n_chars, −id)) takes.
+    # The PPJoin pipeline lives in a NESTED WITH inside a derived table:
+    # a WITH RECURSIVE clause makes DuckDB MATERIALIZE every CTE in it,
+    # and the shingle/prefix/candidate intermediates that stream fine in
+    # the plain setsim oracle then spill unboundedly (measured: the
+    # zipf-sf10 deep sweep filled the disk).  Nested, the heavy part
+    # streams exactly like setsim's; only the tiny pair/label frames are
+    # in the recursive clause.
     oracle=f"""
-    WITH RECURSIVE base AS (
-      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM base
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
-    ordered AS (
-      SELECT s.doc_id, s.shingle,
-             ROW_NUMBER() OVER (PARTITION BY s.doc_id
-                                ORDER BY f.df, s.shingle) AS pos,
-             z.n_sh
-      FROM sh s JOIN freq f USING (shingle) JOIN sizes z USING (doc_id)
-    ),
-    prefix AS (
-      SELECT doc_id, shingle FROM ordered
-      WHERE pos <= n_sh - ((7 * n_sh + 19) // 20) + 1
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM prefix a JOIN prefix b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    ),
-    common AS (
-      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
-      FROM cand c
-      JOIN sh sa ON sa.doc_id = c.id_a
-      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT id_a, id_b FROM common
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(n_common AS DOUBLE)
-            / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.35
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM (
+        WITH base AS (
+          SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM base
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+        ordered AS (
+          SELECT s.doc_id, s.shingle,
+                 ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                    ORDER BY f.df, s.shingle) AS pos,
+                 z.n_sh
+          FROM sh s JOIN freq f USING (shingle) JOIN sizes z USING (doc_id)
+        ),
+        prefix AS (
+          SELECT doc_id, shingle FROM ordered
+          WHERE pos <= n_sh - ((7 * n_sh + 19) // 20) + 1
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM prefix a JOIN prefix b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        common AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.35
+      )
     ),
     ed AS (
       SELECT id_a AS x, id_b AS y FROM pairs
