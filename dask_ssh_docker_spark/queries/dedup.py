@@ -324,74 +324,112 @@ def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim_pairs_prefix(docs, "text", "doc_id", t_num=7, t_den=20)
 
 
+# Connected components for the canonical-survivors oracle WITHOUT
+# `WITH RECURSIVE`: DuckDB (1.0) materializes EVERY CTE in a clause that
+# contains a recursive member, so the shingle/prefix/candidate
+# intermediates that stream fine in the plain setsim oracle spilled the
+# disk full at zipf-sf10 (measured twice in the r12 deep sweep).  Min-label
+# propagation is instead UNROLLED as plain CTE rounds with pointer
+# jumping — round k takes min(own, neighbors' labels, label-of-label), so
+# R rounds converge for any min-label hop distance ≤ 2^R; near-dup
+# components are tiny (zipf-sf10: largest 8 members, Σc² ≈ 1e5, measured),
+# and non-convergence is made LOUD, not silent: a poison row (-1 ids) is
+# emitted per unconverged node, failing the row-count/hash compare.
+_CC_ROUNDS = 8
+
+
+def _cc_rounds_sql(rounds: int = _CC_ROUNDS) -> str:
+    parts = []
+    for k in range(1, rounds + 1):
+        p = f"l{k - 1}"
+        parts.append(
+            f""",
+    l{k} AS MATERIALIZED (
+      SELECT m.x,
+             LEAST(m.lbl,
+                   COALESCE(nb.minn, m.lbl),
+                   COALESCE(pj.lbl, m.lbl)) AS lbl
+      FROM {p} m
+      LEFT JOIN (SELECT ed.x, MIN(l.lbl) AS minn
+                 FROM ed JOIN {p} l ON l.x = ed.y GROUP BY ed.x) nb
+        ON nb.x = m.x
+      LEFT JOIN {p} pj ON pj.x = m.lbl
+    )"""
+        )
+    return "".join(parts)
+
+
 @query(
     "dedup_canonical_survivors",
     # r12 (VERDICT r11 item 6): promoted rows-only → hash-checked.  The
     # pair graph is the LOSSLESS prefix-filter join (exact J ≥ 0.35 —
     # same candidate SQL as the setsim_prefix_pairs PPJoin oracle), so
     # the cluster structure is a pure function of the data: connected
-    # components by min-reachable-id, here via a recursive CTE seeded
-    # with every doc (singletons keep their own id), then the survivor
+    # components by min-reachable-id (unrolled pointer-jumping rounds —
+    # see _cc_rounds_sql for why not WITH RECURSIVE), then the survivor
     # rule as a ROW_NUMBER pick (longest n_chars, tie → smallest id) —
     # the same total order Spark's max_by(struct(n_chars, −id)) takes.
-    # The PPJoin pipeline lives in a NESTED WITH inside a derived table:
-    # a WITH RECURSIVE clause makes DuckDB MATERIALIZE every CTE in it,
-    # and the shingle/prefix/candidate intermediates that stream fine in
-    # the plain setsim oracle then spill unboundedly (measured: the
-    # zipf-sf10 deep sweep filled the disk).  Nested, the heavy part
-    # streams exactly like setsim's; only the tiny pair/label frames are
-    # in the recursive clause.
+    # ``sh``/``sizes`` carry explicit MATERIALIZED markers: in this
+    # multi-stage query DuckDB 1.0 otherwise INLINES the 26M-row shingle
+    # pipeline into each of its reference sites and executes the copies
+    # concurrently — their grouped hash tables together blow past the
+    # memory limit and spilled >70 GB (disk-full) at zipf-sf10, where the
+    # single-pass setsim oracle with the identical pipeline spills zero.
+    # Materialized once: 79 s, zero spill, 0 unconverged (measured).
     oracle=f"""
-    WITH RECURSIVE pairs AS (
-      SELECT id_a, id_b FROM (
-        WITH base AS (
-          SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
-        ),
-        sh AS (
-          SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM base
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
-        ordered AS (
-          SELECT s.doc_id, s.shingle,
-                 ROW_NUMBER() OVER (PARTITION BY s.doc_id
-                                    ORDER BY f.df, s.shingle) AS pos,
-                 z.n_sh
-          FROM sh s JOIN freq f USING (shingle) JOIN sizes z USING (doc_id)
-        ),
-        prefix AS (
-          SELECT doc_id, shingle FROM ordered
-          WHERE pos <= n_sh - ((7 * n_sh + 19) // 20) + 1
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM prefix a JOIN prefix b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        ),
-        common AS (
-          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
-          FROM cand c
-          JOIN sh sa ON sa.doc_id = c.id_a
-          JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-          GROUP BY 1, 2
-        )
-        SELECT id_a, id_b FROM common
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(n_common AS DOUBLE)
-              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.35
-      )
+    WITH base AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
     ),
-    ed AS (
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM base
+    ),
+    sizes AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    ordered AS (
+      SELECT s.doc_id, s.shingle,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                ORDER BY f.df, s.shingle) AS pos,
+             z.n_sh
+      FROM sh s JOIN freq f USING (shingle) JOIN sizes z USING (doc_id)
+    ),
+    prefix AS (
+      SELECT doc_id, shingle FROM ordered
+      WHERE pos <= n_sh - ((7 * n_sh + 19) // 20) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.35
+    ),
+    ed AS MATERIALIZED (
       SELECT id_a AS x, id_b AS y FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs
     ),
-    reach(x, lbl) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT ed.x, r.lbl FROM ed JOIN reach r ON r.x = ed.y
+    l0 AS MATERIALIZED (SELECT doc_id AS x, doc_id AS lbl FROM documents)
+    {_cc_rounds_sql()},
+    labels AS (
+      SELECT x AS doc_id, lbl AS cluster_id FROM l{_CC_ROUNDS}
     ),
-    labels AS (SELECT x AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY x),
+    unconverged AS (
+      SELECT a.x FROM l{_CC_ROUNDS} a
+      JOIN l{_CC_ROUNDS - 1} b ON a.x = b.x AND a.lbl <> b.lbl
+    ),
     ranked AS (
       SELECT l.doc_id, l.cluster_id,
              ROW_NUMBER() OVER (PARTITION BY l.cluster_id
@@ -402,6 +440,9 @@ def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.doc_id, l.cluster_id, s.survivor_doc_id,
            (l.doc_id = s.survivor_doc_id) AS keep
     FROM labels l JOIN surv s USING (cluster_id)
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), NULL
+    FROM unconverged
     """,
     # same corpus pathology as setsim_prefix_pairs: the legacy 30-word
     # vocabulary defeats prefix filtering at sf>=1 (~n² candidates in
