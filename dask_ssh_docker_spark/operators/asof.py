@@ -42,6 +42,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dask_ssh_docker_spark.operators.seqbucket import null_safe_join
+
 
 def _as_list(x) -> list[str]:
     if x is None:
@@ -152,12 +154,27 @@ def merge_asof(
         # buckets runs on the per-key bucket SPINE (|keys|·|buckets|
         # rows), not the data.
         spine = unioned.select(*by_cols, "__bkt").distinct()
+        # Tiebreak ordering must mirror the within-bucket window's:
+        # backward fills order asc_nulls_first(__tb) (last = largest
+        # non-null __tb) — max_by over struct(__ord, __tb) already treats
+        # a NULL field as smallest, so it matches.  Forward fills order
+        # desc_nulls_first(__tb) (last = SMALLEST NON-NULL __tb), but a
+        # bare min_by would treat NULL as smallest and pick the NULL-__tb
+        # row — so the min_by key carries an isNull flag that pushes NULL
+        # tiebreaks after every non-null one (ADVICE r12).
         rb = (
             unioned.filter(F.col("__side") == 0)
             .groupBy(*by_cols, "__bkt")
             .agg(
                 F.max_by("__payload", F.struct("__ord", "__tb")).alias("__lastp"),
-                F.min_by("__payload", F.struct("__ord", "__tb")).alias("__firstp"),
+                F.min_by(
+                    "__payload",
+                    F.struct(
+                        F.col("__ord"),
+                        F.col("__tb").isNull().alias("__tbn"),
+                        F.col("__tb"),
+                    ),
+                ).alias("__firstp"),
             )
         )
         wprev = (
@@ -174,13 +191,18 @@ def merge_asof(
             .orderBy(F.desc("__bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        carries = spine.join(rb, [*by_cols, "__bkt"], "left").select(
+        # Both carry joins are NULL-SAFE: NULL `by` keys and NULL `on`
+        # values (NULL __bkt) are real rows the unbucketed window keeps —
+        # a plain equi-join would silently drop them (ADVICE r12); the
+        # null-safe form preserves the 'returns all left rows' contract
+        # and the bit-identical-for-any-width claim.
+        carries = null_safe_join(spine, rb, [*by_cols, "__bkt"], "left").select(
             *by_cols,
             "__bkt",
             F.last("__lastp", ignorenulls=True).over(wprev).alias("__carry_b"),
             F.last("__firstp", ignorenulls=True).over(wnext).alias("__carry_f"),
         )
-        unioned = unioned.join(carries, [*by_cols, "__bkt"])
+        unioned = null_safe_join(unioned, carries, [*by_cols, "__bkt"])
     else:
         part = Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
 

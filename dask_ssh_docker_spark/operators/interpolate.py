@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dask_ssh_docker_spark.operators.seqbucket import null_safe_join
+
 
 def interpolate_linear(
     df: DataFrame,
@@ -42,9 +44,17 @@ def interpolate_linear(
         d = df.withColumn("__bkt", F.floor(t / F.lit(bucket_width_s * 1e6)))
         part = Window.partitionBy(*by_cols, "__bkt")
         known = F.when(v.isNotNull(), F.struct(t.alias("t"), v.alias("v")))
+        # ordering key: non-null whenever v is non-null — a bare
+        # when(v_nn, t) key is NULL for every row of the NULL-ts bucket
+        # (t itself is NULL there), so max_by/min_by would IGNORE those
+        # known values while the global window keeps them (NULL ts sorts
+        # first in asc t); the (t IS NOT NULL, t) struct keeps them
+        # orderable, nulls-first, matching the window (ADVICE r12
+        # null-handling parity).
+        key = F.when(v.isNotNull(), F.struct(t.isNotNull().alias("nn"), t.alias("t")))
         kb = d.groupBy(*by_cols, "__bkt").agg(
-            F.max_by(known, F.when(v.isNotNull(), t)).alias("__lastk"),
-            F.min_by(known, F.when(v.isNotNull(), t)).alias("__firstk"),
+            F.max_by(known, key).alias("__lastk"),
+            F.min_by(known, key).alias("__firstk"),
         )
         wprev = (
             Window.partitionBy(*by_cols)
@@ -64,7 +74,10 @@ def interpolate_linear(
             F.last("__lastk", ignorenulls=True).over(wprev).alias("__cprev"),
             F.last("__firstk", ignorenulls=True).over(wnext).alias("__cnext"),
         )
-        d = d.join(carries, [*by_cols, "__bkt"])
+        # NULL-SAFE: NULL `by` keys / NULL ts (NULL __bkt) are rows the
+        # unbucketed window keeps — a plain equi-join drops them
+        # (ADVICE r12, same fix as operators/asof.py's carry join)
+        d = null_safe_join(d, carries, [*by_cols, "__bkt"])
     else:
         d = df
         part = Window.partitionBy(by) if by else Window.partitionBy()
@@ -108,6 +121,9 @@ def interpolate_linear(
     if bucket_width_s is not None:
         # the carry join moved the (by, __bkt) keys to the front —
         # restore the caller's column order (+ out_col last, as in the
-        # unbucketed path)
-        out = out.select(*df.columns, out_col)
+        # unbucketed path).  out_col may REPLACE an existing column
+        # (e.g. out_col=value_col): withColumn swapped it in place, so
+        # exclude it from the passthrough list or the select would emit
+        # the name twice (ADVICE r12).
+        out = out.select(*[c for c in df.columns if c != out_col], out_col)
     return out

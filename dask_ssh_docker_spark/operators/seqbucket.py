@@ -37,6 +37,33 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def null_safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``keys`` with NULL-safe equality (``<=>``), keeping
+    the left frame's key columns once.
+
+    Spark's list-of-names join sugar compiles to plain ``=``, which drops
+    every row whose key is NULL — in the sub-bucketing carry joins that
+    silently loses left rows with NULL ``by`` keys or NULL ``on``/``ts``
+    values (NULL ``__bkt``), while the unbucketed window path keeps them
+    (ADVICE r12).  This helper is the drop-in replacement: same output
+    shape as the sugar, NULL keys match NULL keys, so bucketed output
+    stays bit-identical to the global window for any null pattern.
+    """
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__nsj_{k}")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__nsj_{k}"))
+        cond = c if cond is None else cond & c
+    return left.join(r, cond, how).drop(*[f"__nsj_{k}" for k in keys])
+
+
 def subbucket_with_tail(
     df: DataFrame,
     key_cols: list[str],

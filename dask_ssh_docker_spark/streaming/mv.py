@@ -150,8 +150,9 @@ def incremental_agg_mv(
             # width regardless of snapshot size — 32 near-empty tasks per
             # epoch at bench scale (measured ~25% of the merge wall),
             # while a 10⁸-key snapshot still gets its parallelism (the
-            # pointer records the row count, width = rows/2M capped at
-            # the session width).
+            # _LATEST pointer records the snapshot's on-disk BYTES;
+            # width = ceil(bytes / BYTES_PER_MERGE_PARTITION = 64 MiB)
+            # capped at the session width).
             w = _merge_width(spark, ptr[2])
             old = spark.read.parquet(ptr[1]).repartition(w, *keys)
             merged = combine_snapshots(old, part.repartition(w, *keys), keys, kinds)

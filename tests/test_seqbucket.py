@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -22,8 +24,13 @@ SF = "/root/testdata/sf0.01"
 
 def _sorted_rows(df):
     return sorted(
-        tuple(None if v != v else v for v in r) if any(isinstance(v, float) for v in r) else tuple(r)
-        for r in (tuple(row) for row in df.collect())
+        (
+            tuple(None if v != v else v for v in r)
+            if any(isinstance(v, float) for v in r)
+            else tuple(r)
+            for r in (tuple(row) for row in df.collect())
+        ),
+        key=repr,  # total order even when None mixes with datetimes
     )
 
 
@@ -106,6 +113,110 @@ def test_interpolate_bucketed_bitwise_equal(spark, frames):
             left, "ts", "value", by="user_id", bucket_width_s=width_s
         )
         assert _sorted_rows(got.select(*base.columns)) == _sorted_rows(base), width_s
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_bucketed_keeps_null_keys_and_null_on(spark, direction):
+    """NULL `by` keys and NULL `on` timestamps are real rows the global
+    window keeps (NULLs sort first/last in the per-key order) — the
+    bucketed carry joins are null-safe, so those rows must neither vanish
+    nor diverge (ADVICE r12: the plain equi-join dropped them)."""
+    from dask_ssh_docker_spark.operators.asof import merge_asof
+
+    def ts(s):
+        return None if s is None else datetime(1970, 1, 1) + timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [
+            (1, ts(100), 0), (1, ts(5_000), 1), (1, None, 2),
+            (None, ts(200), 3), (None, ts(9_000), 4), (None, None, 5),
+            (2, ts(300), 6),
+        ],
+        "user_id int, ts timestamp, event_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(90), 10, 1.0), (1, ts(4_500), 11, 2.0),
+            (None, ts(150), 12, 3.0), (None, ts(8_000), 13, 4.0),
+            (None, None, 14, 5.0),
+            (2, None, 15, 6.0),
+        ],
+        "user_id int, ts timestamp, quote_id int, px double",
+    )
+    base = merge_asof(
+        left, right, on="ts", by="user_id", direction=direction,
+        tiebreak="quote_id",
+    )
+    assert base.count() == 7  # all left rows survive the global path
+    for width_s in (600, 3_600):
+        got = merge_asof(
+            left, right, on="ts", by="user_id", direction=direction,
+            tiebreak="quote_id", bucket_width=width_s,
+        )
+        assert _sorted_rows(got) == _sorted_rows(base), (direction, width_s)
+
+
+def test_asof_bucketed_forward_null_tiebreak(spark):
+    """Forward cross-bucket carry with NULL tiebreaks: the within-bucket
+    fill orders desc_nulls_first(__tb) (last = smallest NON-NULL __tb),
+    so the carry's min_by must also prefer non-null tiebreaks at equal
+    `on` (ADVICE r12: a bare min_by struct treated NULL as smallest and
+    carried the wrong payload)."""
+    from dask_ssh_docker_spark.operators.asof import merge_asof
+
+    t0 = datetime(1970, 1, 1)
+    t_match = t0 + timedelta(seconds=5_000)  # bucket 1 at width 3600
+    left = spark.createDataFrame(
+        [(1, t0, 0)], "user_id int, ts timestamp, event_id int"
+    )
+    # two right rows at the SAME ts in a LATER bucket: NULL tiebreak vs
+    # tiebreak 7 — the global forward fill picks the non-null one
+    right = spark.createDataFrame(
+        [(1, t_match, None, 111.0), (1, t_match, 7, 222.0)],
+        "user_id int, ts timestamp, quote_id int, px double",
+    )
+    kw = dict(on="ts", by="user_id", direction="forward", tiebreak="quote_id")
+    base = merge_asof(left, right, **kw)
+    got = merge_asof(left, right, bucket_width=3_600, **kw)
+    assert _sorted_rows(got) == _sorted_rows(base)
+    assert got.first()["px"] == 222.0  # the non-null-tiebreak payload
+
+
+def test_interpolate_bucketed_keeps_null_keys(spark):
+    """NULL `by` keys / NULL ts survive the bucketed interpolate path
+    bit-identically (same null-safe carry join as asof)."""
+    from dask_ssh_docker_spark.operators.interpolate import interpolate_linear
+
+    epoch = datetime(1970, 1, 1)
+    rows = [
+        (1, epoch + timedelta(seconds=i), i, float(i) if i % 3 else None)
+        for i in range(0, 12_000, 100)
+    ]
+    rows += [(None, epoch + timedelta(seconds=50), 900, None),
+             (None, epoch + timedelta(seconds=7_000), 901, 5.0),
+             (2, None, 902, None), (None, None, 903, 9.0)]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, value double"
+    )
+    base = interpolate_linear(df, "ts", "value", by="user_id")
+    assert base.count() == len(rows)
+    got = interpolate_linear(df, "ts", "value", by="user_id", bucket_width_s=600)
+    assert _sorted_rows(got.select(*base.columns)) == _sorted_rows(base)
+
+
+def test_interpolate_bucketed_out_col_overwrite(spark, frames):
+    """out_col == value_col replaces the column in place on BOTH paths —
+    the bucketed select must not emit the name twice (ADVICE r12)."""
+    from dask_ssh_docker_spark.operators.interpolate import interpolate_linear
+
+    left, _ = frames
+    base = interpolate_linear(left, "ts", "value", by="user_id", out_col="value")
+    got = interpolate_linear(
+        left, "ts", "value", by="user_id", out_col="value", bucket_width_s=600
+    )
+    assert got.columns == base.columns
+    assert len(got.columns) == len(set(got.columns))
+    assert _sorted_rows(got.select(*base.columns)) == _sorted_rows(base)
 
 
 def test_subbucket_tail_ewma_exact_when_dense(spark, frames):

@@ -412,6 +412,28 @@ def _claim_4(spark, rng, n_docs, hot_frac, failures):
             f"[seq-window/{tag}] ewma20: plain {w_plain:.1f}s  ghost-tail "
             f"{w_bkt:.1f}s ({w_plain / max(w_bkt, 1e-9):.2f}x)"
         )
+        if tag == "hot":
+            # parity is only claimed where the ghost-tail precondition
+            # holds — the HOT USER's rows (its 1 h buckets hold ≫ 20
+            # rows); the near-unique cold users of either corpus hold
+            # 1-row buckets and are documented out-of-precondition.
+            # Compare actual hashes restricted to the hot key (ADVICE
+            # r12: the parity was advertised but the bucketed hash was
+            # discarded, so a ghost-tail divergence could never fail).
+            hot = F.col("user_id") == 123_456_789
+            _, hp = _exec_wall(
+                _ewma(events, ["user_id"]).filter(hot).select("event_id", "ewma")
+            )
+            _, hb = _exec_wall(
+                _ewma(aug, ["user_id", "__bkt"])
+                .filter(~F.col("__ghost"))
+                .filter(hot)
+                .select("event_id", "ewma")
+            )
+            ok = hp == hb
+            print(f"[seq-window/{tag}] ewma20 hot-key parity: {ok}")
+            if not ok:
+                failures.append("seq-ewma-hot-divergence")
 
 
 if __name__ == "__main__":
