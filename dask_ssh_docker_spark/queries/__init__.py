@@ -64,61 +64,73 @@ from . import assoc_analytics  # noqa: E402,F401
 # rotates every round so no query's newest driver row goes stale
 # (tools/check_all.sh enforces that every registry name has appeared in at
 # least one recorded window, and tools/check_never_checked.py additionally
-# reports per-name staleness).  Round-12 window (VERDICT r11 item 1):
-#   0. queries whose machinery CHANGED in r12 (canonical-survivors and
-#      minhash-corpus-overlap gained DuckDB oracles — rows-only → hash;
-#      stream_mv_user_totals perf work; sequence-family sub-bucketing);
-#   1. ALL 38 names whose newest driver row is round 7 — the entire
-#      remaining staleness tier fits in one 50-name window (the judge
-#      re-proved 12 of them green in r11; the driver record should too).
-#      After this window the oldest evidence anywhere is r8.
+# reports per-name staleness).  Round-13 window (VERDICT r12 item 3):
+#   0. queries whose machinery CHANGED in r13: the two promotions
+#      (sim_mmr_rerank and dedup_winnow_spans gained DuckDB oracles —
+#      rows-only → hash) and the asof/interpolate family (null-safe
+#      bucketed carries, ADVICE r12);
+#   1. the ENTIRE r8 staleness tier (44 names, incl. dedup_winnow_spans
+#      and the asof/interpolate names above) — after this window the
+#      oldest driver evidence anywhere is r9;
+#   2. 5 names from the r9 tier to fill the 50-name window (the tier
+#      rotation continues next round).
 # Names not listed keep their import order after the listed ones.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- 0. machinery changed r12: re-prove first --
-    "dedup_canonical_survivors",  # promoted rows-only → arg_max oracle
-    "corpus_overlap_minhash",  # promoted rows-only → exact-overlap oracle
-    "stream_mv_user_totals",  # r11 drift investigation (VERDICT item 5)
-    "interarrival_stats_per_user",  # sequence-family skew work (item 2)
-    # -- 1. the whole r7 staleness tier (34 more names; 38 total with the
-    #       four above that also sit in it or carry r12 machinery) --
-    "join_left_order_counts",
-    "join_cross_nation_region",
-    "filter_project_lineitem",
-    "sample_systematic",
-    "null_handling",
-    "agg_global_stats",
-    "agg_rollup",
-    "value_counts_events",
-    "agg_corr_stats",
-    "topk_orders",
-    "dedup_keep_first",
-    "distinct_pairs",
-    "set_intersect",
-    "set_except",
-    "concat_union",
-    "delayed_api_smoke",
-    "futures_api_smoke",
-    "join_full_outer",
-    "union_missing_columns",
-    "merge_indicator",
-    "explode_outer_null_preserving",
-    "str_functions",
-    "str_split_explode",
-    "date_functions",
-    "json_extract_props",
-    "json_map_schema",
-    "cast_surface",
-    "text_quality_linear_score",
-    "dedup_clusters_minhash_cc",
-    "dedup_substring_dupfrac",
-    "dedup_substring_excise",
-    "dedup_semantic_semdedup",
-    "gini_revenue_concentration",
-    "mannwhitney_click_view",
-    "rfm_customer_segments",
-    "abc_part_classification",
+    # -- 0. machinery changed r13: re-prove first --
+    "sim_mmr_rerank",  # promoted rows-only → unrolled-greedy oracle
+    "dedup_winnow_spans",  # promoted rows-only → exact poly-hash oracle
+    "asof_backward_tolerance",  # null-safe bucketed carries (ADVICE r12)
+    "asof_forward",
+    "asof_nearest",
+    "interpolate_time_linear",
+    # -- 1. the rest of the r8 staleness tier --
+    "agg_cube",
+    "custom_agg_geomean",
+    "dedup_incremental_bloom",
+    "dedup_substring_spans",
+    "describe_summary",
+    "docs_source_mix",
+    "fuzzy_levenshtein_pairs",
+    "map_overlap_centered_mean",
+    "multimodal_blob_metadata",
+    "numeric_format_conv",
+    "pagerank_nation_trade",
+    "profile_orders_columns",
+    "resample_hourly",
+    "rollup_cascade_daily",
+    "sessionize_10m",
+    "setsim_prefix_pairs",
+    "sim_topk_ivfpq",
+    "sim_topk_pq",
+    "sliding_window_30m",
+    "sssp_nation_trade",
+    "str_functions_extended",
+    "stream_tumbling_counts",
+    "text_contamination_flags",
+    "text_fingerprint",
+    "text_gopher_quality",
+    "text_langid",
+    "text_stats",
+    "udf_frame_offsets",
+    "udf_groupby_apply_median",
+    "window_cummax",
+    "window_cummin",
+    "window_cumprod",
+    "window_cumsum",
+    "window_forward_fill",
+    "window_lag_lead",
+    "window_rank_fractions",
+    "window_ranking",
+    "window_rolling_range_1h",
+    "window_rolling_rows",
+    # -- 2. r9-tier names filling the window to 50 --
+    "agg_first_last_by_time",
+    "approx_distinct_quantiles",
+    "bootstrap_ci_revenue",
+    "categorical_encode",
+    "dedup_clusters_transitive",
 ]
 
 

@@ -622,18 +622,185 @@ def dedup_substring_dupfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_stats(docs, "text", "doc_id", k=_SUBSTR_K)
 
 
-@query("dedup_winnow_spans", oracle=None)
+# --- winnow oracle (promoted rows-only → hash, r13) -----------------------
+#
+# The numpy hash scheme of operators/substring.py::winnow_fingerprints IS
+# replicable in SQL: it is a mod-2⁶⁴ polynomial over the normalized text's
+# code points, xor-shift-multiply finalized.  The oracle recomputes it
+# EXACTLY in DuckDB with HUGEINT split-multiplies (a·b mod 2⁶⁴ via 32-bit
+# halves — a full 64×64 product overflows INT128) and an O(n) prefix-sum
+# rolling form: h(p) = (S(p+k−1) − S(p−1)) · P^(p+k−1) where
+# S(m) = Σ_{i≤m} code[i]·P^(−i) mod 2⁶⁴ — P is odd, hence invertible mod
+# 2⁶⁴, so the per-position k-term sum collapses to two window lookups
+# (the naive 40-term form measured 36 s/family at sf1; this form ~3 s).
+# Robust-winnowing selection (rightmost argmin per w-window, Schleimer
+# et al. 2003 §4) uses a NEIGHBORHOOD characterization instead of
+# enumerating the ≤w windows per position (which blows up to w·n rows —
+# 1.2 G at zipf-sf10): p is the rightmost argmin of SOME window iff a
+# window start s exists with no strictly-smaller hash in [s, p−1] and no
+# ≤-hash in (p, s+w−1]; with d_left = run of ≥-hashes immediately left
+# and d_right = run of >-hashes immediately right (both read from w−1
+# element list-frames), that is GREATEST(1, p−w+1, p−d_left) ≤
+# LEAST(p, n−w+1, p+d_right−w+1).  Fuzz-verified against the brute
+# per-window argmin over 300 random tie-heavy corpora (incl. n < w).
+# Detection matches on the (fp, fp2) pair, islands with gap w+k−1,
+# identical to the Spark shape.
+# Single-stream CTE chain (no self-joins: DuckDB inlines CTEs per
+# consumer — BENCH_NOTES r12 §4); `selected` is MATERIALIZED (two
+# consumers); the recursive power table is bounded by a MATERIALIZED
+# max-raw-length (normalization never lengthens), or the bound subquery
+# re-runs the normalize regex per recursion step (measured 402 s at sf1).
+
+_WINNOW_W = 8
+_W_P1 = 1099511628211
+_W_P2 = 0x100000001B3 ^ 0xA5A5A5A5A5A5A5A4
+_W_MIX1, _W_MIX2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+_W_MOD = 1 << 64
+
+
+def _mulmod64(a: str, b) -> str:
+    """SQL: (a·b) mod 2⁶⁴ for HUGEINT operands < 2⁶⁴, split into 32-bit
+    halves so no intermediate exceeds INT128.  Shift/bitand instead of
+    div/mod — INT128 division is the hot op at sweep scale (measured
+    38× on a 15M-row column: 3.45 s → 0.09 s, identical results;
+    DuckDB bitand is two's-complement so it doubles as an exact
+    non-negative mod 2⁶⁴)."""
+    return (
+        f"((((({a}) >> 32) * ({b}) & 4294967295) << 32)"
+        f" + (({a}) & 4294967295) * ({b})) & 18446744073709551615"
+    )
+
+
+def _winnow_oracle_sql(k: int = _SUBSTR_K, w: int = _WINNOW_W) -> str:
+    inv1, inv2 = pow(_W_P1, -1, _W_MOD), pow(_W_P2, -1, _W_MOD)
+    m = _mulmod64
+    return f"""
+WITH RECURSIVE bound AS MATERIALIZED (
+  SELECT COALESCE(MAX(length(text)), 0) + {k} AS m FROM documents
+),
+pows(pi, pa, ia, pb, ib) AS (
+  SELECT 0, 1::HUGEINT, 1::HUGEINT, 1::HUGEINT, 1::HUGEINT
+  UNION ALL
+  SELECT pi + 1, {m('pa', _W_P1)}, {m('ia', inv1)},
+         {m('pb', _W_P2)}, {m('ib', inv2)}
+  FROM pows WHERE pi < (SELECT m FROM bound)
+),
+norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+chars AS (
+  SELECT doc_id, length(t) - {k - 1} AS n,
+         unnest(generate_series(1, length(t))) AS i,
+         CAST(unicode(unnest(string_split(t, ''))) AS HUGEINT) AS c
+  FROM norm WHERE length(t) >= {k}
+),
+terms AS (
+  SELECT doc_id, n, i, {m('c', 'ia')} AS ta, {m('c', 'ib')} AS tb, pa, pb
+  FROM chars JOIN pows ON pows.pi = chars.i
+),
+prefix AS (
+  SELECT doc_id, n, i AS pos, pa, pb,
+         SUM(ta) OVER (PARTITION BY doc_id ORDER BY i) AS sa,
+         SUM(tb) OVER (PARTITION BY doc_id ORDER BY i) AS sb
+  FROM terms
+),
+diffs AS (
+  SELECT doc_id, n, pos,
+         (LEAD(sa, {k - 1}) OVER dw - COALESCE(LAG(sa, 1) OVER dw, 0))
+           & 18446744073709551615 AS da,
+         (LEAD(sb, {k - 1}) OVER dw - COALESCE(LAG(sb, 1) OVER dw, 0))
+           & 18446744073709551615 AS db,
+         LEAD(pa, {k - 1}) OVER dw AS pae,
+         LEAD(pb, {k - 1}) OVER dw AS pbe
+  FROM prefix
+  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+),
+h0 AS (
+  SELECT doc_id, n, pos,
+         CAST({m('da', 'pae')} AS UBIGINT) AS ha,
+         CAST({m('db', 'pbe')} AS UBIGINT) AS hb
+  FROM diffs WHERE pos <= n
+),
+f1 AS (
+  SELECT doc_id, n, pos, xor(ha, ha >> 33) AS ua, xor(hb, hb >> 33) AS ub
+  FROM h0
+),
+f2 AS (
+  SELECT doc_id, n, pos,
+         CAST({m('CAST(ua AS HUGEINT)', _W_MIX1)} AS UBIGINT) AS ua2,
+         CAST({m('CAST(ub AS HUGEINT)', _W_MIX2)} AS UBIGINT) AS ub2
+  FROM f1
+),
+hashes AS (
+  SELECT doc_id, n, pos,
+         xor(ua2, ua2 >> 33) AS hu, xor(ub2, ub2 >> 33) AS hu2
+  FROM f2
+),
+neigh AS (
+  SELECT doc_id, pos, n, hu, hu2, LEAST({w}, n) AS we,
+         list(hu) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {w - 1} PRECEDING AND 1 PRECEDING) AS lh,
+         list(hu) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 1 FOLLOWING AND {w - 1} FOLLOWING) AS rh
+  FROM hashes
+),
+dists AS (
+  SELECT doc_id, pos, n, hu, hu2, we,
+         COALESCE(NULLIF(list_position(
+             list_transform(list_reverse(lh), x -> x < hu), true), 0) - 1,
+           len(lh), 0) AS d_left,
+         COALESCE(NULLIF(list_position(
+             list_transform(rh, x -> x <= hu), true), 0) - 1,
+           len(rh), 0) AS d_right
+  FROM neigh
+),
+selected AS MATERIALIZED (
+  SELECT doc_id, pos, hu, hu2
+  FROM dists
+  WHERE GREATEST(1, pos - we + 1, pos - d_left)
+        <= LEAST(pos, n - we + 1, pos + d_right - we + 1)
+),
+dupkeys AS (
+  SELECT hu, hu2 FROM selected GROUP BY hu, hu2 HAVING COUNT(*) >= 2
+),
+marked AS (
+  SELECT s.doc_id, s.pos FROM selected s SEMI JOIN dupkeys d USING (hu, hu2)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 > {w + k - 1}
+         THEN 1 ELSE 0 END AS newgrp
+  FROM marked
+),
+grouped AS (
+  SELECT doc_id, pos,
+         SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {k - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {k - 1} - MIN(pos) + 1 AS BIGINT) AS span_len,
+       COUNT(*) AS n_fps
+FROM grouped GROUP BY doc_id, grp
+"""
+
+
+@query("dedup_winnow_spans", oracle=_winnow_oracle_sql())
 def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed (MOSS, Schleimer et al. 2003) duplicate spans — the 100 TB
     shape: ~w×-fewer fingerprints shuffle than stride-1 grams with a
-    guaranteed catch of any common substring ≥ k+w−1.  numpy hash scheme
-    has no DuckDB twin → rows-only here; selection density, stride-1
-    parity and the detection guarantee are pytest-pinned
-    (tests/test_substring.py)."""
+    guaranteed catch of any common substring ≥ k+w−1.  Promoted to
+    hash-checked in r13: the DuckDB oracle recomputes the exact numpy
+    polynomial-hash pipeline via an O(n) modular-inverse prefix-sum (see
+    _winnow_oracle_sql); selection density, stride-1 parity and the
+    detection guarantee stay pytest-pinned (tests/test_substring.py)."""
     from ..operators.substring import winnow_duplicate_spans
 
     docs = load_table(spark, sf_dir, "documents")
-    return winnow_duplicate_spans(docs, "text", "doc_id", k=_SUBSTR_K, window=8)
+    return winnow_duplicate_spans(
+        docs, "text", "doc_id", k=_SUBSTR_K, window=_WINNOW_W
+    )
 
 
 @query(

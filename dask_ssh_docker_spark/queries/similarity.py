@@ -243,15 +243,101 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@query("sim_mmr_rerank", oracle=None)
+# --- MMR oracle (promoted rows-only → hash, r13) --------------------------
+#
+# MMR is deterministic given the candidate pool: relevance is the
+# 6-dp-ROUNDED brute-force cosine (so the greedy objective's lam·rel term
+# is bit-reproducible cross-engine), candidate selection and the greedy
+# argmax both tie-break on (score desc, id asc), and k=5 rounds unroll
+# into 5 CTE stages (the same bounded-unroll pattern as the
+# canonical-survivors CC oracle, BENCH_NOTES r12 §4 — selset_r is
+# MATERIALIZED so round r+1 does not re-inline rounds 1..r).  The only
+# cross-engine float exposure is the candidate-candidate cosine (numpy
+# normalizes rows then matmuls; the oracle divides the sequential-fold
+# dot by the norm product) — ~1-ulp noise under a 6-dp round, the same
+# tolerance the hash-matched sim_topk_bruteforce oracle already carries.
+
+_MMR_K, _MMR_POOL, _MMR_LAM = 5, 20, 0.7
+
+
+def _mmr_oracle_sql(k: int = _MMR_K, pool: int = _MMR_POOL,
+                    lam: float = _MMR_LAM) -> str:
+    rounds = []
+    for r in range(2, k + 1):
+        rounds.append(f"""
+scored_{r} AS (
+  SELECT c.query_id, c.vec_id, c.rel,
+         {lam} * c.rel - {round(1 - lam, 12)} * MAX(s.s) AS score
+  FROM cand c
+  ANTI JOIN selset_{r - 1} x
+    ON x.query_id = c.query_id AND x.vec_id = c.vec_id
+  JOIN sims s ON s.query_id = c.query_id AND s.ia = c.vec_id
+  JOIN selset_{r - 1} t ON t.query_id = s.query_id AND t.vec_id = s.ib
+  GROUP BY c.query_id, c.vec_id, c.rel
+),
+sel_{r} AS (
+  SELECT query_id, vec_id, rel, score, {r} AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS rn
+    FROM scored_{r}
+  ) WHERE rn = 1
+),
+selset_{r} AS MATERIALIZED (
+  SELECT query_id, vec_id FROM selset_{r - 1}
+  UNION ALL SELECT query_id, vec_id FROM sel_{r}
+)""")
+    union = "\n  UNION ALL ".join(
+        f"SELECT query_id, vec_id, rel, score, rank FROM sel_{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+c0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+pool AS (
+  SELECT q.query_id, c0.vec_id, c0.embedding,
+         {_DOT.format(a='q.embedding', b='c0.embedding')}
+           / ({_NORM.format(a='q.embedding')} * {_NORM.format(a='c0.embedding')})
+           AS raw_sim
+  FROM q CROSS JOIN c0
+),
+cand AS MATERIALIZED (
+  SELECT query_id, vec_id, embedding, round(raw_sim, 6) AS rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY raw_sim DESC, vec_id) AS rn
+    FROM pool
+  ) WHERE rn <= {pool}
+),
+sims AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+         {_DOT.format(a='a.embedding', b='b.embedding')}
+           / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})
+           AS s
+  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+),
+sel_1 AS (
+  SELECT query_id, vec_id, rel, rel AS score, 1 AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+selset_1 AS MATERIALIZED (SELECT query_id, vec_id FROM sel_1),{",".join(rounds)}
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+       round(rel, 6) AS relevance, round(score, 6) AS mmr_score
+FROM ({union})
+"""
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle_sql())
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-5 (λ=0.7) from an exact top-20 candidate pool
     per query — the diversity-aware final stage of a retrieval/RAG
     pipeline.  Greedy selection runs as one ``applyInPandas`` per
     pool-row group (parallel across queries, O(k·pool·dim) numpy per
     group); parity with a pure-Python reference implementation and the
-    rank-1 = top-relevance invariant are pinned in
-    tests/test_wave5.py."""
+    rank-1 = top-relevance invariant are pinned in tests/test_wave5.py.
+    Promoted to hash-checked in r13 via the unrolled-greedy DuckDB
+    oracle (_mmr_oracle_sql)."""
     from ..operators.similarity import mmr_rerank
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -259,9 +345,9 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding")
-    return mmr_rerank(queries_df, corpus, k=5, pool=20, lam=0.7).orderBy(
-        "query_id", "rank"
-    )
+    return mmr_rerank(
+        queries_df, corpus, k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM
+    ).orderBy("query_id", "rank")
 
 
 # This module ships closures to Python workers; make them self-contained

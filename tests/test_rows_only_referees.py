@@ -41,10 +41,11 @@ REFEREES = {
         "tests.test_similarity::test_lsh_neardup_subset_of_exact",
         "tests.test_similarity::test_neardup_recall_at_scale",
     ],
-    "sim_mmr_rerank": [
-        "tests.test_wave5::test_mmr_parity_with_reference",
-        "tests.test_wave5::test_mmr_rank1_is_top_relevance_and_diversity_tradeoff",
-    ],
+    # sim_mmr_rerank: promoted to a full DuckDB oracle in r13 (unrolled
+    # 5-round greedy over the 6-dp-rounded relevance, queries/similarity
+    # ._mmr_oracle_sql); the pure-Python parity pin
+    # (test_wave5::test_mmr_parity_with_reference) still runs in its
+    # home file.
     # dedup family: exact-Jaccard / all-pairs-CC parity at validation n
     "dedup_minhash_clusters": [
         "tests.test_dedup::test_minhash_verified_pairs_match_exact",
@@ -61,10 +62,11 @@ REFEREES = {
     # (lossless prefix-filter pair graph + recursive-CTE CC) — its
     # invariants pin (test_wave7::test_canonical_survivors_invariants)
     # still runs in its home file.
-    "dedup_winnow_spans": [
-        "tests.test_substring::test_winnow_density_and_positions",
-        "tests.test_substring::test_winnow_detects_planted_duplicates",
-    ],
+    # dedup_winnow_spans: promoted to a full DuckDB oracle in r13 (the
+    # numpy polynomial hash recomputed exactly via an O(n) modular-
+    # inverse prefix-sum, queries/dedup._winnow_oracle_sql); the density
+    # and detection-guarantee pins (tests/test_substring.py) still run
+    # in their home file.
     "dedup_semantic_semdedup": [
         "tests.test_semdedup::test_greedy_matches_naive_reference",
         "tests.test_semdedup::test_survivors_mutually_below_tau",
