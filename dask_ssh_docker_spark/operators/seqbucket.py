@@ -37,6 +37,78 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Measured per-key crossover (tools/skew_probe.py claim 4, BENCH_NOTES
+#: r12 §3): one key's window sort is beaten by exact sub-bucketing past
+#: ~3M rows for interpolate/EWMA-class windows (1.4–1.8× at 4M); asof's
+#: crossover sits beyond local scale, and uniform keys pay 2.5–3×
+#: overhead — which is why this is a per-hot-key SWITCH, never a default.
+HOT_KEY_ROWS = 3_000_000
+
+#: Bucket sizing target once a key IS hot: buckets of ~200k rows keep a
+#: task's sort comfortably in memory while holding per-key bucket-spine
+#: cardinality (the carry cascade's row count) in the low thousands even
+#: for a 10⁹-row key.
+TARGET_BUCKET_ROWS = 200_000
+
+
+def recommend_bucket_width(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    on_col: str,
+    hot_rows: int = HOT_KEY_ROWS,
+    target_bucket_rows: int = TARGET_BUCKET_ROWS,
+) -> float | None:
+    """One-scan hot-key census → sub-bucket width recommendation, or
+    ``None`` when no key crosses the measured crossover (the common case:
+    don't sub-bucket).  Pass the result straight to
+    ``merge_asof(bucket_width=…)`` / ``interpolate_linear(
+    bucket_width_s=…)`` — output is bit-identical either way, so a None/
+    width decision can never change results, only the plan.
+
+    Cost at scale: one map-side-combined ``groupBy(key)`` aggregate
+    (count + min/max of ``on_col``) — thin rows, one shuffle of distinct
+    keys; the driver collect is bounded by construction (≤ corpus_rows /
+    hot_rows keys can exceed the threshold).
+
+    Width choice: for each hot key, the width that yields
+    ``count / target_bucket_rows`` buckets across its observed time
+    span; the minimum over hot keys is returned (the hottest key gets
+    its target, cooler-but-still-hot keys get finer buckets — harmless,
+    they are past the crossover too).  Returns SECONDS for timestamp
+    ``on_col`` (the unit both operators take), raw units for numerics.
+    Keys with a zero span are skipped (bucketing cannot split a single
+    instant).  The decision is pinned on the probe's corpus shapes in
+    ``tests/test_seqbucket.py``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    on_type = str(df.schema[on_col].dataType)
+    if on_type.startswith("Timestamp"):
+        axis = F.unix_micros(F.col(on_col)).cast("double") / 1e6
+    elif on_type.startswith("Date"):
+        axis = F.unix_date(F.col(on_col)).cast("double") * 86_400.0
+    else:
+        axis = F.col(on_col).cast("double")
+    hot = (
+        df.groupBy(*keys)
+        .agg(
+            F.count("*").alias("__n"),
+            F.min(axis).alias("__lo"),
+            F.max(axis).alias("__hi"),
+        )
+        .filter(F.col("__n") >= hot_rows)
+        .select("__n", (F.col("__hi") - F.col("__lo")).alias("__span"))
+        .collect()
+    )
+    widths = [
+        r["__span"] / max(r["__n"] / target_bucket_rows, 1.0)
+        for r in hot
+        if r["__span"] and r["__span"] > 0
+    ]
+    if not widths:
+        return None
+    return max(min(widths), 1e-9)
+
+
 def null_safe_join(
     left: DataFrame,
     right: DataFrame,

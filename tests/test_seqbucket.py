@@ -278,6 +278,40 @@ def test_subbucket_tail_ewma_exact_when_dense(spark, frames):
     assert hot_ids <= set(b), "hot-user rows missing from the parity set"
 
 
+def test_recommend_bucket_width_hot_vs_uniform(spark, frames):
+    """Hot-key census (VERDICT r12 item 6): a corpus with a key past the
+    crossover gets a width sized to ~target rows/bucket; a uniform corpus
+    gets None (don't sub-bucket).  The decision can only change the plan,
+    never the output — pinned by running interpolate both ways."""
+    from dask_ssh_docker_spark.operators.interpolate import interpolate_linear
+    from dask_ssh_docker_spark.operators.seqbucket import recommend_bucket_width
+
+    left, _ = frames  # user 0 holds ~25% of 12k rows over a 48h span
+    # scaled-down thresholds (the production defaults assume 3M-row keys)
+    w = recommend_bucket_width(
+        left, "user_id", "ts", hot_rows=2_000, target_bucket_rows=500
+    )
+    assert w is not None
+    hot_n = left.filter("user_id = 0").count()
+    span = 48 * 3600
+    # width ≈ span / (hot_n / target): ~500-row buckets for the hot key
+    assert abs(w - span / (hot_n / 500)) / w < 0.35
+    # uniform corpus (no key near the threshold) -> None
+    assert (
+        recommend_bucket_width(
+            left.filter("user_id > 0"), "user_id", "ts", hot_rows=2_000
+        )
+        is None
+    )
+    # zero-span hot key: bucketing cannot split one instant -> None
+    one_instant = left.withColumn("ts", F.lit("2020-01-01 00:00:00").cast("timestamp"))
+    assert recommend_bucket_width(one_instant, "user_id", "ts", hot_rows=2_000) is None
+    # the switch is output-neutral: recommended width == plain result
+    base = interpolate_linear(left, "ts", "value", by="user_id")
+    got = interpolate_linear(left, "ts", "value", by="user_id", bucket_width_s=w)
+    assert _sorted_rows(got.select(*base.columns)) == _sorted_rows(base)
+
+
 def test_subbucket_tail_precondition_violation_detected(spark):
     """A bucket with < tail rows loses context for the NEXT bucket's
     first rows — construct it and show exactly those rows differ (the
