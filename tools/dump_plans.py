@@ -51,7 +51,111 @@ QUERIES = [
     ("dedup_semantic_semdedup", "SemDeDup: map-side Arrow centroid assignment + ONE cluster-id exchange into the greedy prune"),
     ("text_quality_linear_score", "linear quality scorer: token explode + hash-weight map-side, one doc-keyed partial agg"),
     ("inverted_index_postings", "r10 counts-first index, single scan: shared (term,did) preagg stage reused by counts AND postings branches (tf>=1 pushdown barrier); broadcast LeftSemi; postings for 50 terms only"),
+    ("interpolate_time_linear", "linear interpolation (r12 reshape): next-known scan is a DESC-order running last() — O(n) frame, no (currentRow, unboundedFollowing) per-row re-scan; ONE user_id exchange feeds both direction fills"),
 ]
+
+
+def _explain(df) -> str:
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    return re.sub(r"file:[^,\]]+", "<path>", plan).strip()
+
+
+def variant_sections(spark, sf_dir: str) -> list[str]:
+    """Operator-variant plans the registry loop can't reach: the r12
+    bucketed sequence-window shapes and the loaded-ANN-index probe."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dask_ssh_docker_spark.operators.ann_index import (
+        ivfpq_probe,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+    from dask_ssh_docker_spark.operators.asof import merge_asof
+    from dask_ssh_docker_spark.operators.interpolate import interpolate_linear
+    from dask_ssh_docker_spark.operators.ivfpq import encode_ivfpq, train_ivfpq
+    from dask_ssh_docker_spark.sources import load_table
+
+    out = [
+        "# Operator variants (not registry queries)",
+        "",
+        "Bucketed sequence windows (`bucket_width=`) and the persisted-ANN",
+        "probe — the r12 plan reshapes. Bit-exactness of bucketed vs global",
+        "is pinned in `tests/test_seqbucket.py`; partition pruning of the",
+        "loaded probe in `tests/test_ann_index.py`.",
+        "",
+    ]
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    quotes = ev.groupBy("user_id", "ts").agg(F.avg("value").alias("quote"))
+    out.append(
+        "## merge_asof bucket_width=3600 (hot-key sub-bucketing)\n\n"
+        "*per-(key, hour-bucket) window fill + thin-row max_by carry\n"
+        "cascade over the bucket spine, null-safe carry join — vs ONE\n"
+        "whole-key window in the plain shape*\n\n"
+        "```\n"
+        + _explain(merge_asof(ev, quotes, on="ts", by="user_id", bucket_width=3600))
+        + "\n```\n"
+    )
+    out.append(
+        "## interpolate_linear bucket_width_s=3600\n\n"
+        "*same carry-cascade pattern: per-bucket (t,value) endpoint\n"
+        "max_by/min_by restored across boundaries, interpolation arithmetic\n"
+        "on the identical endpoint pair → bit-identical output*\n\n"
+        "```\n"
+        + _explain(
+            interpolate_linear(
+                ev.withColumn(
+                    "value", F.when(F.col("value") > 0.5, F.col("value"))
+                ),
+                "ts",
+                "value",
+                by="user_id",
+                bucket_width_s=3600,
+            )
+        )
+        + "\n```\n"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding")
+    cents, cb = train_ivfpq(corpus, k_coarse=8, coarse_iters=1, m=8, ks=16, dim=64)
+    index = encode_ivfpq(corpus, cents, cb, m=8, dim=64)
+    tmp = tempfile.mkdtemp(prefix="plans_ivfpq_")
+    try:
+        save_ivfpq_index(tmp, cents, cb, index, m=8, dim=64, k_coarse=8)
+        idx = load_ivfpq_index(spark, tmp)
+        out.append(
+            "## ivfpq_probe on a LOADED index — ADC stage (fit-once / probe-many)\n\n"
+            "*the codes scan carries `PartitionFilters: [centroid_id IN (…)]`\n"
+            "— a probe reads nprobe/k_coarse of the on-disk index, never all\n"
+            "of it (pruning count-asserted in `tests/test_ann_index.py`);\n"
+            "LUTs are a broadcast. With `corpus=` set, a second stage\n"
+            "broadcast-joins the checkpointed shortlist back for exact\n"
+            "rerank (that stage's plan starts at the checkpoint, so the\n"
+            "pruned scan is shown here via the ADC-only probe).*\n\n"
+            "```\n"
+            + _explain(ivfpq_probe(queries, idx, corpus=None, k=5, nprobe=2))
+            + "\n```\n"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out.append(
+        "## streaming MV merge width (no plan — a repartition count)\n\n"
+        "The r12 size-aware MV merge (`streaming/mv.py`) is not a plan\n"
+        "shape: each epoch's merge/write repartitions to\n"
+        "ceil(snapshot_bytes / 64 MiB) read from the `_LATEST` pointer\n"
+        "(one FS metadata call) — the AQE substitute inside foreachBatch,\n"
+        "where Spark disables AQE. Width 1 at bench scale, real\n"
+        "parallelism at a 10⁸-key snapshot.\n"
+    )
+    return out
 
 
 def main() -> None:
@@ -72,12 +176,8 @@ def main() -> None:
     ]
     for name, note in QUERIES:
         df = REGISTRY[name].fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-        )
-        # trim exchange ids / locations noise for readability
-        plan = re.sub(r"file:[^,\]]+", "<path>", plan)
-        out.append(f"## {name}\n\n*{note}*\n\n```\n{plan.strip()}\n```\n")
+        out.append(f"## {name}\n\n*{note}*\n\n```\n{_explain(df)}\n```\n")
+    out.extend(variant_sections(spark, sf_dir))
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
