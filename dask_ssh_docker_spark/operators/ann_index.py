@@ -82,6 +82,8 @@ class IvfPqIndex:
     dim: int
     k_coarse: int
     id_col: str
+    #: corpus size the centroids were trained on (None for pre-r13 indexes)
+    fitted_rows: int | None = None
 
 
 def save_ivfpq_index(
@@ -94,20 +96,35 @@ def save_ivfpq_index(
     dim: int,
     k_coarse: int,
     id_col: str = "vec_id",
+    fitted_rows: int | None = None,
 ) -> None:
     """Persist a trained+encoded IVF-PQ index.  ``index`` is the
     ``encode_ivfpq`` output; it lands partitioned by ``centroid_id`` so
-    later probes scan only their nprobe lists (partition pruning)."""
+    later probes scan only their nprobe lists (partition pruning).
+
+    ``fitted_rows``: corpus size the centroids were TRAINED on — recorded
+    in meta so ``refit_recommended`` can judge staleness after appends.
+    When omitted it is read back from the just-written codes parquet
+    (a footer-metadata count, no data scan)."""
+    spark = centroids.sparkSession
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     codebooks.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     index.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/codes"
     )
+    if fitted_rows is None:
+        fitted_rows = spark.read.parquet(f"{path}/codes").count()
     _write_meta(
-        centroids.sparkSession,
+        spark,
         path,
         "ivfpq",
-        {"m": m, "dim": dim, "k_coarse": k_coarse, "id_col": id_col},
+        {
+            "m": m,
+            "dim": dim,
+            "k_coarse": k_coarse,
+            "id_col": id_col,
+            "fitted_rows": int(fitted_rows),
+        },
     )
 
 
@@ -117,6 +134,7 @@ def load_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     on it prunes at the parquet-partition level, so a probe reads
     nprobe/k_coarse of the on-disk index, never all of it."""
     params = _read_meta(spark, path, "ivfpq")
+    fitted = params.get("fitted_rows")
     return IvfPqIndex(
         centroids=spark.read.parquet(f"{path}/centroids"),
         codebooks=spark.read.parquet(f"{path}/codebooks"),
@@ -125,7 +143,73 @@ def load_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
         dim=int(params["dim"]),
         k_coarse=int(params["k_coarse"]),
         id_col=str(params["id_col"]),
+        fitted_rows=int(fitted) if fitted is not None else None,
     )
+
+
+def append_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+) -> IvfPqIndex:
+    """Append new corpus vectors to a persisted IVF-PQ index WITHOUT
+    refitting: the rows are encoded against the existing (now possibly
+    stale) centroids/codebooks and appended to the partitioned codes
+    parquet — an idempotent-per-batch, metadata-cheap ingest step, the
+    100 TB append path (re-running Lloyd's on every ingest batch would
+    put the O(n·k·iters) fit in the hot path).
+
+    Staleness contract: appended vectors still land in their TRUE nearest
+    stale list (encode assigns by exact distance to the existing
+    centroids), so probe correctness degrades only through (a) residual
+    quantization error growing as the corpus drifts from the trained
+    distribution and (b) list occupancy n/k drifting past the ⌈√n⌉ cost
+    law.  Both are measured in ``tools/ann_index_probe.py --grown``
+    (BENCH_NOTES r13); check ``refit_recommended`` after appends and
+    refit when it fires.  Returns the reloaded index."""
+    from .ivfpq import encode_ivfpq
+
+    idx = load_ivfpq_index(spark, path)
+    codes = encode_ivfpq(
+        new_vectors,
+        idx.centroids,
+        idx.codebooks,
+        id_col=idx.id_col,
+        vec_col=vec_col,
+        m=idx.m,
+        dim=idx.dim,
+    )
+    codes.write.mode("append").partitionBy("centroid_id").parquet(f"{path}/codes")
+    return load_ivfpq_index(spark, path)
+
+
+#: ``refit_recommended`` fires when ⌈√n_now⌉ exceeds this multiple of the
+#: fitted k_coarse — i.e. when the corpus has grown past ~factor² × the
+#: fitted size and the ⌈√n⌉ sizing law (coarse_k_for) has drifted >2×.
+#: Measured basis (tools/ann_index_probe.py --grown, BENCH_NOTES r13):
+#: at 2× growth on stale centroids recall@10 holds (the encode step still
+#: assigns true nearest lists), while ADC scan cost per probe grows
+#: linearly with occupancy n/k — so the trigger is COST-driven at 4×
+#: growth, before recall decay becomes the binding constraint.
+REFIT_DRIFT_FACTOR = 2.0
+
+
+def refit_recommended(
+    idx: IvfPqIndex,
+    current_rows: int | None = None,
+    factor: float = REFIT_DRIFT_FACTOR,
+) -> bool:
+    """True when the corpus has outgrown the fitted coarse quantizer:
+    ``coarse_k_for(current_rows) > factor * k_coarse``.  With the ⌈√n⌉
+    law this fires at ~factor²× the fitted corpus (4× at the default),
+    and never fires below the validation floor where k is pinned.
+    ``current_rows`` defaults to a count of the index frame — on a loaded
+    index that is a parquet footer-metadata count, not a data scan."""
+    from .ivfpq import coarse_k_for
+
+    n = current_rows if current_rows is not None else idx.index.count()
+    return coarse_k_for(n) > factor * idx.k_coarse
 
 
 def ivfpq_probe(

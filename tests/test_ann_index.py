@@ -144,3 +144,49 @@ def test_wrong_kind_and_version_fail_fast(spark, emb, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     with pytest.raises(ValueError, match="version"):
         load_lsh_index(spark, path)
+
+
+def test_append_grows_index_and_probe_covers_new_rows(spark, emb, tmp_path):
+    """Append path (VERDICT r12 item 7): fit on half, append the rest
+    against the STALE centroids — the grown index must hold every row
+    exactly once, appended rows must be probe-reachable, and
+    refit_recommended must stay k-law-consistent (floor-pinned corpora
+    never fire; ⌈√n⌉ drift past 2× k_coarse fires)."""
+    from dask_ssh_docker_spark.operators.ann_index import (
+        append_ivfpq_index,
+        ivfpq_probe,
+        load_ivfpq_index,
+        refit_recommended,
+        save_ivfpq_index,
+    )
+    from dask_ssh_docker_spark.operators.ivfpq import encode_ivfpq, train_ivfpq
+
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    old = corpus.filter(F.col("vec_id") < 250)
+    new = corpus.filter(F.col("vec_id") >= 250)
+    cents, cb = train_ivfpq(old, k_coarse=16, coarse_iters=2, m=16, ks=16, dim=64)
+    path = str(tmp_path / "grown_idx")
+    save_ivfpq_index(
+        path, cents, cb, encode_ivfpq(old, cents, cb, m=16, dim=64),
+        m=16, dim=64, k_coarse=16, fitted_rows=245,
+    )
+    assert load_ivfpq_index(spark, path).fitted_rows == 245
+
+    grown = append_ivfpq_index(spark, path, new)
+    # every corpus row encoded exactly once (append is additive, no dupes)
+    ids = [r["vec_id"] for r in grown.index.select("vec_id").collect()]
+    assert sorted(ids) == sorted(r["vec_id"] for r in corpus.collect())
+
+    # an appended vector is its own exact nearest neighbor via the index
+    q = emb.filter(F.col("vec_id") == 400).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = ivfpq_probe(q, grown, corpus=corpus, k=1, nprobe=16).collect()
+    assert top and top[0]["vec_id"] == 400 and top[0]["dist"] == 0.0
+
+    # floor-pinned: below the 16384-row floor the k law is pinned at 16,
+    # so refit NEVER fires there (growth within the floor is free)
+    assert refit_recommended(grown) is False
+    assert refit_recommended(grown, current_rows=16_384) is False
+    # past the floor the ⌈√n⌉ law takes over: ⌈√16385⌉ = 129 > 2×16
+    assert refit_recommended(grown, current_rows=16_385) is True
