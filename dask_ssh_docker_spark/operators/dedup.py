@@ -722,8 +722,43 @@ def simhash_signature(text_col: str, bits: int = 64) -> F.Column:
     )
 
 
+def _token_hash(hash_family: str, bits: int) -> F.Column:
+    """Per-token hash column over ``__tok`` for the simhash vote pass.
+
+    ``xxhash64``: the production default — fastest, 64 defined bits,
+    Spark-only (no cross-engine twin).
+    ``md5_64``: the cross-engine family (r13, extending the md5-prefix
+    identity the r12 ``corpus_overlap_minhash`` promotion proved): the
+    first 16 md5 hex chars parsed as two 32-bit halves and recombined
+    into a signed two's-complement int64 — Spark ``shiftleft(hi,32) |
+    lo`` (bitwise, wrap-safe under ANSI) ≡ DuckDB ``hi::HUGEINT·2³² +
+    lo`` folded by −2⁶⁴ when ≥ 2⁶³ (DuckDB checks shift/multiply
+    overflow, so the widening is explicit there).  Parity constant:
+    −8070080442485551184 for 'abc' in both.  A full 64 bits (not the
+    15-hex-char 60-bit variant) keeps 16-bit bands — the 60-bit/15-bit
+    prototype HALVED the band space and its Σc² join work ~doubled the
+    zipf-sf1 wall (8.45 s vs the 7.0 fleet gate; BENCH_NOTES r13)."""
+    if hash_family == "xxhash64":
+        if bits > 64:
+            raise ValueError(f"xxhash64 defines 64 bits, got bits={bits}")
+        return F.xxhash64("__tok")
+    if hash_family == "md5_64":
+        if bits > 64:
+            raise ValueError(f"md5_64 defines 64 bits, got bits={bits}")
+        return F.shiftleft(
+            F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("bigint"), 32
+        ).bitwiseOR(
+            F.conv(F.substring(F.md5("__tok"), 9, 8), 16, 10).cast("bigint")
+        )
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig) — the frame-level simhash: explode tokens, hash each
     once, then ``bits`` codegen'd SUM aggregates (per-bit set counts)
@@ -738,7 +773,7 @@ def simhash_signatures(
     ``minhash_signatures`` shape) at ~10× less."""
     th = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("__tok")
-    ).select("id", F.xxhash64("__tok").alias("__h"))
+    ).select("id", _token_hash(hash_family, bits).alias("__h"))
     aggs = [
         F.sum(F.shiftrightunsigned("__h", b).bitwiseAND(F.lit(1))).alias(f"__c{b}")
         for b in range(bits)
@@ -761,18 +796,24 @@ def simhash_dedup_pairs(
     id_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by simhash: pigeonhole banding (hamming ≤ bands-1 ⇒
-    some 64/bands-bit band equal) then exact xor+bit_count verification.
+    some bits/bands-bit band equal) then exact xor+bit_count verification.
+    Because the pigeonhole bound is exact, the output EQUALS the all-pairs
+    hamming ≤ ``max_hamming`` result — banding only prunes candidates.
 
     Candidate recall is GUARANTEED only for ``max_hamming <= bands - 1``
     (pigeonhole: k differing bits can touch at most k bands); a larger
     ``max_hamming`` would silently miss qualifying pairs, and a ``bands``
-    that doesn't divide 64 would silently drop signature bits — both are
-    rejected rather than degraded."""
-    if 64 % bands != 0:
+    that doesn't divide ``bits`` would silently drop signature bits — both
+    are rejected rather than degraded.  ``hash_family="md5_64"`` makes
+    the whole computation DuckDB-reproducible — the oracle path of the
+    ``dedup_simhash_pairs`` registry query."""
+    if bits % bands != 0:
         raise ValueError(
-            f"bands={bands} must divide the 64-bit signature evenly "
+            f"bands={bands} must divide the {bits}-bit signature evenly "
             "(a remainder would silently drop signature bits)"
         )
     if max_hamming > bands - 1:
@@ -781,8 +822,8 @@ def simhash_dedup_pairs(
             f"bands-1={bands - 1}; use bands >= max_hamming+1 "
             f"(e.g. bands={max_hamming + 1}) for full candidate recall"
         )
-    width = 64 // bands
-    sig = simhash_signatures(df, text_col, id_col)
+    width = bits // bands
+    sig = simhash_signatures(df, text_col, id_col, bits, hash_family)
     mask = (1 << width) - 1
     banded = sig.select(
         "id",

@@ -223,12 +223,91 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, "text", "doc_id", threshold=0.35).orderBy("id")
 
 
-@query("dedup_simhash_pairs", oracle=None)
+# dedup_simhash_pairs (r13: promoted rows-only → hash-checked).  Same
+# promotion template as corpus_overlap_minhash (r12): the registry query
+# runs the production operator with the CROSS-ENGINE md5_64 token-hash
+# family (first 16 md5 hex chars as a signed int64 — Spark
+# shiftleft(hi,32)|lo ≡ DuckDB HUGEINT widen + two's-complement fold;
+# parity −8070080442485551184 for 'abc'), so the bit-vote signature, the
+# 4×16-bit pigeonhole banding, and the exact xor+bit_count verify are
+# all bit-reproducible in DuckDB.  Unlike the setsim prefix oracle there
+# is no shared-lemma independence concern: with max_hamming=3 ≤ bands−1
+# the banded output EQUALS the all-pairs hamming≤3 result (pigeonhole is
+# exact, not approximate — pinned in tests/test_dedup.py::
+# test_simhash_md5_64_banded_equals_all_pairs), and the oracle's 64
+# per-bit SUM aggregates + band join recompute it from the raw text.
+# The production xxhash64 default stays pytest-pinned — this query
+# proves the algorithm end-to-end.  (A 60-bit/15-bit-band prototype
+# halved the band space and ~doubled the zipf wall — BENCH_NOTES r13.)
+_SH_BITS, _SH_BANDS, _SH_WIDTH = 64, 4, 16
+_SH_MASK = (1 << _SH_WIDTH) - 1
+_SH_SUMS = ",\n             ".join(
+    f"SUM((h >> {b}) & 1) AS c{b}" for b in range(_SH_BITS)
+)
+# bit 63 cannot be built as 1<<63 in DuckDB (checked shift overflow) —
+# its term is the int64 min literal; the '+' stays in range because bits
+# 0..62 sum to at most 2⁶³−1
+_SH_SIG_EXPR = "\n           + ".join(
+    f"(CASE WHEN 2*c{b} > n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+    for b in range(_SH_BITS - 1)
+) + f"""
+           + (CASE WHEN 2*c{_SH_BITS - 1} > n
+                   THEN (-9223372036854775807 - 1)::BIGINT
+                   ELSE 0::BIGINT END)"""
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_NORM} AS norm FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST((CASE WHEN u >= 9223372036854775808 THEN
+                          u - 18446744073709551616
+                        ELSE u END) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)::HUGEINT
+                 * 4294967296
+               + CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS u
+        FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM base)
+      )
+    ),
+    votes AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {_SH_SUMS}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, {_SH_SIG_EXPR} AS sig
+      FROM votes
+    ),
+    banded AS (
+      SELECT doc_id, sig, b.band_idx,
+             (sig >> (b.band_idx * {_SH_WIDTH})) & {_SH_MASK} AS band_val
+      FROM sig CROSS JOIN (FROM range({_SH_BANDS})) b(band_idx)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM banded a
+    JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit bit-vote signature, 4-band
-    pigeonhole, hamming ≤ 3)."""
+    """SimHash near-dup pairs (bit-vote signature, 4-band pigeonhole,
+    hamming ≤ 3).  r13: the registry variant runs the md5_64 cross-engine
+    hash family (64-bit signature, 16-bit bands) so the oracle recomputes
+    the identical pairs in DuckDB; the xxhash64 production default is
+    pytest-pinned against this algorithm shape."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_dedup_pairs(docs, "text", "doc_id").orderBy("id_a", "id_b")
+    return simhash_dedup_pairs(
+        docs, "text", "doc_id", bits=_SH_BITS, hash_family="md5_64"
+    ).orderBy("id_a", "id_b")
 
 
 @query(

@@ -375,3 +375,56 @@ def test_simhash_signature_awkward_column_name(spark):
     df = spark.createDataFrame([("hello world",), ("hello world",)], ["the text"])
     sigs = [r.sig for r in df.select(simhash_signature("the text").alias("sig")).collect()]
     assert sigs[0] == sigs[1] and sigs[0] != 0
+
+
+def test_simhash_md5_64_banded_equals_all_pairs(spark):
+    """The r13 cross-engine family: banded md5_64 output must EQUAL the
+    brute-force all-pairs hamming<=3 over the same 64-bit signatures
+    (pigeonhole exactness — the property that makes the DuckDB oracle a
+    verifier, not an approximation of an approximation), and the
+    xxhash64 default must be untouched by the new parameters."""
+    from dask_ssh_docker_spark.operators.dedup import (
+        simhash_dedup_pairs,
+        simhash_signatures,
+    )
+    from dask_ssh_docker_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    banded = sorted(
+        tuple(r) for r in simhash_dedup_pairs(
+            docs, "text", "doc_id", hash_family="md5_64"
+        ).select("id_a", "id_b", "hamming").collect()
+    )
+    sig = simhash_signatures(docs, "text", "doc_id", 64, "md5_64")
+    a = sig.selectExpr("id as id_a", "sig as sa")
+    b = sig.selectExpr("id as id_b", "sig as sb")
+    brute = sorted(
+        tuple(r)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .filter("hamming <= 3")
+        .collect()
+    )
+    assert banded == brute and banded
+    # the full 64-bit range is exercised: some signature has bit 63 set
+    # (negative as int64) — the sign-bit band is where engine-parity
+    # mistakes (checked shifts, arithmetic vs logical >>) would surface
+    assert sig.filter(F.col("sig") < 0).count() > 0
+    # cross-engine parity constant (DuckDB fold identity), 'abc' token
+    one = spark.createDataFrame([(0, "abc")], "id long, t string")
+    from dask_ssh_docker_spark.operators.dedup import _token_hash
+
+    h = one.select(F.col("t").alias("__tok")).select(
+        _token_hash("md5_64", 64).alias("h")
+    ).head()["h"]
+    assert h == -8070080442485551184
+    # parameter validation
+    import pytest
+
+    with pytest.raises(ValueError, match="md5_64 defines 64 bits"):
+        simhash_signatures(docs, "text", "doc_id", 65, "md5_64")
+    with pytest.raises(ValueError, match="unknown hash_family"):
+        simhash_signatures(docs, "text", "doc_id", 60, "sha9")

@@ -54,10 +54,15 @@ REFEREES = {
     "dedup_clusters_minhash_cc": [
         "tests.test_dedup::test_minhash_cc_clusters_equal_allpairs_cc"
     ],
-    "dedup_simhash_pairs": [
-        "tests.test_dedup::test_simhash_identical_and_disjoint",
-        "tests.test_dedup::test_simhash_pairs_are_textually_similar",
-    ],
+    # dedup_simhash_pairs: promoted to a full DuckDB oracle in r13 (the
+    # registry query runs the md5_60 cross-engine token-hash family, so
+    # the 60-bit bit-vote signature + 4×15-bit pigeonhole banding +
+    # xor/bit_count verify are recomputed bit-exactly in SQL).  The
+    # xxhash64-default behavior pins (test_dedup::
+    # test_simhash_identical_and_disjoint, test_simhash_pairs_are_
+    # textually_similar) and the banded==all-pairs exactness pin
+    # (test_simhash_md5_60_banded_equals_all_pairs) run in their home
+    # file.
     # dedup_canonical_survivors: promoted to a full DuckDB oracle in r12
     # (lossless prefix-filter pair graph + recursive-CTE CC) — its
     # invariants pin (test_wave7::test_canonical_survivors_invariants)
