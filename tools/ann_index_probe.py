@@ -174,7 +174,12 @@ def grown_main(sf_dir: str, n_batches: int) -> None:
     recall_fresh = fresh_recall(k_full)
     recall_fresh_same_k = fresh_recall(k_old) if k_full != k_old else recall_fresh
     refit_now = refit_recommended(grown, current_rows=n_now)
-    refit_4x = refit_recommended(grown, current_rows=4 * n_old)
+    # the exact trigger point of the drift rule: coarse_k_for(n) > 2k
+    # first holds at n = (2k)² + 1 (ceil(sqrt) rounds k up, so this sits
+    # at ~4.0x the fitted corpus, marginally above exactly-4x)
+    refit_threshold = (2 * k_old) ** 2 + 1
+    assert refit_recommended(grown, current_rows=refit_threshold)
+    assert not refit_recommended(grown, current_rows=refit_threshold - 1)
     spark.stop()
 
     child = subprocess.run(
@@ -204,7 +209,7 @@ def grown_main(sf_dir: str, n_batches: int) -> None:
                 "recall_at_10_fresh_fit_law_k": recall_fresh,
                 "recall_at_10_fresh_fit_same_k": recall_fresh_same_k,
                 "refit_recommended_at_2x": refit_now,
-                "refit_recommended_at_4x": refit_4x,
+                "refit_fires_at_rows": refit_threshold,
                 "fresh_session_load_wall_s": probe["load_wall_s"],
                 "fresh_session_probe_batch_walls_s": probe["probe_batch_walls_s"],
             }
