@@ -65,10 +65,10 @@ from . import assoc_analytics  # noqa: E402,F401
 # (tools/check_all.sh enforces that every registry name has appeared in at
 # least one recorded window, and tools/check_never_checked.py additionally
 # reports per-name staleness).  Round-13 window (VERDICT r12 item 3):
-#   0. queries whose machinery CHANGED in r13: the two promotions
-#      (sim_mmr_rerank and dedup_winnow_spans gained DuckDB oracles —
-#      rows-only → hash) and the asof/interpolate family (null-safe
-#      bucketed carries, ADVICE r12);
+#   0. queries whose machinery CHANGED in r13: the three promotions
+#      (sim_mmr_rerank, dedup_winnow_spans and dedup_simhash_pairs
+#      gained DuckDB oracles — rows-only → hash) and the
+#      asof/interpolate family (null-safe bucketed carries, ADVICE r12);
 #   1. the ENTIRE r8 staleness tier (44 names, incl. dedup_winnow_spans
 #      and the asof/interpolate names above) — after this window the
 #      oldest driver evidence anywhere is r9;
@@ -81,6 +81,7 @@ _PRIORITY = [
     # -- 0. machinery changed r13: re-prove first --
     "sim_mmr_rerank",  # promoted rows-only → unrolled-greedy oracle
     "dedup_winnow_spans",  # promoted rows-only → exact poly-hash oracle
+    "dedup_simhash_pairs",  # promoted rows-only → md5_64 banded oracle
     "asof_backward_tolerance",  # null-safe bucketed carries (ADVICE r12)
     "asof_forward",
     "asof_nearest",
@@ -130,7 +131,8 @@ _PRIORITY = [
     "approx_distinct_quantiles",
     "bootstrap_ci_revenue",
     "categorical_encode",
-    "dedup_clusters_transitive",
+    # (dedup_clusters_transitive moved to the r14 rotation to keep the
+    #  window at 50 after dedup_simhash_pairs' promotion entered it)
 ]
 
 
