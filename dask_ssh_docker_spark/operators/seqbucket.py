@@ -74,18 +74,24 @@ def recommend_bucket_width(
     ``count / target_bucket_rows`` buckets across its observed time
     span; the minimum over hot keys is returned (the hottest key gets
     its target, cooler-but-still-hot keys get finer buckets — harmless,
-    they are past the crossover too).  Returns SECONDS for timestamp
-    ``on_col`` (the unit both operators take), raw units for numerics.
-    Keys with a zero span are skipped (bucketing cannot split a single
-    instant).  The decision is pinned on the probe's corpus shapes in
-    ``tests/test_seqbucket.py``.
+    they are past the crossover too).  Units match what the operators
+    take: SECONDS for timestamp ``on_col``, DAYS for date
+    (``merge_asof`` buckets dates on the ``unix_date`` axis;
+    ``interpolate_linear`` takes timestamps only), raw units for
+    numerics.  Keys with a zero span are skipped (bucketing cannot
+    split a single instant).  The decision is pinned on the probe's
+    corpus shapes in ``tests/test_seqbucket.py``.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     on_type = str(df.schema[on_col].dataType)
     if on_type.startswith("Timestamp"):
         axis = F.unix_micros(F.col(on_col)).cast("double") / 1e6
     elif on_type.startswith("Date"):
-        axis = F.unix_date(F.col(on_col)).cast("double") * 86_400.0
+        # DAYS, not seconds: merge_asof's date axis is unix_date, so a
+        # seconds-scaled width would make buckets 86400x finer than the
+        # target (same output — widths never change results — but a
+        # bucket-spine explosion, the exact perf failure this manages)
+        axis = F.unix_date(F.col(on_col)).cast("double")
     else:
         axis = F.col(on_col).cast("double")
     hot = (

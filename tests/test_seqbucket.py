@@ -340,3 +340,26 @@ def test_subbucket_tail_precondition_violation_detected(spark):
     # carries {3,4} (t=2 lives two buckets back, ghosts do not cascade
     # transitively) -> exactly t=6 diverges, nothing else
     assert diff == {6}, diff
+
+
+def test_recommend_bucket_width_date_axis_in_days(spark):
+    """Date on_col returns DAYS (merge_asof's unix_date bucket axis), not
+    seconds — a seconds-scaled width would size buckets 86400x finer than
+    the target; and the recommended width reproduces the plain asof
+    result exactly on the date axis."""
+    from dask_ssh_docker_spark.operators.asof import merge_asof
+    from dask_ssh_docker_spark.operators.seqbucket import recommend_bucket_width
+
+    # one hot key: 2000 rows over ~400 days; target 100-row buckets
+    left = spark.createDataFrame(
+        [(1, i % 400, float(i)) for i in range(2000)],
+        "k int, d int, v double",
+    ).select("k", F.date_add(F.lit("2020-01-01").cast("date"), F.col("d")).alias("d"), "v")
+    w = recommend_bucket_width(left, "k", "d", hot_rows=1_000, target_bucket_rows=100)
+    # span 399 days / (2000/100 buckets) ~ 20 days — a DAYS-unit answer;
+    # the seconds-unit bug would return ~1.7e6
+    assert w is not None and 10 <= w <= 40
+    right = left.groupBy("k", "d").agg(F.avg("v").alias("q"))
+    base = merge_asof(left, right, on="d", by="k")
+    bucketed = merge_asof(left, right, on="d", by="k", bucket_width=w)
+    assert _sorted_rows(bucketed.select(*base.columns)) == _sorted_rows(base)
