@@ -37,10 +37,18 @@ def _pagerank_oracle() -> str:
     DECIMAL literal typing can't diverge from Spark's float literals
     (e.g. DECIMAL ``1 - 0.85`` is exactly 0.15; DOUBLE ``1 - 0.85`` is
     0.15000000000000002 — Spark computes the latter).
+
+    r13: the multi-consumer CTEs are explicitly MATERIALIZED — the
+    BENCH_NOTES r12 §4 rule applied to this r8-era oracle after the r13
+    deep sweep caught it OOMing at sf10: DuckDB 1.0 inlines ``e`` into
+    ``outw``+``ratio`` and ``ratio`` into all five ``c{i}``s, so the
+    60M-row lineitem 4-table join pipeline executed many times with
+    concurrent hash tables (40 GB cap hit); materialized, ``e`` is 625
+    rows and every iteration reads bounded frames.
     """
     parts = [
         """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
              CAST(COUNT(*) AS DOUBLE) AS w
       FROM lineitem l
@@ -49,14 +57,14 @@ def _pagerank_oracle() -> str:
       JOIN supplier s ON l.l_suppkey  = s.s_suppkey
       GROUP BY 1, 2
     ),
-    nodes AS (SELECT n_nationkey AS id FROM nation),
-    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-    outw AS (SELECT src, SUM(w) AS w_out FROM e GROUP BY src),
-    ratio AS (
+    nodes AS MATERIALIZED (SELECT n_nationkey AS id FROM nation),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outw AS MATERIALIZED (SELECT src, SUM(w) AS w_out FROM e GROUP BY src),
+    ratio AS MATERIALIZED (
       SELECT e.src, e.dst, e.w / outw.w_out AS ratio
       FROM e JOIN outw ON e.src = outw.src
     ),
-    pr0 AS (
+    pr0 AS MATERIALIZED (
       SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
     )"""
     ]
@@ -71,7 +79,7 @@ def _pagerank_oracle() -> str:
       SELECT r.dst, SUM(pr.rank * r.ratio) AS in_rank
       FROM ratio r JOIN pr{p} pr ON r.src = pr.id GROUP BY r.dst
     ),
-    pr{i} AS (
+    pr{i} AS MATERIALIZED (
       SELECT nodes.id,
              (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
              + CAST(0.85 AS DOUBLE)
