@@ -155,10 +155,16 @@ _SSSP_ITERS = 6
 def _sssp_oracle() -> str:
     """Unroll the Bellman–Ford relaxation (6 bounded hops).  ``min`` is
     order-insensitive, so — unlike PageRank's sums — no rounding is
-    needed: both engines compute identical doubles at every step."""
+    needed: both engines compute identical doubles at every step.
+
+    r13: multi-consumer CTEs MATERIALIZED (same fix as the PageRank
+    oracle, BENCH_NOTES r12 §4): ``e`` is consumed by all six rounds and
+    each ``d{i}`` twice by round i+1, so DuckDB 1.0's inlining re-ran the
+    60M-row join pipeline per reference at sf10 (35 s in the r10 sweep,
+    OOM-marginal); materialized it runs once into 625 edge rows."""
     parts = [
         """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
              CAST(1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS w
       FROM lineitem l
@@ -167,12 +173,12 @@ def _sssp_oracle() -> str:
       JOIN supplier s ON l.l_suppkey  = s.s_suppkey
       GROUP BY c.c_nationkey, s.s_nationkey
     ),
-    d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS DOUBLE) AS dist)"""
+    d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS DOUBLE) AS dist)"""
     ]
     for i in range(1, _SSSP_ITERS + 1):
         p = i - 1
         parts.append(f""",
-    d{i} AS (
+    d{i} AS MATERIALIZED (
       SELECT id, MIN(dist) AS dist FROM (
         SELECT id, dist FROM d{p}
         UNION ALL
@@ -219,8 +225,12 @@ def sssp_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("n_nationkey").alias("node"), "dist")
 
 
+# r13: raw/ud/tri MATERIALIZED — ud is consumed three times by the
+# triangle join and tri three times by the per-node unpivot; inlined,
+# DuckDB re-ran the 60M-row trade join per reference at sf10 (17.8 s in
+# the r10 sweep, OOM-marginal under a co-resident Spark JVM).
 _TRI_ORACLE = """
-WITH raw AS (
+WITH raw AS MATERIALIZED (
   SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
                   greatest(c.c_nationkey, s.s_nationkey) AS b
   FROM lineitem l
@@ -228,8 +238,8 @@ WITH raw AS (
   JOIN customer c ON o.o_custkey  = c.c_custkey
   JOIN supplier s ON l.l_suppkey  = s.s_suppkey
 ),
-ud AS (SELECT a, b FROM raw WHERE a < b),
-tri AS (
+ud AS MATERIALIZED (SELECT a, b FROM raw WHERE a < b),
+tri AS MATERIALIZED (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM ud e1
   JOIN ud e2 ON e1.b = e2.a
