@@ -108,10 +108,18 @@ def train_centroids(
     finally:
         vecs.unpersist()
     spark = corpus.sparkSession
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [(i, [float(x) for x in C[i]]) for i in range(len(C))],
         schema="centroid_id int, centroid array<double>",
     )
+    # Driver-side tensor attach (r13 optimization round, guide §5): the
+    # centroid matrix was just computed HERE — hand it to downstream
+    # consumers (assignment, encode, LUT build) as an attribute so they
+    # skip a synchronous collect job each.  The DataFrame stays the API
+    # (and the persisted/loaded-index path still collects); values are
+    # bit-identical — float64 survives the createDataFrame round-trip.
+    out._graft_np_centroids = np.ascontiguousarray(C, dtype=np.float64)
+    return out
 
 
 def _partial_sums(vecs: DataFrame, C) -> DataFrame:
@@ -165,11 +173,13 @@ def _assign(vecs: DataFrame, cents: DataFrame, keep_vec: bool = False) -> DataFr
 
     from .pq import _nearest_rows
 
-    rows = cents.collect()
-    dim = len(rows[0]["centroid"])
-    C = np.zeros((max(r["centroid_id"] for r in rows) + 1, dim))
-    for r in rows:
-        C[r["centroid_id"]] = r["centroid"]
+    C = getattr(cents, "_graft_np_centroids", None)
+    if C is None:  # e.g. centroids re-read from a persisted index
+        rows = cents.collect()
+        dim = len(rows[0]["centroid"])
+        C = np.zeros((max(r["centroid_id"] for r in rows) + 1, dim))
+        for r in rows:
+            C[r["centroid_id"]] = r["centroid"]
     id_t = vecs.schema["id"].dataType.simpleString()
     v_t = vecs.schema["v"].dataType.simpleString()
 

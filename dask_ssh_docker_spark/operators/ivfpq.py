@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from .ivf import train_centroids
 from .pq import (
+    _codebook_tensors,
     _kmeans_subspace_rows,
     _nearest_rows,
     _sub_sq_dist,
@@ -134,6 +135,12 @@ def train_ivfpq(
     import numpy as np
 
     assert dim % m == 0, "dim must divide evenly into m subspaces"
+    # r13 optimization round: train_centroids returns a LOCAL relation
+    # (createDataFrame of driver-computed centroids) with the numpy matrix
+    # attached — re-consumption re-serializes driver data, it never
+    # recomputes, so the former eager localCheckpoint (one job) and the
+    # collect right after it (another job) were pure overhead (guide §5:
+    # the driver should not run jobs to move KBs it already holds).
     cents = train_centroids(
         corpus,
         id_col,
@@ -141,11 +148,8 @@ def train_ivfpq(
         k=k_coarse,
         iters=coarse_iters,
         sample_fraction=coarse_sample_fraction,
-    ).localCheckpoint(eager=True)  # consumed ≥3× (train/encode/search)
-    c_rows = cents.collect()  # bounded: k_coarse rows
-    C = np.zeros((max(r["centroid_id"] for r in c_rows) + 1, dim))
-    for r in c_rows:
-        C[r["centroid_id"]] = r["centroid"]
+    )
+    C = cents._graft_np_centroids  # always present on a trained frame
     sample = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_max).collect()
     )
@@ -157,6 +161,7 @@ def train_ivfpq(
     cb = corpus.sparkSession.createDataFrame(
         rows, "sub int, cid int, centroid array<double>"
     )
+    cb._graft_np_codebooks = _codebook_tensors(rows, m, dim // m)
     return cents, cb
 
 
@@ -164,21 +169,31 @@ def _collect_tensors(centroids: DataFrame, codebooks: DataFrame, m: int, dim: in
     import numpy as np
 
     subdim = dim // m
-    c_rows = centroids.collect()
-    C = np.zeros((max(r["centroid_id"] for r in c_rows) + 1, dim))
-    for r in c_rows:
-        C[r["centroid_id"]] = r["centroid"]
-    cb_rows = codebooks.collect()
-    n_cids = max(r["cid"] for r in cb_rows) + 1
-    cents = np.zeros((m, n_cids, subdim))
-    have = np.zeros((m, n_cids), dtype=bool)
-    for r in cb_rows:
-        cents[r["sub"], r["cid"]] = r["centroid"]
-        have[r["sub"], r["cid"]] = True
+    # Fast path (r13 optimization round): frames produced by train_ivfpq /
+    # train_centroids carry their numpy tensors — no collect jobs.  Frames
+    # without the attribute (e.g. an index loaded from parquet,
+    # operators/ann_index.py) fall back to the bounded collects.
+    C = getattr(centroids, "_graft_np_centroids", None)
+    if C is None:
+        c_rows = centroids.collect()
+        C = np.zeros((max(r["centroid_id"] for r in c_rows) + 1, dim))
+        for r in c_rows:
+            C[r["centroid_id"]] = r["centroid"]
+    t = getattr(codebooks, "_graft_np_codebooks", None)
+    if t is not None:
+        cents, have = t
+    else:
+        cb_rows = codebooks.collect()
+        n_cids = max(r["cid"] for r in cb_rows) + 1
+        cents = np.zeros((m, n_cids, subdim))
+        have = np.zeros((m, n_cids), dtype=bool)
+        for r in cb_rows:
+            cents[r["sub"], r["cid"]] = r["centroid"]
+            have[r["sub"], r["cid"]] = True
     # n_cids is the TRAINED codebook width — may be < the nominal ks when
     # _kmeans_subspace_rows clamped to the sample size; it is the only
     # valid LUT stride (ADVICE r7).
-    return C, cents, have, n_cids
+    return C, cents, have, cents.shape[1]
 
 
 def encode_ivfpq(
@@ -253,43 +268,40 @@ def ivfpq_topk(
     C, cents, have, n_cids = _collect_tensors(centroids, codebooks, m, dim)
     qid_type = queries.schema[query_id].dataType.simpleString()
 
-    def probe_luts(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out_q, out_c, out_l = [], [], []
-            for qid, qv in zip(pdf[query_id], pdf[query_vec]):
-                q = np.asarray(qv, dtype=np.float64)
-                d2 = ((q[None, :] - C) ** 2).sum(axis=1)
-                probes = np.argsort(d2, kind="stable")[:nprobe]  # ties->low cid
-                for cid in probes:
-                    r = (q - C[cid]).reshape(m, subdim)
-                    lut = ((r[:, None, :] - cents) ** 2).sum(-1)  # (m, n_cids)
-                    lut[~have] = np.inf
-                    out_q.append(qid)
-                    out_c.append(int(cid))
-                    out_l.append(lut.reshape(-1).tolist())
-            yield pd.DataFrame(
-                {query_id: out_q, "centroid_id": out_c, "lut": out_l}
-            )
-
-    luts = queries.select(query_id, query_vec).mapInPandas(
-        probe_luts,
+    # Probe selection + per-(query, probe) LUTs run DRIVER-SIDE (r13
+    # optimization round, guide §5): the query frame is bounded by
+    # contract (it is broadcast below either way), so ONE collect replaces
+    # the former mapInPandas pass + eager localCheckpoint + distinct()
+    # collect — three synchronous driver round-trips and a Python-worker
+    # hop — with identical numpy arithmetic on identical float64 inputs.
+    # The LUT frame becomes a local relation, legally broadcast-hintable
+    # without materialization (nothing lazy or unbounded behind it).
+    q_rows = queries.select(query_id, query_vec).collect()
+    out_q, out_c, out_l = [], [], []
+    for row in q_rows:
+        qid, qv = row[0], row[1]
+        q = np.asarray(qv, dtype=np.float64)
+        d2 = ((q[None, :] - C) ** 2).sum(axis=1)
+        probes = np.argsort(d2, kind="stable")[:nprobe]  # ties->low cid
+        for cid in probes:
+            r = (q - C[cid]).reshape(m, subdim)
+            lut = ((r[:, None, :] - cents) ** 2).sum(-1)  # (m, n_cids)
+            lut[~have] = np.inf
+            out_q.append(qid)
+            out_c.append(int(cid))
+            out_l.append([float(v) for v in lut.reshape(-1)])
+    luts = queries.sparkSession.createDataFrame(
+        list(zip(out_q, out_c, out_l)),
         schema=f"{query_id} {qid_type}, centroid_id int, lut array<double>",
     )
-    # bounded (|Q|·nprobe rows) but behind a Python map the broadcast
-    # policy cannot bound — materialize before hinting (pq_topk rationale)
-    luts = luts.localCheckpoint(eager=True)
     # Probe-list pruning (r12, ann_index): restrict the code index to the
     # ≤|Q|·nprobe DISTINCT probed lists BEFORE the join.  Semantically a
     # no-op (the LUT join already drops unprobed lists) but it turns the
     # scan itself into a pruned one: on a persisted index partitioned by
     # centroid_id (operators/ann_index.py) the isin filter prunes parquet
     # partitions, so a probe READS nprobe/k_coarse of the on-disk index.
-    # The collect is a driver-bounded job on the just-checkpointed frame.
-    probe_ids = [
-        r["centroid_id"] for r in luts.select("centroid_id").distinct().collect()
-    ]
+    # The probe set is already on the driver — no job needed for it.
+    probe_ids = sorted(set(out_c))
     index = index.filter(F.col("centroid_id").isin(probe_ids))
     # LUT stride is the TRAINED width n_cids, not the nominal ks — the
     # codebook clamps to the sample size, and the LUT above is built at

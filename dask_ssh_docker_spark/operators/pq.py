@@ -92,23 +92,6 @@ def _subspace_codes(r, cents, have, chunk: int = _KERNEL_CHUNK):
     return out
 
 
-def _explode_subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, subdim: int) -> DataFrame:
-    """(id, sub, subvec): slice each vector into m contiguous subvectors.
-    ``slice`` is 1-indexed; pure map-side."""
-    return df.select(
-        F.col(id_col).alias("vec_id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.alias("sub"),
-                    F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("subvec"),
-                ),
-            )
-        ).alias("e"),
-    ).select("vec_id", F.col("e.sub").alias("sub"), F.col("e.subvec").alias("subvec"))
-
-
 def train_pq_codebooks(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -153,9 +136,30 @@ def train_pq_codebooks(
         )
     x = np.asarray([r[1] for r in sample], dtype=np.float64)  # (n, dim)
     rows = _kmeans_subspace_rows(x, m, ks, iters)
-    return corpus.sparkSession.createDataFrame(
+    cb = corpus.sparkSession.createDataFrame(
         rows, "sub int, cid int, centroid array<double>"
     )
+    # r13 optimization round: the driver just computed these centroids —
+    # attach the tensors so encode/search skip their collect jobs (frames
+    # re-read from storage keep the collect fallback).
+    cb._graft_np_codebooks = _codebook_tensors(rows, m, x.shape[1] // m)
+    return cb
+
+
+def _codebook_tensors(rows, m: int, subdim: int):
+    """(cents (m, n_cids, subdim), have (m, n_cids)) from codebook rows —
+    the driver already holds them after training; attaching the tensors
+    to the codebook frame saves each downstream consumer a collect job.
+    Shared by raw-vector PQ (here) and residual IVF-PQ."""
+    import numpy as np
+
+    n_cids = max(r[1] for r in rows) + 1
+    cents = np.zeros((m, n_cids, subdim), dtype=np.float64)
+    have = np.zeros((m, n_cids), dtype=bool)
+    for sub, cid, centroid in rows:
+        cents[sub, cid] = centroid
+        have[sub, cid] = True
+    return cents, have
 
 
 def _kmeans_subspace_rows(x, m: int, ks: int, iters: int) -> list[tuple]:
@@ -206,13 +210,17 @@ def pq_encode(
     import numpy as np
 
     subdim = dim // m
-    cb_rows = codebooks.collect()  # bounded by construction: m·ks rows
-    n_cids = max(r["cid"] for r in cb_rows) + 1
-    cents = np.zeros((m, n_cids, subdim), dtype=np.float64)
-    have = np.zeros((m, n_cids), dtype=bool)
-    for r in cb_rows:
-        cents[r["sub"], r["cid"]] = r["centroid"]
-        have[r["sub"], r["cid"]] = True
+    t = getattr(codebooks, "_graft_np_codebooks", None)
+    if t is not None:  # trained this session — tensors already on the driver
+        cents, have = t
+    else:
+        cb_rows = codebooks.collect()  # bounded by construction: m·ks rows
+        n_cids = max(r["cid"] for r in cb_rows) + 1
+        cents = np.zeros((m, n_cids, subdim), dtype=np.float64)
+        have = np.zeros((m, n_cids), dtype=bool)
+        for r in cb_rows:
+            cents[r["sub"], r["cid"]] = r["centroid"]
+            have[r["sub"], r["cid"]] = True
 
     id_type = corpus.schema[id_col].dataType.simpleString()
 
@@ -250,34 +258,54 @@ def pq_topk(
     map-side fold of the code array into the flattened LUT array; the
     only shuffle is the final per-query rank window."""
     subdim = dim // m
-    luts = (
-        _explode_subvectors(queries, query_id, query_vec, m, subdim)
-        .withColumnRenamed("vec_id", "qid")
-        .join(F.broadcast(codebooks), "sub")
-        .withColumn("d", _sub_sq_dist("subvec", "centroid"))
-        .groupBy("qid")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct((F.col("sub") * ks + F.col("cid")).alias("slot"), "d")
-                    )
-                ),
-                lambda s: s["d"],
-            ).alias("lut")
-        )
+    # LUTs are computed DRIVER-SIDE (r13 optimization round, guide §5):
+    # the query frame is bounded by contract and the codebook is m·ks
+    # rows the driver usually already holds (train attach) — one bounded
+    # collect replaces the former explode → broadcast-join → windowed
+    # aggregate → eager localCheckpoint chain (several synchronous jobs
+    # whose only product was a |Q|-row table).  The squared distance is
+    # the IDENTICAL left-fold ``((0 + d₀²) + d₁²) + …`` the JVM
+    # ``aggregate`` expression performed, so LUT doubles are bit-equal
+    # and ADC scores/shortlists are unchanged.  The LUT frame becomes a
+    # local relation — legally broadcast-hintable without materialization.
+    t = getattr(codebooks, "_graft_np_codebooks", None)
+    if t is not None:
+        cb_cents, cb_have = t
+        cb_entries = [
+            (sub, cid, cb_cents[sub, cid])
+            for sub in range(cb_cents.shape[0])
+            for cid in range(cb_cents.shape[1])
+            if cb_have[sub, cid]
+        ]
+    else:
+        cb_entries = [
+            (r["sub"], r["cid"], r["centroid"]) for r in codebooks.collect()
+        ]
+    # slot order (sub·ks + cid, the join/aggregate's sort key) ≡
+    # (sub, cid) lexicographic since cid < ks always; the dense index in
+    # the sorted LUT is therefore sub·n_cids + cid — the stride rule the
+    # Spark aggregate produced under codebook clamping (ADVICE r7).
+    cb_entries.sort(key=lambda e: e[0] * ks + e[1])
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    lut_rows = []
+    for row in queries.select(query_id, query_vec).collect():
+        qid, qv = row[0], row[1]
+        lut = []
+        for sub, _cid, cent in cb_entries:
+            acc = 0.0
+            base = sub * subdim
+            for j in range(subdim):
+                dj = float(qv[base + j]) - float(cent[j])
+                acc = acc + dj * dj
+            lut.append(acc)
+        lut_rows.append((qid, lut))
+    luts = queries.sparkSession.createDataFrame(
+        lut_rows, schema=f"qid {qid_type}, lut array<double>"
     )
-    # Materialize the LUT before hinting: one row per query (bounded by
-    # the caller's query set, like the IVF centroid frame), so the
-    # broadcast side is a known-small concrete RDD rather than a lazy
-    # grouped aggregate (which the broadcast-policy sweep rightly bans —
-    # it cannot see that the grouping key here is the bounded side).
-    luts = luts.localCheckpoint(eager=True)
     # Stride derives from the LUT itself (len = m·n_cids), NOT the ks
     # parameter: _kmeans_subspace_rows clamps ks to the training-sample
     # size, so a small corpus yields a narrower codebook and indexing by
-    # the nominal ks would read wrong cells (ADVICE r7).  The slot sort
-    # above stays correct under clamping (cid < ks ⇒ order preserved).
+    # the nominal ks would read wrong cells (ADVICE r7).
     stride = (F.size(F.col("lut")) / F.lit(m)).cast("int")
     scored = index.crossJoin(F.broadcast(luts)).withColumn(
         "approx_dist",

@@ -99,11 +99,15 @@ def semdedup(
     cents = train_centroids(
         corpus, id_col, vec_col, k=k, iters=iters, sample_fraction=sample_fraction
     )
-    rows = cents.collect()
-    dim = len(rows[0]["centroid"])
-    C = np.zeros((max(r["centroid_id"] for r in rows) + 1, dim))
-    for r in rows:
-        C[r["centroid_id"]] = r["centroid"]
+    # trained frames carry the centroid matrix — no collect job (r13
+    # optimization round; fallback kept for externally-built frames)
+    C = getattr(cents, "_graft_np_centroids", None)
+    if C is None:
+        rows = cents.collect()
+        dim = len(rows[0]["centroid"])
+        C = np.zeros((max(r["centroid_id"] for r in rows) + 1, dim))
+        for r in rows:
+            C[r["centroid_id"]] = r["centroid"]
 
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     assigned = _assign(vecs, cents, keep_vec=True)
