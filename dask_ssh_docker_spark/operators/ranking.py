@@ -272,7 +272,21 @@ def with_global_ntiles(
     pays one sketch scan instead of three (plus three count broadcasts).
 
     The exact-NTILE positional arithmetic runs on the collected count as
-    Python-int literals, so no count broadcast appears in the plan."""
+    Python-int literals, so no count broadcast appears in the plan.
+
+    r13 optimization round (guide §2.4): per-bucket offsets used to be a
+    per-spec subplan — a (bucket) groupBy of the grain, a triangular
+    broadcast self-join, and a broadcast join back — 3 exchanges and ~6
+    AQE stages PER SPEC, all to produce ≤ n_buckets integers.  They are
+    now ONE bounded histogram job shared by every spec (posexplode of the
+    per-spec bucket ids → (spec, bucket) counts, ≤ |specs|·n_buckets rows
+    collected), and each spec's offsets enter its plan as a LITERAL array
+    indexed map-side.  The final plan keeps exactly one exchange per spec
+    (the per-bucket rank window's — inherent: k distinct orderings need k
+    sorts).  Values are unchanged: the offset is the same exclusive
+    prefix-sum of exact bucket counts the triangular join produced.
+    Measured on rfm_customer_segments: 26 jobs / 53 single-task AQE
+    stages → see OPTIMIZATION_r13.md."""
     keyed = df
     key_cols: list[str] = []
     for i, (order, _out) in enumerate(specs):
@@ -290,6 +304,38 @@ def with_global_ntiles(
     ).first()
     n = int(row["__gr_n"])
 
+    # one histogram pass for ALL specs: bucket ids per spec (map-side
+    # literal-edge scans), posexploded to (spec, bucket) and counted —
+    # the collect is bounded by |specs|·n_buckets, never the grain
+    bucketed = keyed
+    bucket_cols: list[str] = []
+    for i, kc in enumerate(key_cols):
+        bc = f"{_BUCKET}_{i}"
+        bucketed = _bucket_from_edges(
+            bucketed.withColumn(_KEY, F.col(kc)), row[kc]
+        ).withColumnRenamed(_BUCKET, bc)
+        bucket_cols.append(bc)
+    hist = (
+        bucketed.select(
+            F.posexplode(F.array(*[F.col(bc) for bc in bucket_cols])).alias(
+                "__gr_spec", "__gr_b"
+            )
+        )
+        .groupBy("__gr_spec", "__gr_b")
+        .agg(F.count(F.lit(1)).alias("__gr_cnt"))
+        .collect()
+    )
+    counts = [[0] * n_buckets for _ in specs]
+    for r_ in hist:
+        counts[r_["__gr_spec"]][r_["__gr_b"]] += int(r_["__gr_cnt"])
+    offsets: list[list[int]] = []
+    for i in range(len(specs)):
+        acc, offs = 0, []
+        for c in counts[i]:
+            offs.append(acc)
+            acc += c
+        offsets.append(offs)
+
     out_df = df
     for i, (order, out) in enumerate(specs):
         first, first_asc = order[0]
@@ -298,19 +344,15 @@ def with_global_ntiles(
             out_df.withColumn(_KEY, _key_double(out_df, first, first_asc)),
             row[key_cols[i]],
         )
-        off = _bucket_offsets(b, F.count(F.lit(1)), "__gr_off", n_buckets)
+        off_arr = F.array(*[F.lit(o).cast("bigint") for o in offsets[i]])
         w = Window.partitionBy(_BUCKET).orderBy(*_sort_exprs(order))
-        ranked = (
-            b.join(F.broadcast(off), _BUCKET, "left")
-            .withColumn(
-                rn_col,
-                (
-                    F.row_number().over(w).cast("bigint")
-                    + F.coalesce(F.col("__gr_off"), F.lit(0))
-                ).cast("bigint"),
-            )
-            .drop(_KEY, _BUCKET, "__gr_off")
-        )
+        ranked = b.withColumn(
+            rn_col,
+            (
+                F.row_number().over(w).cast("bigint")
+                + F.element_at(off_arr, (F.col(_BUCKET) + 1).cast("int"))
+            ).cast("bigint"),
+        ).drop(_KEY, _BUCKET)
         q, r = divmod(n, k)
         rn = F.col(rn_col)
         if q == 0:  # n < k: every row is in the head tiles
