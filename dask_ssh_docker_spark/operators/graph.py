@@ -110,7 +110,18 @@ def pagerank(
     else:
         nodes = nodes.select(F.col(nodes.columns[0]).alias("id"))
 
-    n_nodes = nodes.count()  # one job up front; N is needed as a literal
+    # ONE job probes the bound AND fetches the node ids (r13 optimization
+    # round — the same fused limit-probe as cluster_min_label): if the
+    # node set fits the driver-iteration bound, these are exactly the ids
+    # _pagerank_bounded needs, so the separate count + collect pair
+    # disappears; past the bound the count runs as before (the probe's
+    # CollectLimit early-exits, it never scans an unbounded node set).
+    node_rows = None
+    if driver_iter_max_nodes:
+        probe = nodes.limit(driver_iter_max_nodes + 1).collect()
+        if len(probe) <= driver_iter_max_nodes:
+            node_rows = probe
+    n_nodes = len(node_rows) if node_rows is not None else nodes.count()
     if n_nodes == 0:
         return nodes.select(F.col("id").alias("node"), F.lit(0.0).alias("rank"))
 
@@ -119,9 +130,9 @@ def pagerank(
         "src", "dst", (F.col("w") / F.col("w_out")).alias("ratio")
     )
 
-    if n_nodes <= driver_iter_max_nodes:
+    if node_rows is not None:
         return _pagerank_bounded(
-            nodes, ratio_plan, n_nodes, iters, damping
+            nodes, ratio_plan, n_nodes, iters, damping, node_rows=node_rows
         )
 
     ratio = ratio_plan.persist()
@@ -177,15 +188,18 @@ def _pagerank_bounded(
     n_nodes: int,
     iters: int,
     damping: float,
+    node_rows=None,
 ) -> DataFrame:
     """Driver-side iteration for schema-bounded aggregated graphs: ONE
     distributed job collects the (src, dst, ratio) aggregate (≤ n²
     rows for n ≤ ``driver_iter_max_nodes``), then numpy runs the same
     recurrence — identical up to float addition order, absorbed by the
-    consumer-side rounding every registered query applies."""
+    consumer-side rounding every registered query applies.
+    ``node_rows``: the caller's already-collected node rows (the fused
+    bound probe) — skips a second job over the node frame."""
     import numpy as np
 
-    ids = [r[0] for r in nodes.collect()]
+    ids = [r[0] for r in (node_rows if node_rows is not None else nodes.collect())]
     pos = {v: i for i, v in enumerate(ids)}
     has_out = np.zeros(n_nodes, dtype=bool)
     # endpoints outside the caller's node set mirror the distributed
@@ -297,15 +311,21 @@ def shortest_paths(
         # dirty inputs (ADVICE r7); a node reachable only via null-weight
         # edges is simply unreachable on both paths.
         .filter(F.col("w").isNotNull())
-        .persist()
     )
-    n_edges = e.count()  # materialize once; reused every iteration
-
-    if driver_max_edges and n_edges <= driver_max_edges:
-        try:
-            return _shortest_paths_bounded(e, sources, max_iters)
-        finally:
-            e.unpersist()
+    # ONE job probes the bound AND fetches the edge triples (r13
+    # optimization round — fused limit-probe, cluster_min_label recipe):
+    # under the bound these rows ARE the driver Bellman–Ford input, so
+    # the former persist + count + collect trio collapses to one job;
+    # past the bound the CollectLimit early-exits and the distributed
+    # loop persists as before.
+    if driver_max_edges:
+        probe = e.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            return _shortest_paths_bounded(
+                e, sources, max_iters, edge_rows=probe
+            )
+    e = e.persist()
+    e.count()  # materialize once; reused every iteration
 
     dist = sources.select(
         F.col(sources.columns[0]).alias("id"), F.lit(0.0).alias("dist")
@@ -342,12 +362,17 @@ def shortest_paths(
 
 
 def _shortest_paths_bounded(
-    e: DataFrame, sources: DataFrame, max_iters: int
+    e: DataFrame, sources: DataFrame, max_iters: int, edge_rows=None
 ) -> DataFrame:
     """Driver-side synchronous Bellman–Ford on the collected edge
     triples — the same hop-bounded recurrence as the distributed loop,
-    with identical per-path addition order (bit-equal distances)."""
-    rows = [(r["src"], r["dst"], r["w"]) for r in e.collect()]
+    with identical per-path addition order (bit-equal distances).
+    ``edge_rows``: already-collected edge rows from the fused bound
+    probe — skips a second job over the edge frame."""
+    rows = [
+        (r["src"], r["dst"], r["w"])
+        for r in (edge_rows if edge_rows is not None else e.collect())
+    ]
     dist: dict = {
         r[0]: 0.0 for r in sources.select(sources.columns[0]).collect()
     }
