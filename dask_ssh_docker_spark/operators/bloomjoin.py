@@ -30,6 +30,55 @@ from pyspark.sql import functions as F
 
 _K = 3  # hash probes
 
+#: r13 optimization round: bitmaps up to this many 64-bit words (512 KiB
+#: of longs at the cap) are embedded as a LITERAL array in the probe
+#: expression instead of broadcast-joined — the membership test becomes
+#: pure map-side codegen (three element_at + mask tests), removing three
+#: BroadcastExchanges and six join nodes per probe side (the per-probe
+#: word aliases made the three broadcasts non-canonical, so Spark built
+#: the same 8 KiB relation three times).  Larger bitmaps keep the
+#: broadcast-join path (a multi-MB literal would bloat every task's
+#: serialized plan instead of riding the torrent broadcast).
+_LITERAL_MAX_WORDS = 65536
+
+
+def _bitmap_literal(bitmap: DataFrame, m_bits: int):
+    """Collect the (word, bits) bitmap frame (bounded: ≤ m_bits/64 rows,
+    ONE job — the same job the former eager localCheckpoint ran) into a
+    dense literal array column; absent words are 0 (no bits set ⇒ probe
+    misses ⇒ definitely-absent, exactly the inner-join-drop / left-join-
+    NULL semantics of the join form)."""
+    words = [0] * ((m_bits + 63) // 64)
+    for r in bitmap.collect():
+        words[int(r["word"])] = int(r["bits"])
+    # ONE expr string, not F.array(*[F.lit(w) ...]): building the array
+    # element-wise costs ~3 py4j round-trips per word (multi-second driver
+    # stall at 1024 words); the parser builds the same constant-folded
+    # literal from a single call
+    return F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+
+
+def _bloom_flag_literal(probe: DataFrame, key: str, arr, m_bits: int):
+    """(frame-with-__pos-columns, all-K-probes-hit condition): bloom
+    membership tests against the literal bitmap array — map-side only,
+    no joins.  Positions land in internal temp columns first (same
+    discipline as the join path: one xxhash64 per probe, and the
+    shiftleft expr never splices the caller's column name into SQL)."""
+    out = probe
+    hits = []
+    for i in range(_K):
+        p = f"__pos{i}"
+        out = out.withColumn(
+            p, F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+        )
+        mask = F.expr(f"shiftleft(1L, cast({p} % 64 as int))")
+        bits = F.element_at(arr, ((F.col(p) / 64) + 1).cast("int"))
+        hits.append((bits.bitwiseAND(mask)) == mask)
+    cond = hits[0]
+    for h in hits[1:]:
+        cond = cond & h
+    return out, cond
+
 
 def bloom_bitmap(build_keys: DataFrame, key: str, m_bits: int = 65536) -> DataFrame:
     """(word, bits): the bloom bitmap of the build side's ``key`` column
@@ -143,8 +192,17 @@ def bloom_anti_join(
     anti-join exchange.  The result is EXACTLY the plain anti join's —
     the bloom only routes rows, it never decides membership alone."""
     keys = build.select(F.col(build_key).alias(probe_key)).distinct()
-    bitmap = bloom_bitmap(keys, probe_key, m_bits).localCheckpoint(eager=True)
-    flagged = bloom_maybe_flag(probe, bitmap, probe_key, m_bits)
+    if m_bits // 64 <= _LITERAL_MAX_WORDS:
+        # literal-bitmap path: the build job is the same one the eager
+        # checkpoint ran; the probe side becomes pure codegen
+        arr = _bitmap_literal(bloom_bitmap(keys, probe_key, m_bits), m_bits)
+        pos_frame, cond = _bloom_flag_literal(probe, probe_key, arr, m_bits)
+        flagged = pos_frame.withColumn("__bloom_maybe", cond).drop(
+            *[f"__pos{i}" for i in range(_K)]
+        )
+    else:
+        bitmap = bloom_bitmap(keys, probe_key, m_bits).localCheckpoint(eager=True)
+        flagged = bloom_maybe_flag(probe, bitmap, probe_key, m_bits)
     definite_new = flagged.filter(~F.col("__bloom_maybe")).drop("__bloom_maybe")
     maybe = flagged.filter(F.col("__bloom_maybe")).drop("__bloom_maybe")
     verified_new = maybe.join(keys, on=probe_key, how="left_anti")
@@ -159,11 +217,18 @@ def bloom_semi_join(
     exchange.  Result rows are EXACTLY the plain semi join's (the exact
     join clears bloom false positives); only the shuffle volume differs."""
     keys = build.select(F.col(build_key).alias(probe_key)).distinct()
-    # Materialize the bitmap before hinting (IVF/PQ precedent): it is
-    # bounded by construction (≤ m_bits/64 rows, 8 KiB of longs at the
-    # default size) but sits behind a grouped aggregate the
-    # broadcast-policy sweep rightly refuses to bound on its own;
-    # localCheckpoint makes the hinted side a concrete known-small RDD.
-    bitmap = bloom_bitmap(keys, probe_key, m_bits).localCheckpoint(eager=True)
-    pref = bloom_prefilter(probe, bitmap, probe_key, m_bits)
+    if m_bits // 64 <= _LITERAL_MAX_WORDS:
+        # literal-bitmap path (see _LITERAL_MAX_WORDS): membership test is
+        # pure map-side codegen, no broadcast joins on the probe side
+        arr = _bitmap_literal(bloom_bitmap(keys, probe_key, m_bits), m_bits)
+        pos_frame, cond = _bloom_flag_literal(probe, probe_key, arr, m_bits)
+        pref = pos_frame.filter(cond).drop(*[f"__pos{i}" for i in range(_K)])
+    else:
+        # Materialize the bitmap before hinting (IVF/PQ precedent): it is
+        # bounded by construction (≤ m_bits/64 rows) but sits behind a
+        # grouped aggregate the broadcast-policy sweep rightly refuses to
+        # bound on its own; localCheckpoint makes the hinted side a
+        # concrete known-small RDD.
+        bitmap = bloom_bitmap(keys, probe_key, m_bits).localCheckpoint(eager=True)
+        pref = bloom_prefilter(probe, bitmap, probe_key, m_bits)
     return pref.join(keys, on=probe_key, how="left_semi")
