@@ -369,29 +369,53 @@ def winnow_fingerprints(
                 n = len(b) - k + 1
                 if n < 1:
                     continue
-                # 64-bit polynomial rolling-family hash over k-byte rows,
-                # vectorized: h = sum b[i+j] * P^(k-1-j) mod 2^64.
-                # python-int mod-2^64 powers (numpy scalar uint64 ops
-                # emit overflow warnings; array ops wrap silently)
-                # two independent ODD multipliers (odd suffices for a
+                # 64-bit polynomial rolling-family hash over k-char rows:
+                # h[i] = sum b[i+j] * P^(k-1-j) mod 2^64.  Computed in
+                # O(n) per prime (r13 optimization round, guide §4) via
+                # the prefix form h[i] = P^(k-1+i) · (A[i+k-1] − A[i−1])
+                # with A[t] = Σ_{s≤t} b[s]·P^(−s) — P is ODD, hence
+                # invertible mod 2^64, so the algebra is EXACT and every
+                # value is bit-identical to the former O(n·k)
+                # windowed-dot evaluation (numpy uint64 ops wrap mod
+                # 2^64 silently; the DuckDB winnow oracle recomputes the
+                # same values, pinning the identity).  The former form
+                # also materialized an n×k uint64 window copy per doc —
+                # the memory traffic, not the multiplies, dominated.
+                # Two independent ODD multipliers (odd suffices for a
                 # mod-2^64 polynomial hash; P2 is odd-by-construction,
                 # not prime): selection keys on h, detection on (h, h2)
                 # — collisions must hit BOTH 64-bit spaces
                 P, P2, mod = 1099511628211, 0x100000001B3 ^ 0xA5A5A5A5A5A5A5A4, 1 << 64
-                win = np.lib.stride_tricks.sliding_window_view(b, k).astype(
-                    np.uint64
-                )
+                bu = b.astype(np.uint64)
+                m = len(bu)
                 hs = []
                 for prime, mix in (
                     (P, 0xFF51AFD7ED558CCD),
                     (P2, 0xC4CEB9FE1A85EC53),
                 ):
-                    pw, plist = 1, [0] * k
-                    for j in range(k - 1, -1, -1):
-                        plist[j] = pw
-                        pw = (pw * prime) % mod
-                    powers = np.array(plist, dtype=np.uint64)
-                    hh = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+                    inv = pow(prime, -1, mod)
+                    qpow = np.cumprod(
+                        np.concatenate(
+                            (
+                                np.ones(1, dtype=np.uint64),
+                                np.full(m - 1, inv, dtype=np.uint64),
+                            )
+                        ),
+                        dtype=np.uint64,
+                    )
+                    A = np.cumsum(bu * qpow, dtype=np.uint64)
+                    D = A[k - 1 :].copy()
+                    D[1:] -= A[: n - 1]
+                    ppow = np.cumprod(
+                        np.concatenate(
+                            (
+                                np.full(1, pow(prime, k - 1, mod), dtype=np.uint64),
+                                np.full(n - 1, prime, dtype=np.uint64),
+                            )
+                        ),
+                        dtype=np.uint64,
+                    )
+                    hh = ppow * D
                     hh ^= hh >> np.uint64(33)  # finalize: mix high bits down
                     hh = hh * np.uint64(mix)
                     hh ^= hh >> np.uint64(33)

@@ -289,3 +289,56 @@ def test_winnow_second_hash_independent(spark, corpus):
     assert sum(v for v in c1.values() if v >= 2) == sum(
         v for v in c2.values() if v >= 2
     )
+
+
+def test_winnow_prefix_hash_matches_windowed_dot(spark):
+    """r13: the fingerprint pass computes the polynomial hash in O(n) via
+    the prefix-product form h[i] = P^(k-1+i)·(A[i+k-1] − A[i−1]) mod 2⁶⁴
+    (P odd ⇒ invertible).  Pin BOTH raw hash values (fp, fp2) against the
+    definitional O(n·k) windowed-dot evaluation on a unicode doc — any
+    algebra slip shifts every downstream selection."""
+    import numpy as np
+
+    k, w = 11, 4
+    rng = random.Random(13)
+    text = "".join(
+        rng.choice("abcdefgh äöü語 xyz ") for _ in range(400)
+    )
+    df = _mk_docs(spark, {1: text})
+    got = {
+        r["pos"]: (r["fp"], r["fp2"])
+        for r in winnow_fingerprints(df, k=k, window=w).collect()
+    }
+
+    t = _norm(text)
+    b = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    n = len(b) - k + 1
+    P, P2, mod = 1099511628211, 0x100000001B3 ^ 0xA5A5A5A5A5A5A5A4, 1 << 64
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    ref = []
+    for prime, mix in ((P, 0xFF51AFD7ED558CCD), (P2, 0xC4CEB9FE1A85EC53)):
+        pw, plist = 1, [0] * k
+        for j in range(k - 1, -1, -1):
+            plist[j] = pw
+            pw = (pw * prime) % mod
+        hh = (win * np.array(plist, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        hh ^= hh >> np.uint64(33)
+        hh = hh * np.uint64(mix)
+        hh ^= hh >> np.uint64(33)
+        ref.append(hh)
+    h, h2 = ref
+    # robust-winnow reference selection over the definitional hashes —
+    # on the UNSIGNED values (selection order is uint64, like the
+    # operator; int64 reinterpretation happens only at output)
+    if n <= w:
+        idx = [int(n - 1 - h[::-1].argmin())]
+    else:
+        sw = np.lib.stride_tricks.sliding_window_view(h, w)
+        rel = w - 1 - sw[:, ::-1].argmin(axis=1)
+        idx = sorted(set((rel + np.arange(len(sw))).tolist()))
+    assert got == {
+        int(i + 1): (int(h.astype(np.int64)[i]), int(h2.astype(np.int64)[i]))
+        for i in idx
+    }
