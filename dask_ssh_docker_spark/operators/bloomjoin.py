@@ -13,8 +13,11 @@ some shapes; this operator makes the plan explicit and composable:
    ``bit_or`` per word: a bitmap frame of AT MOST ``m_bits/64`` rows
    (1024 for the default 64 Ki bits) — bounded regardless of build
    cardinality, hence always legitimately broadcastable;
-2. probe side → the same 3 positions → 3 broadcast inner joins +
-   bit-mask tests, all map-side (zero exchanges added);
+2. probe side → the same 3 positions tested map-side: bitmaps up to
+   ``_LITERAL_MAX_WORDS`` are collected once and embedded as a
+   constant-folded literal array (three ``element_at`` + mask tests in
+   the scan's codegen span — zero joins); larger bitmaps fall back to
+   3 broadcast inner joins + bit-mask tests (still zero exchanges);
 3. the surviving superset (bloom false positives included) flows into
    the EXACT semi join — the final result is identical to the plain
    semi join; the bloom only cuts shuffle volume.

@@ -29,7 +29,7 @@ QUERIES = [
     ("variant_props_extract", "VARIANT: parse once, JVM path extraction — no Python eval, map-side only"),
     ("scd2_priority_history", "SCD2 build: lag change-detect + lead intervals over ONE (key,time) exchange"),
     ("cdc_merge_upsert", "MERGE upsert: full-outer SMJ on the key; no broadcast hint (CDC batch unbounded)"),
-    ("bloom_semi_join_revenue", "bloom semi-join: bounded bitmap broadcast + 3 map-side bit-test joins ahead of the exact semi join"),
+    ("bloom_semi_join_revenue", "bloom semi-join: constant-folded literal bitmap, 3 element_at bit tests in the scan codegen (zero probe-side joins) ahead of the exact semi join"),
     ("join_skew_audit", "skew audit: one key-count shuffle + 1-row total broadcast + TakeOrderedAndProject"),
     ("profile_orders_columns", "column profile: ONE scan, multi-distinct expand inside the agg, 1-row explode to long format"),
     ("window_rolling_median", "rolling exact median: ONE user window exchange, frame-list sort + selection, no UDF"),
@@ -44,7 +44,7 @@ QUERIES = [
     ("bootstrap_ci_revenue", "Poisson bootstrap: map-side x50 explode + 50-group partial agg (q1 shape) + 50-row rank window"),
     ("cusum_changepoint_daily", "CUSUM: day-grain agg first; ordered scan + exact decimal x integer statistic over the bounded daily summary"),
     ("ks_binned_click_view", "binned KS: map-side bin + <=256-cell agg; CDF window over the bounded summary only"),
-    ("dedup_incremental_bloom", "incremental dedup: bloom bitmap broadcast + map-side probes; definitely-new rows shuffle-free, exact anti join on the maybe sliver only"),
+    ("dedup_incremental_bloom", "incremental dedup: literal-bitmap map-side probes (no joins); definitely-new rows shuffle-free, exact anti join on the maybe sliver only"),
     ("corpus_overlap_sources", "source overlap: codegen lead() k-grams, ONE vocabulary collect_set agg reused by both consumers (r10: checkpoint dropped), per-shingle pair explode — no self-join"),
     ("text_tfidf_top_terms", "TF-IDF: ONE (doc,len,term) tf exchange shared by df branch and scoring join (r10: cnt-referencing df agg blocks pruning divergence; checkpoint dropped)"),
     ("q15_top_supplier", "TPC-H Q15: revenue exchange reused by MAX branch and winner filter (r10: isnotnull alignment); 1-row broadcast max"),
