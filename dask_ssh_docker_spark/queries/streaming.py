@@ -236,7 +236,12 @@ def stream_mv_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _staged_event_slices(spark, sf_dir, 3)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from ..sources import parquet_footer_schema
+
+    # footer-read driver-side (no Spark job) when possible; identical schema
+    raw_schema = parquet_footer_schema(spark, f"{sf_dir}/events.parquet")
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
