@@ -43,6 +43,7 @@ def train_centroids(
     iters: int = 3,
     sample_fraction: float | None = None,
     seed: int = 20260813,
+    init_centroids=None,
 ) -> DataFrame:
     """(centroid_id, centroid: array<double>) — Lloyd's with deterministic
     init (first k vectors by id).
@@ -60,7 +61,14 @@ def train_centroids(
     so the selected rows are stable only for a fixed partition layout —
     re-training after a re-partitioned re-read may select a different
     (equally valid) sample.  Centroids are deterministic given the same
-    input layout, not across layouts."""
+    input layout, not across layouts.
+
+    ``init_centroids``: the first-k-by-id init vectors, pre-collected by a
+    caller that already holds them (train_ivfpq's ordered PQ training
+    sample is a superset of this exact set) — skips the init's global
+    top-k corpus pass; values must equal what the collect below would
+    return, so the trained centroids are bit-identical either way (pinned
+    in tests/test_ivfpq.py)."""
     import numpy as np
 
     if sample_fraction is not None:
@@ -72,15 +80,18 @@ def train_centroids(
                 f"seeded sample has fewer than k={k} rows; raise "
                 "sample_fraction (or train on the full corpus)"
             )
-    init = (
-        corpus.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.transform(vec_col, lambda x: x.cast("double")).alias("centroid"),
+    if init_centroids is not None:
+        C = np.asarray(init_centroids, dtype=np.float64)[:k]
+    else:
+        init = (
+            corpus.orderBy(id_col)
+            .limit(k)
+            .select(
+                F.transform(vec_col, lambda x: x.cast("double")).alias("centroid"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    C = np.asarray([r["centroid"] for r in init], dtype=np.float64)
+        C = np.asarray([r["centroid"] for r in init], dtype=np.float64)
     vecs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).persist()

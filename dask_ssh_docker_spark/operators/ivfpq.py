@@ -141,6 +141,22 @@ def train_ivfpq(
     # recomputes, so the former eager localCheckpoint (one job) and the
     # collect right after it (another job) were pure overhead (guide §5:
     # the driver should not run jobs to move KBs it already holds).
+    # The ordered PQ training sample is collected FIRST: its head is
+    # exactly the first-k_coarse-by-id vector set the coarse init's own
+    # global top-k pass would fetch, so passing it as ``init_centroids``
+    # removes one whole-corpus orderBy-limit job from training (guide §5)
+    # — only when the coarse trainer sees the same corpus (no
+    # coarse_sample_fraction) and the sample covers k_coarse rows.
+    # Coarse Lloyd iterations still run distributed over the full corpus;
+    # centroids are bit-identical (same init values, same loop — pinned in
+    # tests/test_ivfpq.py).
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_max).collect()
+    )
+    if not sample:
+        raise ValueError("train_ivfpq: corpus is empty — no vectors to train on")
+    x = np.asarray([r[1] for r in sample], dtype=np.float64)
+    fuse_init = coarse_sample_fraction is None and sample_max >= k_coarse
     cents = train_centroids(
         corpus,
         id_col,
@@ -148,14 +164,9 @@ def train_ivfpq(
         k=k_coarse,
         iters=coarse_iters,
         sample_fraction=coarse_sample_fraction,
+        init_centroids=x if fuse_init else None,
     )
     C = cents._graft_np_centroids  # always present on a trained frame
-    sample = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_max).collect()
-    )
-    if not sample:
-        raise ValueError("train_ivfpq: corpus is empty — no vectors to train on")
-    x = np.asarray([r[1] for r in sample], dtype=np.float64)
     resid = x - C[_nearest_rows(x, C)]  # ties -> lowest cid (argmin contract)
     rows = _kmeans_subspace_rows(resid, m, ks, pq_iters)
     cb = corpus.sparkSession.createDataFrame(

@@ -242,3 +242,23 @@ def test_probe_scan_sublinear_in_corpus(spark):
     # sqrt-law target 2.0; isotropic occupancy imbalance gives slack --
     # anything approaching 4.0 means the scan went linear
     assert 1.3 <= ratio <= 3.0, (scanned, ratio)
+
+
+def test_fused_init_centroids_bit_identical(spark):
+    """r13: train_ivfpq derives the coarse init from the head of its
+    ordered PQ training sample instead of a second global top-k corpus
+    pass.  The trained centroid matrix must be BIT-identical to
+    train_centroids run standalone (which collects its own init)."""
+    import numpy as np
+
+    from dask_ssh_docker_spark.operators.ivf import train_centroids
+
+    emb = load_table(spark, SF01, "embeddings")
+    cents_fused, _ = train_ivfpq(
+        emb, k_coarse=KC, coarse_iters=2, m=M, ks=KS, dim=DIM
+    )
+    cents_solo = train_centroids(emb, k=KC, iters=2)
+    a = cents_fused._graft_np_centroids
+    b = cents_solo._graft_np_centroids
+    assert a.shape == b.shape
+    assert np.array_equal(a, b), "fused-init coarse centroids diverged"
