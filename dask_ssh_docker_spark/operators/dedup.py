@@ -282,15 +282,22 @@ def minhash_signatures(
     # the 64-bit base with an integer salt.  Equivalent family quality,
     # but num_hashes-1 fewer string hashes per shingle — the string pass
     # dominates signature cost (strings are tens of bytes; the base is 8).
-    sh = sh.select("id", F.xxhash64("shingle").alias("__h0"))
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h0"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    #
+    # The whole signature is ONE parsed expr string (continuation of the
+    # r13 bloom-literal lesson): building num_hashes min/xxhash64 Columns
+    # through the Python API costs ~6 py4j round-trips EACH — cProfile
+    # put ~0.5 s of dedup_minhash_clusters' per-run driver wall in this
+    # loop alone — while one expr string is a single parse call.  The
+    # integer salt stays an INT literal ({i}, not {i}L): xxhash64 hashes
+    # 4-byte and 8-byte inputs differently, and the values must equal the
+    # former F.lit(i) (IntegerType) family bit-for-bit.
+    sh = sh.select("id", F.expr("xxhash64(shingle) AS __h0"))
+    sig_expr = (
+        "array("
+        + ", ".join(f"min(xxhash64({i}, __h0))" for i in range(num_hashes))
+        + ") AS sig"
     )
+    return sh.groupBy("id").agg(F.expr(sig_expr))
 
 
 def minhash_candidates(
@@ -319,18 +326,24 @@ def minhash_candidates(
         if sig_df is not None
         else minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     )
+    # multi-arg xxhash64 over the band's longs directly — no per-row
+    # string rendering of the signature slice.  One parsed expr string
+    # for the whole band array (same py4j-chatter rationale as the
+    # signature expr above); SQL `sig[i]` is 0-based getItem, identical
+    # to the former Column[i].
+    band_arr = (
+        "array("
+        + ", ".join(
+            "xxhash64("
+            + ", ".join(f"sig[{b * rows + r}]" for r in range(rows))
+            + ")"
+            for b in range(bands)
+        )
+        + ")"
+    )
     banded = sig.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    # multi-arg xxhash64 over the band's longs directly —
-                    # no per-row string rendering of the signature slice
-                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.expr(band_arr)).alias("band_idx", "band_hash"),
     )
     # lazy lineage cut: BOTH sides of the bucket self-join consume this
     # frame, and AQE broadcasts one side rather than reusing an exchange —
@@ -774,20 +787,27 @@ def simhash_signatures(
     th = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("__tok")
     ).select("id", _token_hash(hash_family, bits).alias("__h"))
-    aggs = [
-        F.sum(F.shiftrightunsigned("__h", b).bitwiseAND(F.lit(1))).alias(f"__c{b}")
-        for b in range(bits)
-    ]
-    g = th.groupBy("id").agg(F.count(F.lit(1)).alias("__n"), *aggs)
-    sig = F.lit(0).cast("bigint")
-    for b in range(bits):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"__c{b}") * 2 > F.col("__n"),
-                F.shiftleft(F.lit(1).cast("bigint"), b),
-            ).otherwise(F.lit(0).cast("bigint"))
+    # Both per-bit loops are parsed expr strings (r13 continuation — the
+    # minhash_signatures rationale): ``bits`` sum-aggregates plus the
+    # ``bits``-way OR fold built through the Column API cost ~1k py4j
+    # round-trips per construction; two parse calls build the same trees.
+    # Values are bit-equal: int literals keep their former types (the
+    # bigint promotions happen JVM-side either way) and `|`/`&`/CASE are
+    # the exact operators the Column chain lowered to.
+    cs_expr = (
+        "array("
+        + ", ".join(
+            f"sum(shiftrightunsigned(__h, {b}) & 1)" for b in range(bits)
         )
-    return g.select("id", sig.alias("sig"))
+        + ") AS __cs"
+    )
+    g = th.groupBy("id").agg(F.expr("count(1) AS __n"), F.expr(cs_expr))
+    sig_expr = " | ".join(
+        f"(CASE WHEN __cs[{b}] * 2 > __n THEN shiftleft(1L, {b}) "
+        "ELSE 0L END)"
+        for b in range(bits)
+    )
+    return g.select("id", F.expr(f"({sig_expr}) AS sig"))
 
 
 def simhash_dedup_pairs(
@@ -825,18 +845,18 @@ def simhash_dedup_pairs(
     width = bits // bands
     sig = simhash_signatures(df, text_col, id_col, bits, hash_family)
     mask = (1 << width) - 1
+    band_arr = (
+        "array("
+        + ", ".join(
+            f"(shiftrightunsigned(sig, {b * width}) & {mask})"
+            for b in range(bands)
+        )
+        + ")"
+    )
     banded = sig.select(
         "id",
         "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sig"), b * width)
-                    .bitwiseAND(F.lit(mask))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
+        F.posexplode(F.expr(band_arr)).alias("band_idx", "band_val"),
     )
     # lazy lineage cut (minhash_candidates rationale): both sides of the
     # band self-join consume this frame — without the cut the whole

@@ -62,6 +62,17 @@ OrderSpec = list[tuple[str | Column, bool]]  # (column, ascending)
 _KEY, _BUCKET, _EDGES = "__gr_key", "__gr_bucket", "__gr_edges"
 
 
+def _probs_sql(n_buckets: int) -> str:
+    """SQL array of the n_buckets-1 interior quantile probabilities as
+    exact double literals (repr round-trips; one parse call instead of
+    ~2 py4j round-trips per element — r13 continuation)."""
+    return (
+        "array("
+        + ", ".join(f"{i / n_buckets!r}D" for i in range(1, n_buckets))
+        + ")"
+    )
+
+
 def _col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
@@ -98,7 +109,7 @@ def with_quantile_bucket(
     descending negation so the bucket comparator agrees with the window
     comparator under both directions."""
     tmp = df.withColumn(_KEY, _key_double(df, key, ascending))
-    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    probs = F.expr(_probs_sql(n_buckets))
     edge_vals = tmp.agg(
         F.percentile_approx(_KEY, probs, F.lit(accuracy)).alias(_EDGES)
     ).first()[0]
@@ -154,11 +165,25 @@ def _key_double(df: DataFrame, key: str | Column, ascending: bool) -> Column:
 
 def _bucket_from_edges(tmp: DataFrame, edge_vals) -> DataFrame:
     """Adds ``__gr_bucket`` from an already-collected edge list (a
-    map-side literal-array scan; empty edges → everything in bucket 0)."""
+    map-side literal-array scan; empty edges → everything in bucket 0).
+
+    Finite edges build as ONE parsed expr string (r13 continuation —
+    element-wise ``F.lit`` arrays cost ~2 py4j round-trips per element,
+    the bloom-literal lesson; ``repr`` doubles round-trip exactly through
+    the SQL parser's correctly-rounded `D` literals).  Non-finite edges
+    (±inf from an all-NULL/NaN-pinned key) keep the Column form — SQL has
+    no inf literal."""
+    import math
+
     if not edge_vals:
         return tmp.withColumn(_BUCKET, F.lit(0))
-    arr = F.array(*[F.lit(float(e)) for e in edge_vals])
-    bucket = F.size(F.filter(arr, lambda e: e < F.col(_KEY)))
+    vals = [float(e) for e in edge_vals]
+    if all(math.isfinite(v) for v in vals):
+        arr_sql = "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
+        bucket = F.expr(f"size(filter({arr_sql}, e -> e < {_KEY}))")
+    else:
+        arr = F.array(*[F.lit(v) for v in vals])
+        bucket = F.size(F.filter(arr, lambda e: e < F.col(_KEY)))
     return tmp.withColumn(_BUCKET, bucket)
 
 
@@ -294,7 +319,7 @@ def with_global_ntiles(
         kc = f"{_KEY}_{i}"
         keyed = keyed.withColumn(kc, _key_double(df, first, first_asc))
         key_cols.append(kc)
-    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    probs = F.expr(_probs_sql(n_buckets))
     row = keyed.agg(
         *[
             F.percentile_approx(kc, probs, F.lit(accuracy)).alias(kc)
@@ -344,7 +369,9 @@ def with_global_ntiles(
             out_df.withColumn(_KEY, _key_double(out_df, first, first_asc)),
             row[key_cols[i]],
         )
-        off_arr = F.array(*[F.lit(o).cast("bigint") for o in offsets[i]])
+        off_arr = F.expr(
+            "array(" + ", ".join(f"{o}L" for o in offsets[i]) + ")"
+        )
         w = Window.partitionBy(_BUCKET).orderBy(*_sort_exprs(order))
         ranked = b.withColumn(
             rn_col,

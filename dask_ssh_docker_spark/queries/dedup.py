@@ -1230,16 +1230,16 @@ def corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = word_shingles_exploded(
         docs, "text", "doc_id", 3, extra_cols=("source",)
     ).select("source", hm)
-    sig = sh.groupBy("source").agg(
-        F.array(
-            *[
-                F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(_MH_P)).alias(
-                    f"m{i}"
-                )
-                for i, (a, b) in enumerate(_MH_AB)
-            ]
-        ).alias("sig")
+    # one parsed expr for all H minima (r13 continuation — the
+    # minhash_signatures py4j-chatter rationale); literals all fit int32
+    # (P = 2^31−1 exactly), so SQL literal typing matches the former
+    # F.lit ints and the bigint promotion against `hm` is unchanged
+    sig_expr = (
+        "array("
+        + ", ".join(f"min(({a} * hm + {b}) % {_MH_P})" for a, b in _MH_AB)
+        + ") AS sig"
     )
+    sig = sh.groupBy("source").agg(F.expr(sig_expr))
     a = sig.select(F.col("source").alias("src_a"), F.col("sig").alias("sa"))
     b = sig.select(F.col("source").alias("src_b"), F.col("sig").alias("sb"))
     matches = F.size(
