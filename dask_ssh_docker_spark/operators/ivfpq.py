@@ -338,9 +338,18 @@ def ivfpq_topk(
     )
     if corpus is None:
         return adc
+    # r14 optimization round (guide §5): the former eager localCheckpoint
+    # here paid ONE extra job (compute + persist the shortlist) purely to
+    # satisfy the materialize-before-hint policy.  The bound is already
+    # provable at construction time — the rank filter caps the frame at
+    # |Q|·shortlist_k rows and |Q| = len(q_rows) was just collected for
+    # the LUTs — so a no-op ``limit(bound)`` makes the bound visible to
+    # the planner and the forced-broadcast audit (the setsim
+    # ``limit(n_docs)`` recipe) and the broadcast build itself computes
+    # the ADC pipeline in one pass, no separate materialization job.
     shortlist = adc.select(
         query_id, F.col(id_col).alias("cand_id")
-    ).localCheckpoint(eager=True)
+    ).limit(len(q_rows) * shortlist_k)
     cand = corpus.join(
         F.broadcast(shortlist), corpus[id_col] == shortlist["cand_id"]
     ).select(query_id, "cand_id", F.col(vec_col).alias("cand_vec"))

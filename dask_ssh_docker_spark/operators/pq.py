@@ -302,6 +302,7 @@ def pq_topk(
     luts = queries.sparkSession.createDataFrame(
         lut_rows, schema=f"qid {qid_type}, lut array<double>"
     )
+    n_queries = len(lut_rows)
     # Stride derives from the LUT itself (len = m·n_cids), NOT the ks
     # parameter: _kmeans_subspace_rows clamps ks to the training-sample
     # size, so a small corpus yields a narrower codebook and indexing by
@@ -320,11 +321,16 @@ def pq_topk(
         ),
     )
     w = Window.partitionBy("qid").orderBy("approx_dist", "vec_id")
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), "vec_id", "approx_dist", "rank")
     )
+    # |Q| was just collected for the LUTs — attach it (the tensor-attach
+    # pattern) so pq_topk_rerank can bound its shortlist broadcast with a
+    # no-op limit instead of an eager-checkpoint job (r14, guide §5).
+    out._graft_n_queries = n_queries
+    return out
 
 
 def pq_topk_rerank(
@@ -351,13 +357,24 @@ def pq_topk_rerank(
     vectors by id (broadcast semi-join).  Measured on the 64-dim testdata:
     shortlist recall@10-in-50 ≈ 0.85 vs exact L2 (pinned in
     tests/test_pq.py)."""
-    # |Q|·k·expand rows by the rank filter — bounded, but behind a window
-    # the broadcast-policy sweep cannot bound; materialize before hinting
-    # (same rationale as the LUT above).
-    shortlist = pq_topk(
+    # |Q|·k·expand rows by the rank filter — bounded; pq_topk attaches the
+    # collected |Q|, so a no-op ``limit(bound)`` makes the bound visible
+    # to the planner and the forced-broadcast audit (the setsim
+    # ``limit(n_docs)`` recipe) with NO materialization job — the former
+    # eager localCheckpoint paid one extra job per run purely to seal the
+    # hint (r14 optimization round, guide §5).  A frame without the
+    # attribute (never produced today) would keep the checkpoint path.
+    sl = pq_topk(
         queries, index, codebooks, k=k * expand, ks=ks,
         query_id=query_id, query_vec=query_vec, m=m, dim=dim,
-    ).select("query_id", F.col("vec_id").alias("cand_id")).localCheckpoint(eager=True)
+    )
+    n_q = getattr(sl, "_graft_n_queries", None)
+    sl = sl.select("query_id", F.col("vec_id").alias("cand_id"))
+    shortlist = (
+        sl.limit(n_q * k * expand)
+        if n_q is not None
+        else sl.localCheckpoint(eager=True)
+    )
     cand = corpus.join(
         F.broadcast(shortlist), corpus[id_col] == shortlist["cand_id"]
     ).select("query_id", "cand_id", F.col(vec_col).alias("cand_vec"))

@@ -190,10 +190,11 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     cb = train_pq_codebooks(corpus, m=16, ks=16, dim=64, iters=2)
-    # lazy lineage cut: the ADC shortlist and the exact re-rank both
-    # consume the code index — without the cut the encode pass (the one
-    # corpus-scaling stage) re-executes per consumer
-    idx = pq_encode(corpus, cb, m=16, dim=64).localCheckpoint(eager=False)
+    # no lineage cut (r14): the code index has exactly ONE consumer — the
+    # ADC scoring inside the shortlist broadcast (the exact re-rank joins
+    # the raw corpus by id, never the codes) — so the former lazy
+    # localCheckpoint only paid a persist write with zero reuse
+    idx = pq_encode(corpus, cb, m=16, dim=64)
     return pq_topk_rerank(
         queries_df, idx, cb, corpus, k=10, expand=20, ks=16, m=16, dim=64
     ).orderBy("query_id", "rank")
@@ -232,11 +233,10 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, cb = train_ivfpq(
         corpus, k_coarse=coarse_k_for(n), coarse_iters=2, m=16, ks=16, dim=64
     )
-    # lazy lineage cut: ADC shortlist + re-rank both consume the encode
-    # pass (the one corpus-scaling stage) — same rationale as sim_topk_pq
-    idx = encode_ivfpq(corpus, cents, cb, m=16, dim=64).localCheckpoint(
-        eager=False
-    )
+    # no lineage cut (r14): the code index has exactly ONE consumer — the
+    # ADC scoring inside the shortlist broadcast — same rationale as
+    # sim_topk_pq above
+    idx = encode_ivfpq(corpus, cents, cb, m=16, dim=64)
     return ivfpq_topk(
         queries_df, idx, cents, cb, corpus,
         k=10, nprobe=12, expand=20, ks=16, m=16, dim=64,

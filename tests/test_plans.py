@@ -441,18 +441,23 @@ def test_winnow_spans_one_arrow_pass(spark, sf_dir, reg):
 
 
 def test_ivfpq_rerank_broadcasts_bounded_sides(spark, sf_dir, reg):
-    """IVF-PQ search: the Arrow passes (encode, probe/LUT) sit behind
-    lineage cuts — the final plan must contain NO Python eval at all, and
-    no single-partition exchange (the code index and corpus are never
-    collapsed or broadcast; only bounded LUT/shortlist frames are)."""
+    """IVF-PQ search (r14 shape): the encode Arrow pass appears EXACTLY
+    once — inside the bounded shortlist broadcast child (the former eager
+    localCheckpoint paid a whole extra job to hide it; the code index has
+    a single consumer, so a second MapInPandas would mean the corpus is
+    being double-encoded).  The only single-partition exchange allowed is
+    the shortlist's no-op ``limit(|Q|·k·expand)`` — the bound that makes
+    the broadcast hint legal — never a collapse of the code index or the
+    corpus; it must therefore feed a GlobalLimit."""
     import re
 
     from dask_ssh_docker_spark.plans import physical_plan
 
     plan = physical_plan(reg["sim_topk_ivfpq"].fn(spark, sf_dir))
-    assert len(re.findall(r"MapInPandas", plan)) == 0
+    assert len(re.findall(r"MapInPandas", plan)) == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Exchange SinglePartition" not in plan
+    assert len(re.findall(r"Exchange SinglePartition", plan)) == 1
+    assert "GlobalLimit" in plan
 
 
 def test_profile_no_expand(spark, sf_dir):
