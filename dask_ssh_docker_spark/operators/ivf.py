@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_frame
 from ..functions.vector import cosine_similarity
 
 
@@ -119,9 +120,14 @@ def train_centroids(
     finally:
         vecs.unpersist()
     spark = corpus.sparkSession
-    out = spark.createDataFrame(
+    # LocalRelation (r14, functions/localrel.py): the list-backed frame
+    # scanned as a parallelized RDD wherever it is consumed as a frame
+    # (sim_topk_ivf broadcast-crossJoins it); the Arrow local relation is
+    # job-free and carries exact size statistics.
+    out = local_frame(
+        spark,
         [(i, [float(x) for x in C[i]]) for i in range(len(C))],
-        schema="centroid_id int, centroid array<double>",
+        "centroid_id int, centroid array<double>",
     )
     # Driver-side tensor attach (r13 optimization round, guide §5): the
     # centroid matrix was just computed HERE — hand it to downstream

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_frame
 from .ivf import train_centroids
 from .pq import (
     _codebook_tensors,
@@ -169,8 +170,8 @@ def train_ivfpq(
     C = cents._graft_np_centroids  # always present on a trained frame
     resid = x - C[_nearest_rows(x, C)]  # ties -> lowest cid (argmin contract)
     rows = _kmeans_subspace_rows(resid, m, ks, pq_iters)
-    cb = corpus.sparkSession.createDataFrame(
-        rows, "sub int, cid int, centroid array<double>"
+    cb = local_frame(
+        corpus.sparkSession, rows, "sub int, cid int, centroid array<double>"
     )
     cb._graft_np_codebooks = _codebook_tensors(rows, m, dim // m)
     return cents, cb
@@ -287,7 +288,8 @@ def ivfpq_topk(
     # hop — with identical numpy arithmetic on identical float64 inputs.
     # The LUT frame becomes a local relation, legally broadcast-hintable
     # without materialization (nothing lazy or unbounded behind it).
-    q_rows = queries.select(query_id, query_vec).collect()
+    q_sel = queries.select(query_id, query_vec)
+    q_rows = q_sel.collect()
     out_q, out_c, out_l = [], [], []
     for row in q_rows:
         qid, qv = row[0], row[1]
@@ -301,9 +303,13 @@ def ivfpq_topk(
             out_q.append(qid)
             out_c.append(int(cid))
             out_l.append([float(v) for v in lut.reshape(-1)])
-    luts = queries.sparkSession.createDataFrame(
+    # LocalRelation (r14, functions/localrel.py): the list-backed frame
+    # scanned as a 32-task parallelized RDD in every consumer and its
+    # broadcast cost a collect job; the Arrow local relation is job-free.
+    luts = local_frame(
+        queries.sparkSession,
         list(zip(out_q, out_c, out_l)),
-        schema=f"{query_id} {qid_type}, centroid_id int, lut array<double>",
+        f"{query_id} {qid_type}, centroid_id int, lut array<double>",
     )
     # Probe-list pruning (r12, ann_index): restrict the code index to the
     # ≤|Q|·nprobe DISTINCT probed lists BEFORE the join.  Semantically a
@@ -353,7 +359,14 @@ def ivfpq_topk(
     cand = corpus.join(
         F.broadcast(shortlist), corpus[id_col] == shortlist["cand_id"]
     ).select(query_id, "cand_id", F.col(vec_col).alias("cand_vec"))
-    exact = cand.join(F.broadcast(queries), query_id).withColumn(
+    # r14: the re-rank used to broadcast the ORIGINAL query frame — one
+    # more broadcast-build job re-scanning storage for rows the driver
+    # collected two lines up.  Rebuilding them as a local relation (same
+    # schema, same rows — collect/createDataFrame round-trips the float
+    # values exactly) makes the broadcast job-free: a LocalTableScan
+    # collects on the driver without submitting a job.
+    q_local = local_frame(queries.sparkSession, q_rows, q_sel.schema)
+    exact = cand.join(F.broadcast(q_local), query_id).withColumn(
         "dist", _sub_sq_dist("cand_vec", query_vec)
     )
     w2 = Window.partitionBy(query_id).orderBy("dist", "cand_id")

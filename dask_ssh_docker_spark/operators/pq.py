@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_frame
+
 
 def _sub_sq_dist(a, b):
     return F.aggregate(
@@ -136,8 +138,8 @@ def train_pq_codebooks(
         )
     x = np.asarray([r[1] for r in sample], dtype=np.float64)  # (n, dim)
     rows = _kmeans_subspace_rows(x, m, ks, iters)
-    cb = corpus.sparkSession.createDataFrame(
-        rows, "sub int, cid int, centroid array<double>"
+    cb = local_frame(
+        corpus.sparkSession, rows, "sub int, cid int, centroid array<double>"
     )
     # r13 optimization round: the driver just computed these centroids —
     # attach the tensors so encode/search skip their collect jobs (frames
@@ -287,8 +289,10 @@ def pq_topk(
     # Spark aggregate produced under codebook clamping (ADVICE r7).
     cb_entries.sort(key=lambda e: e[0] * ks + e[1])
     qid_type = queries.schema[query_id].dataType.simpleString()
+    q_sel = queries.select(query_id, query_vec)
+    q_rows = q_sel.collect()
     lut_rows = []
-    for row in queries.select(query_id, query_vec).collect():
+    for row in q_rows:
         qid, qv = row[0], row[1]
         lut = []
         for sub, _cid, cent in cb_entries:
@@ -299,8 +303,10 @@ def pq_topk(
                 acc = acc + dj * dj
             lut.append(acc)
         lut_rows.append((qid, lut))
-    luts = queries.sparkSession.createDataFrame(
-        lut_rows, schema=f"qid {qid_type}, lut array<double>"
+    # LocalRelation (r14, functions/localrel.py): job-free to broadcast,
+    # no 32-task parallelized-RDD scan per consumer.
+    luts = local_frame(
+        queries.sparkSession, lut_rows, f"qid {qid_type}, lut array<double>"
     )
     n_queries = len(lut_rows)
     # Stride derives from the LUT itself (len = m·n_cids), NOT the ks
@@ -326,10 +332,13 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), "vec_id", "approx_dist", "rank")
     )
-    # |Q| was just collected for the LUTs — attach it (the tensor-attach
-    # pattern) so pq_topk_rerank can bound its shortlist broadcast with a
-    # no-op limit instead of an eager-checkpoint job (r14, guide §5).
+    # The query rows were just collected for the LUTs — attach them (the
+    # tensor-attach pattern) so pq_topk_rerank can bound its shortlist
+    # broadcast with a no-op limit instead of an eager-checkpoint job and
+    # rebuild the re-rank's query side as a job-free local relation
+    # instead of re-scanning storage (r14, guide §5).
     out._graft_n_queries = n_queries
+    out._graft_query_rows = (q_rows, q_sel.schema)
     return out
 
 
@@ -369,6 +378,7 @@ def pq_topk_rerank(
         query_id=query_id, query_vec=query_vec, m=m, dim=dim,
     )
     n_q = getattr(sl, "_graft_n_queries", None)
+    q_attach = getattr(sl, "_graft_query_rows", None)
     sl = sl.select("query_id", F.col("vec_id").alias("cand_id"))
     shortlist = (
         sl.limit(n_q * k * expand)
@@ -378,8 +388,16 @@ def pq_topk_rerank(
     cand = corpus.join(
         F.broadcast(shortlist), corpus[id_col] == shortlist["cand_id"]
     ).select("query_id", "cand_id", F.col(vec_col).alias("cand_vec"))
+    # re-rank query side as a job-free local relation (see pq_topk): the
+    # broadcast of a LocalTableScan collects on the driver with no job,
+    # where broadcasting the original frame re-scanned storage
+    q_side = (
+        local_frame(queries.sparkSession, *q_attach)
+        if q_attach is not None
+        else queries
+    )
     exact = (
-        cand.join(F.broadcast(queries), "query_id")
+        cand.join(F.broadcast(q_side), "query_id")
         .withColumn("dist", _sub_sq_dist("cand_vec", query_vec))
     )
     w = Window.partitionBy("query_id").orderBy("dist", "cand_id")
