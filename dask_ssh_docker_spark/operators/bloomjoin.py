@@ -14,10 +14,11 @@ some shapes; this operator makes the plan explicit and composable:
    (1024 for the default 64 Ki bits) — bounded regardless of build
    cardinality, hence always legitimately broadcastable;
 2. probe side → the same 3 positions tested map-side: bitmaps up to
-   ``_LITERAL_MAX_WORDS`` are collected once and embedded as a
-   constant-folded literal array (three ``element_at`` + mask tests in
-   the scan's codegen span — zero joins); larger bitmaps fall back to
-   3 broadcast inner joins + bit-mask tests (still zero exchanges);
+   ``_DENSE_MAX_WORDS`` fold into a ONE-row dense array (global
+   aggregate) cross-joined as a single canonical broadcast — three
+   ``element_at`` + mask tests per row, no materialization job, nothing
+   in the task plan; larger bitmaps fall back to 3 broadcast inner
+   joins + bit-mask tests (still zero exchanges);
 3. the surviving superset (bloom false positives included) flows into
    the EXACT semi join — the final result is identical to the plain
    semi join; the bloom only cuts shuffle volume.
@@ -33,41 +34,57 @@ from pyspark.sql import functions as F
 
 _K = 3  # hash probes
 
-#: r13 optimization round: bitmaps up to this many 64-bit words (512 KiB
-#: of longs at the cap) are embedded as a LITERAL array in the probe
-#: expression instead of broadcast-joined — the membership test becomes
-#: pure map-side codegen (three element_at + mask tests), removing three
-#: BroadcastExchanges and six join nodes per probe side (the per-probe
-#: word aliases made the three broadcasts non-canonical, so Spark built
-#: the same 8 KiB relation three times).  Larger bitmaps keep the
-#: broadcast-join path (a multi-MB literal would bloat every task's
-#: serialized plan instead of riding the torrent broadcast).
-_LITERAL_MAX_WORDS = 65536
+#: r14 optimization round (VERDICT r13 items 5/7).  The r13 literal-array
+#: embed was re-measured on a CLEAN window and rejected: parsing,
+#: constant-folding and per-task plan serialization of the embedded
+#: array grow with the bitmap — interleaved medians (2M-row probe)
+#: literal vs word-joins: 1024 words 0.70/0.72 s (tie), 16 Ki words
+#: 2.31/1.00, 64 Ki words 7.17/0.91, 256 Ki words 47/1.2; on the real
+#: queries at the 1024-word default the literal LOST (dedup_incremental
+#: _bloom 1.384 vs 1.268 s median, 6/6 interleaved pairs).  The probe
+#: side is now ONE single-row broadcast: a global aggregate folds the
+#: (word, bits) rows into a dense array (absent words 0 ⇒ definitely
+#: absent, unchanged semantics), the probe cross-joins the one-row frame
+#: (BroadcastNestedLoopJoin against one row ≈ a map-side append), and
+#: membership stays three element_at + mask tests.  One canonical
+#: broadcast replaces the three non-canonical per-word builds, the
+#: global agg is bounded by construction (exactly one row) so the hint
+#: needs NO materialization job, and nothing rides the task plan.
+#: Bitmaps past this cap (256 MiB as one array row) keep the word-wise
+#: broadcast joins, which move only the words actually set.
+_DENSE_MAX_WORDS = 1 << 25
 
 
-def _bitmap_literal(bitmap: DataFrame, m_bits: int):
-    """Collect the (word, bits) bitmap frame (bounded: ≤ m_bits/64 rows,
-    ONE job — the same job the former eager localCheckpoint ran) into a
-    dense literal array column; absent words are 0 (no bits set ⇒ probe
-    misses ⇒ definitely-absent, exactly the inner-join-drop / left-join-
-    NULL semantics of the join form)."""
-    words = [0] * ((m_bits + 63) // 64)
-    for r in bitmap.collect():
-        words[int(r["word"])] = int(r["bits"])
-    # ONE expr string, not F.array(*[F.lit(w) ...]): building the array
-    # element-wise costs ~3 py4j round-trips per word (multi-second driver
-    # stall at 1024 words); the parser builds the same constant-folded
-    # literal from a single call
-    return F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+def _bitmap_array_frame(bitmap: DataFrame, m_bits: int) -> DataFrame:
+    """ONE-row frame ``(__bm: array<bigint>)`` — the dense bitmap, folded
+    from the (word, bits) rows by a global aggregate.  Absent words are 0
+    (no bits set ⇒ probe misses ⇒ definitely-absent, exactly the
+    inner-join-drop / left-join-NULL semantics of the join form).  A
+    global aggregate is bounded by construction (exactly one row), so
+    the broadcast hint downstream is legal without a materialization
+    job (the policy sweep exempts global aggregates)."""
+    nwords = (m_bits + 63) // 64
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("word").cast("int"), F.col("bits")))
+    )
+    return bitmap.agg(m.alias("__m")).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda w: F.coalesce(
+                F.element_at(F.col("__m"), w), F.lit(0).cast("bigint")
+            ),
+        ).alias("__bm")
+    )
 
 
-def _bloom_flag_literal(probe: DataFrame, key: str, arr, m_bits: int):
-    """(frame-with-__pos-columns, all-K-probes-hit condition): bloom
-    membership tests against the literal bitmap array — map-side only,
-    no joins.  Positions land in internal temp columns first (same
-    discipline as the join path: one xxhash64 per probe, and the
-    shiftleft expr never splices the caller's column name into SQL)."""
-    out = probe
+def _bloom_flag_dense(probe: DataFrame, bitmap: DataFrame, key: str, m_bits: int):
+    """(frame-with-__pos/__bm-columns, all-K-probes-hit condition): bloom
+    membership tests against the single-row broadcast dense array — one
+    BroadcastNestedLoopJoin against one row, then pure map-side
+    element_at + mask tests.  Positions land in internal temp columns
+    first (one xxhash64 per probe; the shiftleft expr never splices the
+    caller's column name into SQL)."""
+    out = probe.crossJoin(F.broadcast(_bitmap_array_frame(bitmap, m_bits)))
     hits = []
     for i in range(_K):
         p = f"__pos{i}"
@@ -75,7 +92,7 @@ def _bloom_flag_literal(probe: DataFrame, key: str, arr, m_bits: int):
             p, F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
         )
         mask = F.expr(f"shiftleft(1L, cast({p} % 64 as int))")
-        bits = F.element_at(arr, ((F.col(p) / 64) + 1).cast("int"))
+        bits = F.element_at(F.col("__bm"), ((F.col(p) / 64) + 1).cast("int"))
         hits.append((bits.bitwiseAND(mask)) == mask)
     cond = hits[0]
     for h in hits[1:]:
@@ -195,13 +212,14 @@ def bloom_anti_join(
     anti-join exchange.  The result is EXACTLY the plain anti join's —
     the bloom only routes rows, it never decides membership alone."""
     keys = build.select(F.col(build_key).alias(probe_key)).distinct()
-    if m_bits // 64 <= _LITERAL_MAX_WORDS:
-        # literal-bitmap path: the build job is the same one the eager
-        # checkpoint ran; the probe side becomes pure codegen
-        arr = _bitmap_literal(bloom_bitmap(keys, probe_key, m_bits), m_bits)
-        pos_frame, cond = _bloom_flag_literal(probe, probe_key, arr, m_bits)
+    if m_bits // 64 <= _DENSE_MAX_WORDS:
+        # single-row dense-array broadcast (see _DENSE_MAX_WORDS): no
+        # materialization job, one canonical broadcast, map-side tests
+        pos_frame, cond = _bloom_flag_dense(
+            probe, bloom_bitmap(keys, probe_key, m_bits), probe_key, m_bits
+        )
         flagged = pos_frame.withColumn("__bloom_maybe", cond).drop(
-            *[f"__pos{i}" for i in range(_K)]
+            "__bm", *[f"__pos{i}" for i in range(_K)]
         )
     else:
         bitmap = bloom_bitmap(keys, probe_key, m_bits).localCheckpoint(eager=True)
@@ -220,12 +238,14 @@ def bloom_semi_join(
     exchange.  Result rows are EXACTLY the plain semi join's (the exact
     join clears bloom false positives); only the shuffle volume differs."""
     keys = build.select(F.col(build_key).alias(probe_key)).distinct()
-    if m_bits // 64 <= _LITERAL_MAX_WORDS:
-        # literal-bitmap path (see _LITERAL_MAX_WORDS): membership test is
-        # pure map-side codegen, no broadcast joins on the probe side
-        arr = _bitmap_literal(bloom_bitmap(keys, probe_key, m_bits), m_bits)
-        pos_frame, cond = _bloom_flag_literal(probe, probe_key, arr, m_bits)
-        pref = pos_frame.filter(cond).drop(*[f"__pos{i}" for i in range(_K)])
+    if m_bits // 64 <= _DENSE_MAX_WORDS:
+        # single-row dense-array broadcast (see _DENSE_MAX_WORDS)
+        pos_frame, cond = _bloom_flag_dense(
+            probe, bloom_bitmap(keys, probe_key, m_bits), probe_key, m_bits
+        )
+        pref = pos_frame.filter(cond).drop(
+            "__bm", *[f"__pos{i}" for i in range(_K)]
+        )
     else:
         # Materialize the bitmap before hinting (IVF/PQ precedent): it is
         # bounded by construction (≤ m_bits/64 rows) but sits behind a

@@ -160,7 +160,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         if lang != "zh"
         for w in LANG_MARKERS[lang]
     ]
-    markers = spark.createDataFrame(marker_rows, schema="ml string, w string")
+    # LocalRelation (r14, functions/localrel.py): job-free broadcast of
+    # the 40-row marker table — the list form parallelized it as an RDD
+    from ..functions.localrel import local_frame
+
+    markers = local_frame(spark, marker_rows, "ml string, w string")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
     counts = (
         tok.join(F.broadcast(markers), "w")
